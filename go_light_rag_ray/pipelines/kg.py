@@ -1,0 +1,181 @@
+"""The flagship pipeline: interleaved documents → knowledge graph.
+
+Dataflow (all lazy, streaming, Arrow-batch):
+
+    read documents → Chunker (actor pool, flat-map)
+                   → Extractor (actor pool, mentions with gleaning)
+                   → canonicalize (combiner → salted merge → final merge)
+                   → DescriptionSummarizer (overflow rows only)
+                   → graph table (kind ∈ {node, edge})
+
+``Handler`` mirrors the reference's DocumentHandler surface
+(reference insert.go:21-46, handler/default.go:15-47): chunk sizes, glean
+count, summaries cap, per-stage concurrency — plus our engine knobs
+(tokenizer, rule set, salt buckets).
+
+``run_kg`` is the checkpointed entry: the narrow expensive stages run per
+input shard with manifests (state/manifest.py) so a killed run resumes by
+skipping completed shards; the wide canonicalize shuffle re-runs over the
+checkpointed mentions (pure + cheap relative to extraction).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources import io as table_io
+from ..stages.canonicalize import canonicalize
+from ..stages.chunker import Chunker, ChunkerConfig
+from ..stages.extractor import Extractor
+from ..stages.summarize import (
+    DEFAULT_MAX_SUMMARIES_TOKEN_LENGTH,
+    DescriptionSummarizer,
+)
+from ..state import manifest as mf
+
+
+@dataclass
+class Handler:
+    """Pipeline configuration (the reference's DocumentHandler, as data)."""
+
+    chunk_max_tokens: int = 1024          # reference handler/default.go:41
+    chunk_overlap_tokens: int = 128       # reference handler/default.go:42
+    tokenizer: str = "regex"
+    rules: str = "pattern"                # extraction rule set
+    glean_count: int = 1
+    max_summaries_token_length: int = DEFAULT_MAX_SUMMARIES_TOKEN_LENGTH
+    salt_buckets: int = 8
+    content_mode: str = "spans"           # "spans" | "text" (flat table)
+    doc_id_prefix: str = ""
+    # physical knobs
+    chunker_concurrency: int | tuple[int, int] = 4
+    extractor_concurrency: int | tuple[int, int] = 4
+    batch_size: int = 256                 # documents per chunker batch
+    mention_batch_size: int = 8192
+    extra: dict = field(default_factory=dict)
+
+
+def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    cfg = ChunkerConfig(
+        max_tokens=handler.chunk_max_tokens,
+        overlap_tokens=handler.chunk_overlap_tokens,
+        tokenizer=handler.tokenizer,
+        content_mode=handler.content_mode,
+        doc_id_prefix=handler.doc_id_prefix,
+    )
+    return docs.map_batches(
+        Chunker,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=handler.batch_size,
+        concurrency=handler.chunker_concurrency,
+    )
+
+
+def extract_mentions(chunks: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    return chunks.map_batches(
+        Extractor,
+        fn_constructor_kwargs={"rules": handler.rules, "glean_count": handler.glean_count},
+        batch_format="pyarrow",
+        batch_size=handler.batch_size,
+        concurrency=handler.extractor_concurrency,
+    )
+
+
+def build_graph(mentions: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    graph = canonicalize(
+        mentions,
+        salt_buckets=handler.salt_buckets,
+        batch_size=handler.mention_batch_size,
+    )
+    if handler.max_summaries_token_length > 0:
+        graph = graph.map_batches(
+            DescriptionSummarizer,
+            fn_constructor_kwargs={
+                "max_tokens": handler.max_summaries_token_length,
+                "tokenizer": handler.tokenizer,
+            },
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+    return graph
+
+
+def kg_pipeline(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    """documents → graph, fully lazy (no checkpoint)."""
+    return build_graph(extract_mentions(chunk_documents(docs, handler), handler), handler)
+
+
+def nodes_view(graph: ray.data.Dataset) -> ray.data.Dataset:
+    return graph.filter(expr="kind == 'node'").select_columns(
+        ["entity_id", "entity_type", "descriptions", "source_ids", "mention_count"]
+    )
+
+
+def edges_view(graph: ray.data.Dataset) -> ray.data.Dataset:
+    return graph.filter(expr="kind == 'edge'").select_columns(
+        ["src", "tgt", "weight", "descriptions", "keywords", "source_ids", "mention_count"]
+    )
+
+
+def triples_view(graph: ray.data.Dataset) -> ray.data.Dataset:
+    """Parity view: (subj, pred, obj); pred = first keyword in canonical order."""
+
+    def to_triples(batch):
+        batch = batch.filter(pc.equal(batch.column("kind"), "edge"))
+        kws = batch.column("keywords")
+        pred = pc.list_element(kws, 0) if len(batch) else kws.combine_chunks()
+        import pyarrow as pa
+
+        return pa.Table.from_pydict(
+            {
+                "subj": batch.column("src").to_pylist(),
+                "pred": pred.to_pylist() if len(batch) else [],
+                "obj": batch.column("tgt").to_pylist(),
+            },
+            schema=pa.schema([("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]),
+        )
+
+    return graph.map_batches(to_triples, batch_format="pyarrow")
+
+
+def run_kg(
+    input_path: str,
+    ckpt_dir: str,
+    handler: Handler,
+    n_shards: int = 4,
+    flat_adapter: bool = False,
+) -> ray.data.Dataset:
+    """Checkpointed end-to-end run; returns the (lazy) graph dataset.
+
+    Narrow stages are executed per input shard with manifests; on resume
+    only pending shards are recomputed.  The aggregate reads the mentions
+    checkpoint (a much smaller table than the input).
+    """
+    fragments = table_io.list_input_fragments(input_path)
+    shards = mf.plan_shards(fragments, n_shards)
+    for shard_id in mf.pending_shards(ckpt_dir, shards):
+        frags = shards[shard_id]
+        docs = table_io.read_documents(frags)
+        if flat_adapter:
+            docs = docs.map_batches(
+                table_io.flat_documents_as_interleaved, batch_format="pyarrow"
+            )
+        mentions = extract_mentions(chunk_documents(docs, handler), handler)
+        out = mf.shard_out_dir(ckpt_dir, "mentions", shard_id)
+        mentions.write_parquet(out)
+        mf.write_manifest(
+            ckpt_dir,
+            mf.ShardManifest(
+                shard_id=shard_id,
+                input_fragments=frags,
+                fingerprint=mf.shard_fingerprint(frags),
+                counters={"fragments": len(frags)},
+            ),
+        )
+    mentions = ray.data.read_parquet(os.path.join(ckpt_dir, "mentions"))
+    return build_graph(mentions, handler)

@@ -1,0 +1,260 @@
+"""Entity canonicalization + edge dedup as a salted two-stage groupby-aggregate.
+
+Replaces the reference's racy per-key read-modify-write upsert-merge
+(reference insert.go:499-690) with a *pure deterministic aggregation* over
+all mentions (SURVEY.md §7.0):
+
+* node merge (J1): descriptions/source-ids ordered-distinct by first
+  occurrence (reference appendIfUnique, rag.go:230-235) where occurrence
+  order is the carried key ``(doc_id, order_index, mention_index)`` — never
+  physical block order; entity type = most-frequent mention type with a
+  *lexicographic* tie-break (the reference's Go-map iteration tie-break,
+  rag.go:237-258, is non-deterministic; we define it);
+* edge merge (J2): weight is additive across mentions
+  (insert.go:595, 609-615); descriptions/keywords ordered-distinct;
+* dangling-endpoint placeholders (J3, insert.go:625-663) are folded into
+  the same shuffle: every relationship mention also emits two low-priority
+  "endpoint" node partials; at finalize a key with zero real entity
+  mentions becomes an UNKNOWN placeholder built from the endpoint partials
+  — no separate anti-join pass.
+
+Scale design: stage A pre-aggregates inside ``map_batches`` (≤ 1 partial
+row per key per batch — this is the combiner that keeps the shuffle small);
+stage B merges partials grouped by ``(key, salt)`` where the salt spreads a
+hot key's partials over ``salt_buckets`` groups (F6 skew fixture: identical
+output at salt 1/8/64); stage C performs the final merge per key and
+finalizes node/edge rows.  One logical shuffle key family is used
+throughout: ``(kind, k1, k2)``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from .. import GRAPH_FIELD_SEPARATOR
+
+_OCC_ENTRY = pa.struct([pa.field("occ", pa.string()), pa.field("text", pa.string())])
+_OCC_LIST = pa.list_(_OCC_ENTRY)
+
+PARTIALS_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string()),   # "node" | "edge"
+        pa.field("k1", pa.string()),     # entity name / edge src
+        pa.field("k2", pa.string()),     # "" / edge tgt
+        pa.field("salt", pa.int32()),
+        pa.field("types", pa.list_(pa.string())),
+        pa.field("type_counts", pa.list_(pa.int64())),
+        pa.field("weight", pa.float64()),
+        pa.field("mention_count", pa.int64()),
+        pa.field("descs", _OCC_LIST),
+        pa.field("kws", _OCC_LIST),
+        pa.field("srcids", _OCC_LIST),
+        pa.field("ph_descs", _OCC_LIST),
+        pa.field("ph_srcids", _OCC_LIST),
+    ]
+)
+
+GRAPH_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string()),   # "node" | "edge"
+        pa.field("entity_id", pa.string()),
+        pa.field("entity_type", pa.string()),
+        pa.field("src", pa.string()),
+        pa.field("tgt", pa.string()),
+        pa.field("weight", pa.float64()),
+        pa.field("descriptions", pa.list_(pa.string())),
+        pa.field("keywords", pa.list_(pa.string())),
+        pa.field("source_ids", pa.list_(pa.string())),
+        pa.field("mention_count", pa.int64()),
+    ]
+)
+
+
+def occ_key(doc_id: str, order_index: int, mention_index: int) -> str:
+    """Lexicographically tuple-ordered occurrence key (NUL-separated)."""
+    return f"{doc_id}\x00{order_index:010d}\x00{mention_index:010d}"
+
+
+class _State:
+    __slots__ = ("types", "weight", "mention_count", "descs", "kws", "srcids",
+                 "ph_descs", "ph_srcids")
+
+    def __init__(self) -> None:
+        self.types: dict[str, int] = {}
+        self.weight = 0.0
+        self.mention_count = 0
+        self.descs: dict[str, str] = {}      # text -> min occ
+        self.kws: dict[str, str] = {}
+        self.srcids: dict[str, str] = {}
+        self.ph_descs: dict[str, str] = {}
+        self.ph_srcids: dict[str, str] = {}
+
+
+def _acc(d: dict[str, str], text: str, occ: str) -> None:
+    prev = d.get(text)
+    if prev is None or occ < prev:
+        d[text] = occ
+
+
+def combine_mentions(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
+    """Stage A: mentions batch → ≤1 partial row per (key, kind) per batch."""
+    states: dict[tuple[str, str, str], _State] = {}
+
+    def get(kind: str, k1: str, k2: str) -> _State:
+        key = (kind, k1, k2)
+        st = states.get(key)
+        if st is None:
+            st = states[key] = _State()
+        return st
+
+    n = batch.num_rows
+    col = {name: batch.column(name).to_pylist() for name in
+           ("doc_id", "chunk_id", "order_index", "mention_index", "kind",
+            "name", "type", "src", "tgt", "description", "keywords", "weight")}
+    for i in range(n):
+        occ = occ_key(col["doc_id"][i], col["order_index"][i], col["mention_index"][i])
+        chunk_id = col["chunk_id"][i]
+        if col["kind"][i] == "entity":
+            st = get("node", col["name"][i], "")
+            t = col["type"][i]
+            st.types[t] = st.types.get(t, 0) + 1
+            st.mention_count += 1
+            _acc(st.descs, col["description"][i], occ)
+            _acc(st.srcids, chunk_id, occ)
+        else:
+            src, tgt, desc = col["src"][i], col["tgt"][i], col["description"][i]
+            st = get("edge", src, tgt)
+            st.weight += col["weight"][i]
+            st.mention_count += 1
+            _acc(st.descs, desc, occ)
+            _acc(st.srcids, chunk_id, occ)
+            for j, kw in enumerate(col["keywords"][i]):
+                _acc(st.kws, kw, f"{occ}\x00{j:04d}")
+            for endpoint in (src, tgt):
+                ph = get("node", endpoint, "")
+                _acc(ph.ph_descs, desc, occ)
+                _acc(ph.ph_srcids, chunk_id, occ)
+
+    return _states_to_table(states, salt_buckets)
+
+
+def _states_to_table(states: dict, salt_buckets: int) -> pa.Table:
+    cols: dict[str, list] = {name: [] for name in PARTIALS_SCHEMA.names}
+    for (kind, k1, k2), st in states.items():
+        # Salt derives from the *content* of the partial (min occ), not the
+        # key, so a hot key's partials from different batches spread across
+        # salt buckets while remaining deterministic.
+        any_occ = min(
+            list(st.descs.values()) + list(st.ph_descs.values()) + ["\x7f"]
+        )
+        salt = zlib.crc32(f"{k1}|{k2}|{any_occ}".encode()) % max(1, salt_buckets)
+        cols["kind"].append(kind)
+        cols["k1"].append(k1)
+        cols["k2"].append(k2)
+        cols["salt"].append(salt)
+        cols["types"].append(list(st.types.keys()))
+        cols["type_counts"].append(list(st.types.values()))
+        cols["weight"].append(st.weight)
+        cols["mention_count"].append(st.mention_count)
+        for field, d in (
+            ("descs", st.descs), ("kws", st.kws), ("srcids", st.srcids),
+            ("ph_descs", st.ph_descs), ("ph_srcids", st.ph_srcids),
+        ):
+            cols[field].append([{"occ": occ, "text": t} for t, occ in d.items()])
+    return pa.Table.from_pydict(cols, schema=PARTIALS_SCHEMA)
+
+
+def _merge_rows(batch: pa.Table) -> _State:
+    """Merge all partial rows of one key (or one (key, salt)) into a state."""
+    st = _State()
+    col = {name: batch.column(name).to_pylist() for name in
+           ("types", "type_counts", "weight", "mention_count",
+            "descs", "kws", "srcids", "ph_descs", "ph_srcids")}
+    for i in range(batch.num_rows):
+        for t, c in zip(col["types"][i], col["type_counts"][i]):
+            st.types[t] = st.types.get(t, 0) + c
+        st.weight += col["weight"][i]
+        st.mention_count += col["mention_count"][i]
+        for field, d in (
+            ("descs", st.descs), ("kws", st.kws), ("srcids", st.srcids),
+            ("ph_descs", st.ph_descs), ("ph_srcids", st.ph_srcids),
+        ):
+            for entry in col[field][i]:
+                _acc(d, entry["text"], entry["occ"])
+    return st
+
+
+def merge_partials_group(batch: pa.Table) -> pa.Table:
+    """Stage B: per (kind, k1, k2, salt) group → one partial row."""
+    st = _merge_rows(batch)
+    states = {(batch.column("kind")[0].as_py(),
+               batch.column("k1")[0].as_py(),
+               batch.column("k2")[0].as_py()): st}
+    out = _states_to_table(states, salt_buckets=1)
+    return out
+
+
+def _ordered(d: dict[str, str]) -> list[str]:
+    return [t for t, _ in sorted(d.items(), key=lambda kv: kv[1])]
+
+
+def finalize_group(batch: pa.Table) -> pa.Table:
+    """Stage C: per (kind, k1, k2) group → one finalized node/edge row."""
+    kind = batch.column("kind")[0].as_py()
+    k1 = batch.column("k1")[0].as_py()
+    k2 = batch.column("k2")[0].as_py()
+    st = _merge_rows(batch)
+
+    row: dict[str, object] = {
+        "kind": kind, "entity_id": "", "entity_type": "", "src": "", "tgt": "",
+        "weight": 0.0, "descriptions": [], "keywords": [], "source_ids": [],
+        "mention_count": st.mention_count,
+    }
+    if kind == "node":
+        row["entity_id"] = k1
+        if st.mention_count > 0:
+            # mode with lexicographic tie-break (deterministic A1)
+            row["entity_type"] = min(
+                st.types.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            row["descriptions"] = _ordered(st.descs)
+            row["source_ids"] = _ordered(st.srcids)
+        else:
+            row["entity_type"] = "UNKNOWN"
+            row["descriptions"] = _ordered(st.ph_descs)
+            row["source_ids"] = _ordered(st.ph_srcids)
+    else:
+        row["src"], row["tgt"] = k1, k2
+        row["weight"] = st.weight
+        row["descriptions"] = _ordered(st.descs)
+        row["keywords"] = _ordered(st.kws)
+        row["source_ids"] = _ordered(st.srcids)
+    return pa.Table.from_pydict({k: [v] for k, v in row.items()}, schema=GRAPH_SCHEMA)
+
+
+def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192):
+    """mentions Dataset → combined graph Dataset (kind ∈ {node, edge}).
+
+    Three stages: vectorized combiner (stateless map_batches), salted
+    partial merge (groupby shuffle 1), final merge (groupby shuffle 2 over
+    the already-compressed partials).
+    """
+    partials = mentions.map_batches(
+        lambda b: combine_mentions(b, salt_buckets),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if salt_buckets > 1:
+        partials = partials.groupby(["kind", "k1", "k2", "salt"]).map_groups(
+            merge_partials_group, batch_format="pyarrow"
+        )
+    return partials.groupby(["kind", "k1", "k2"]).map_groups(
+        finalize_group, batch_format="pyarrow"
+    )
+
+
+def sep_join(values: list[str]) -> str:
+    """Render the reference's ``<SEP>``-joined string form (insert.go:538,623)."""
+    return GRAPH_FIELD_SEPARATOR.join(values)
