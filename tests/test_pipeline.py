@@ -1,0 +1,108 @@
+"""End-to-end kg pipeline + checkpoint/resume + span invariant."""
+
+import os
+
+import pytest
+import ray.data
+
+from go_light_rag_ray.corpus import generate_documents
+from go_light_rag_ray.pipelines.kg import (
+    Handler,
+    chunk_documents,
+    edges_view,
+    extract_mentions,
+    kg_pipeline,
+    nodes_view,
+    run_kg,
+    triples_view,
+)
+from go_light_rag_ray.stages.verify import verify_spans
+from go_light_rag_ray.state import manifest as mf
+
+HANDLER = Handler(chunker_concurrency=1, extractor_concurrency=1, salt_buckets=4)
+
+
+def _docs(n=40, **kw):
+    return ray.data.from_arrow(generate_documents(n, **kw))
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    return kg_pipeline(_docs(40), HANDLER).materialize()
+
+
+def test_kg_pipeline_end_to_end(graph):
+    rows = graph.take_all()
+    nodes = [r for r in rows if r["kind"] == "node"]
+    edges = [r for r in rows if r["kind"] == "edge"]
+    assert len(nodes) > 5
+    assert len(edges) > 5
+    by_id = {n["entity_id"]: n for n in nodes}
+    # glean-only FOUNDED relations present
+    assert any("FOUNDED" in e["keywords"] for e in edges)
+    # placeholder endpoint THE REGISTRY if the template fired
+    if "THE REGISTRY" in by_id:
+        assert by_id["THE REGISTRY"]["entity_type"] == "UNKNOWN"
+    # every edge endpoint exists as a node (relationship integrity, insert.go:625-663)
+    for e in edges:
+        assert e["src"] in by_id and e["tgt"] in by_id
+    # all names upper-cased
+    assert all(n["entity_id"] == n["entity_id"].upper() for n in nodes)
+
+
+def test_views(graph):
+    n = nodes_view(graph).take_all()
+    e = edges_view(graph).take_all()
+    t = triples_view(graph).take_all()
+    assert len(t) == len(e) > 0
+    assert set(t[0]) == {"subj", "pred", "obj"}
+    assert all("entity_id" in r for r in n)
+
+
+def test_span_passthrough_invariant():
+    docs = _docs(15)
+    # the pipeline never touches spans; verify input vs input-projected output
+    out = docs.map_batches(lambda b: b, batch_format="pyarrow")
+    res = verify_spans(docs, out)
+    assert res["ok"], res
+
+
+def test_run_kg_checkpoint_and_resume(tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(20).repartition(2).write_parquet(corpus_dir)
+
+    h = Handler(chunker_concurrency=1, extractor_concurrency=1, salt_buckets=1)
+    g1 = run_kg(corpus_dir, ckpt, h, n_shards=2)
+    rows1 = sorted(
+        ((r["kind"], r["entity_id"], r["src"], r["tgt"], r["weight"]) for r in g1.take_all())
+    )
+    manifests = [f for f in os.listdir(ckpt) if f.startswith("MANIFEST-")]
+    assert len(manifests) == 2
+
+    fragments = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(corpus_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    shards = mf.plan_shards(fragments, 2)
+    # resume: nothing pending → extraction skipped, same result
+    assert mf.pending_shards(ckpt, shards) == []
+    g2 = run_kg(corpus_dir, ckpt, h, n_shards=2)
+    rows2 = sorted(
+        ((r["kind"], r["entity_id"], r["src"], r["tgt"], r["weight"]) for r in g2.take_all())
+    )
+    assert rows1 == rows2
+
+    # invalidate one manifest → exactly that shard pending
+    os.remove(os.path.join(ckpt, manifests[0]))
+    assert len(mf.pending_shards(ckpt, shards)) == 1
+
+
+def test_mentions_deterministic_across_runs():
+    h = Handler(chunker_concurrency=1, extractor_concurrency=1, salt_buckets=1)
+    m1 = extract_mentions(chunk_documents(_docs(6), h), h).take_all()
+    m2 = extract_mentions(chunk_documents(_docs(6), h), h).take_all()
+    key = lambda r: (r["chunk_id"], r["mention_index"])
+    assert sorted(m1, key=key) == sorted(m2, key=key)
