@@ -50,7 +50,7 @@ class Handler:
     max_summaries_token_length: int = DEFAULT_MAX_SUMMARIES_TOKEN_LENGTH
     salt_buckets: int = 8
     content_mode: str = "spans"           # "spans" | "text" (flat table)
-    doc_id_prefix: str = ""
+    doc_id_format: str = "{}"
     # physical knobs
     chunker_concurrency: int | tuple[int, int] = 4
     extractor_concurrency: int | tuple[int, int] = 4
@@ -65,7 +65,7 @@ def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Datase
         overlap_tokens=handler.chunk_overlap_tokens,
         tokenizer=handler.tokenizer,
         content_mode=handler.content_mode,
-        doc_id_prefix=handler.doc_id_prefix,
+        doc_id_format=handler.doc_id_format,
     )
     return docs.map_batches(
         Chunker,

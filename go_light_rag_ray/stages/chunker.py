@@ -69,7 +69,9 @@ class ChunkerConfig:
     content_mode: str = "spans"       # "spans" (interleaved docs) | "text" (flat table)
     doc_id_column: str = "doc_id"
     text_column: str = "text"
-    doc_id_prefix: str = ""           # e.g. "doc-" when doc_id is int64
+    # Applied to the raw id: zero-padding keeps string order == numeric order,
+    # which the occurrence keys (canonicalize.occ_key) rely on for ordering.
+    doc_id_format: str = "{}"         # e.g. "doc-{:09d}" when doc_id is int64
 
 
 class Chunker:
@@ -96,7 +98,7 @@ class Chunker:
         out_content: list[str] = []
         out_tokens: list[int] = []
         for raw_id, payload in zip(doc_ids, payloads):
-            doc_id = f"{cfg.doc_id_prefix}{raw_id}"
+            doc_id = cfg.doc_id_format.format(raw_id)
             content = clean_content(self._doc_content(payload))
             for piece, token_size, order_index in chunk_text(
                 content, self.tokenizer, cfg.max_tokens, cfg.overlap_tokens

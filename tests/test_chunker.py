@@ -97,8 +97,8 @@ def test_chunker_batch_spans_mode():
 
 def test_chunker_batch_text_mode_with_prefix():
     docs = pa.Table.from_pydict({"doc_id": [7], "text": ["some words here"]})
-    cfg = ChunkerConfig(content_mode="text", doc_id_prefix="doc-", tokenizer="whitespace")
+    cfg = ChunkerConfig(content_mode="text", doc_id_format="doc-{:09d}", tokenizer="whitespace")
     out = Chunker(cfg)(docs)
     row = out.to_pylist()[0]
-    assert row["chunk_id"] == "doc-7-chunk-0"
+    assert row["chunk_id"] == "doc-000000007-chunk-0"
     assert row["token_size"] == 3
