@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line::
+
+    {"metric": "e2e_seconds", "value": N, "unit": "sec",
+     "queries": {"kg_full": sec, ...}, "sf": 0.1, "num_cpus": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+``bench.py --scaling`` runs the flagship KG pipeline twice in FRESH
+processes (num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency ``(t8/t32)/4`` (sandbox proxy for the
+N-vs-4N-node criterion per BASELINE.json).
+
+This script OWNS its Ray session (init/shutdown); the library does not.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def _consume(result) -> int:
+    """Execute a lazy pipeline to completion; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return 0
+
+
+def _pipelines(sf_dir: str) -> dict:
+    """name → zero-arg callable returning a consumable result.
+
+    The flagship ``kg_full`` runs chunk → extract+glean → canonicalize →
+    summarize over the interleaved-spans shape of the documents table.
+    """
+    import __ray_entry__ as e
+
+    def kg_full():
+        from go_light_rag_ray.pipelines.kg import Handler, kg_pipeline
+        from go_light_rag_ray.sources import io as table_io
+
+        docs = table_io.read_documents(f"{sf_dir}/documents.parquet")
+        docs = docs.map_batches(
+            table_io.flat_documents_as_interleaved, batch_format="pyarrow"
+        )
+        handler = Handler(tokenizer="regex", rules="word_cooccurrence",
+                          content_mode="spans")
+        return kg_pipeline(docs, handler)
+
+    out = {"kg_full": kg_full}
+    for name, fn in e.queries().items():
+        out[name] = (lambda f=fn: f(sf_dir))
+    return out
+
+
+def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+    pipes = _pipelines(sf_dir)
+    if only:
+        pipes = {only: pipes[only]}
+    timings, rows = {}, {}
+    for name, fn in pipes.items():
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = None
+    try:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except Exception:
+        pass
+
+    result = {
+        "metric": "e2e_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "rows": rows,
+    }
+    if n_docs and "kg_full" in timings and timings["kg_full"] > 0:
+        result["docs_per_sec"] = round(n_docs / timings["kg_full"], 2)
+        if "kg_triples" in rows and timings.get("kg_triples"):
+            result["triples_per_sec"] = round(
+                rows["kg_triples"] / timings["kg_triples"], 2
+            )
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same flagship job at 8 and 32 CPUs in fresh processes."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    points = {}
+    for cpus in (8, 32):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--single", "kg_full", "--cpus", str(cpus), "--sf-dir", sf_dir]
+        env = dict(os.environ)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        sec = r["queries"]["kg_full"]
+        points[cpus] = {"sec": sec, "docs_per_sec": round(n_docs / sec, 2)}
+    eff = (points[8]["sec"] / points[32]["sec"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {"kg_full_cpus8": points[8]["sec"],
+                    "kg_full_cpus32": points[32]["sec"]},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": 32,
+        "throughput": {"cpus8_docs_per_sec": points[8]["docs_per_sec"],
+                       "cpus32_docs_per_sec": points[32]["docs_per_sec"]},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single", default=None,
+                    help="run only this pipeline (internal, used by --scaling)")
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir)
+    else:
+        result = run_bench(args.sf_dir, args.cpus, only=args.single)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

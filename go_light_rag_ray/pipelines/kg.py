@@ -51,9 +51,11 @@ class Handler:
     salt_buckets: int = 8
     content_mode: str = "spans"           # "spans" | "text" (flat table)
     doc_id_format: str = "{}"
-    # physical knobs
-    chunker_concurrency: int | tuple[int, int] = 4
-    extractor_concurrency: int | tuple[int, int] = 4
+    # physical knobs — autoscaling (min, max) actor pools: a FIXED pool of
+    # size k on a node with ~k CPUs starves the upstream read tasks of CPU
+    # and deadlocks the stream; min=1 always leaves headroom.
+    chunker_concurrency: int | tuple[int, int] = (1, 4)
+    extractor_concurrency: int | tuple[int, int] = (1, 8)
     batch_size: int = 256                 # documents per chunker batch
     mention_batch_size: int = 8192
     extra: dict = field(default_factory=dict)
@@ -100,7 +102,7 @@ def build_graph(mentions: ray.data.Dataset, handler: Handler) -> ray.data.Datase
                 "tokenizer": handler.tokenizer,
             },
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         )
     return graph
 

@@ -1,0 +1,91 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` SQL via DuckDB
+on the same parquet tables, compares row count, column names/dtypes, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+import ray
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    con = duckdb.connect()
+    import os
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        got = canon(to_pandas(fn(sf_dir)))
+        if name not in oracles:
+            print(f"{name:24s} rows={len(got)} (no oracle: rows-only)")
+            continue
+        want = canon(con.execute(oracles[name]).fetchdf())
+        ok_rows = len(got) == len(want)
+        ok_cols = list(got.columns) == list(want.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True), want.reset_index(drop=True),
+                    check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-12,
+                )
+                ok_vals = True
+            except AssertionError as ex:
+                print(f"  DIFF {name}: {str(ex)[:500]}")
+        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+            print(f"{name:24s} {status} rows {len(got)}/{len(want)} cols "
+                  f"{list(got.columns)} vs {list(want.columns)}")
+            if ok_rows and ok_cols:
+                pass
+            else:
+                print("  got head:\n", got.head(3))
+                print("  want head:\n", want.head(3))
+        else:
+            print(f"{name:24s} OK   rows={len(got)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
