@@ -147,6 +147,130 @@ def q_mentions(sf_dir: str) -> ray.data.Dataset:
     return mentions.map_batches(view, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# training-data operators: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def _raw_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _raw_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_raw_docs(sf_dir))
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_raw_docs(sf_dir), num_perm=16, bands=4, shingle_k=3)
+
+
+def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_raw_docs(sf_dir), bits=16)
+
+
+def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_raw_docs(sf_dir), shingle_k=3, threshold=0.3)
+
+
+def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_raw_embeddings(sf_dir), threshold=0.3, sign_bits=8)
+
+
+def q_text_stats(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.textstats import token_stats
+
+    return token_stats(_raw_docs(sf_dir))
+
+
+def q_text_quality(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.textstats import quality_scores
+
+    return quality_scores(_raw_docs(sf_dir))
+
+
+def q_text_langid(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.textstats import language_id
+
+    return language_id(_raw_docs(sf_dir))
+
+
+def q_text_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.textstats import fingerprints
+
+    return fingerprints(_raw_docs(sf_dir), shingle_k=4)
+
+
+def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.similarity import ann_topk
+
+    return ann_topk(_raw_embeddings(sf_dir), n_queries=8, k=5)
+
+
+def q_ann_topk_lsh(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_raw_embeddings(sf_dir), n_queries=8, k=5, sign_bits=4)
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.sources.io import flat_documents_as_interleaved
+    from go_light_rag_ray.stages.multimodal import featurize_media
+
+    docs = _raw_docs(sf_dir).map_batches(
+        flat_documents_as_interleaved, batch_format="pyarrow"
+    )
+    return featurize_media(docs, backend="fake")
+
+
+def q_kg_degrees(sf_dir: str) -> ray.data.Dataset:
+    """Per-entity degree over the canonical graph (reference A4,
+    neo.go:410-472): every node contributes 0, every edge endpoint 1."""
+    import ray.data.aggregate as agg
+
+    graph = _graph(sf_dir)
+
+    def unpivot(b: pa.Table) -> pa.Table:
+        is_edge = pc.equal(b.column("kind"), "edge")
+        edges, nodes = b.filter(is_edge), b.filter(pc.invert(is_edge))
+        ent = pa.concat_arrays(
+            [
+                nodes.column("entity_id").combine_chunks(),
+                edges.column("src").combine_chunks(),
+                edges.column("tgt").combine_chunks(),
+            ]
+        )
+        ones = pa.concat_arrays(
+            [
+                pa.nulls(len(nodes), pa.int64()).fill_null(0),
+                pa.nulls(2 * len(edges), pa.int64()).fill_null(1),
+            ]
+        )
+        return pa.Table.from_arrays([ent, ones], names=["entity_id", "inc"])
+
+    return (
+        graph.map_batches(unpivot, batch_format="pyarrow")
+        .groupby("entity_id")
+        .aggregate(agg.Sum("inc", alias_name="degree"))
+    )
+
+
 def entry() -> Any:
     """Flagship: sf0.001 documents → interleaved spans shape → KG."""
     docs = table_io.read_documents("/root/testdata/sf0.001/documents.parquet")
@@ -342,6 +466,274 @@ FROM allm
 """
 
 
+# ---------------------------------------------------------------------------
+# oracle SQL for the training-data operators (DuckDB replicates the md5-based
+# algorithms of stages/dedup.py, textstats.py, similarity.py, multimodal.py
+# bit-for-bit; see those modules for the scheme docs)
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+# shared shingle CTE: distinct k-word shingles per doc (k = 3); docs with no
+# tokens produce no shingles (MinHasher skips them)
+_SHINGLES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN array_to_string(t[i+1 : i+3], ' ')
+                ELSE array_to_string(t, ' ') END AS s
+    FROM toks, unnest(CASE WHEN len(t) >= 3
+                           THEN range(0, len(t) - 2)
+                           ELSE range(0, CASE WHEN len(t) > 0 THEN 1 ELSE 0 END)
+                      END) AS u(i)
+  )
+)
+"""
+
+_DEDUP_MINHASH_SQL = _SHINGLES_CTE + r"""
+, sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS h
+  FROM shingles, unnest(range(0, 16)) AS p(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id,
+         md5((i // 4)::VARCHAR || '|' || string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 4
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+"""
+
+_DEDUP_SIMHASH_SQL = r"""
+WITH words AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (('0x' || substr(md5(w), 1, 4))::BIGINT >> b) & 1 = 1
+                  THEN c ELSE -c END) AS v
+  FROM words, unnest(range(0, 16)) AS bits(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+_DEDUP_JACCARD_SQL = _SHINGLES_CTE + r"""
+, sized AS (
+  SELECT s.doc_id, md5(s.s) AS sh, n.n
+  FROM shingles s
+  JOIN (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id) n
+    ON s.doc_id = n.doc_id
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb,
+         count(*) AS common
+  FROM sized x JOIN sized y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id, x.n, y.n
+)
+SELECT a, b, common::DOUBLE / (na + nb - common)::DOUBLE AS jaccard
+FROM pairs WHERE common::DOUBLE / (na + nb - common)::DOUBLE >= 0.3
+"""
+
+# sign-bit LSH bucket over the first 8 dims (1-based list index in DuckDB)
+_EMB_BUCKET_EXPR = (
+    "("
+    + " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )
+    + ")"
+)
+
+_DEDUP_EMBEDDING_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, {_EMB_BUCKET_EXPR} AS bucket, embedding FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]), 6) AS cos_sim
+FROM buckets x JOIN buckets y
+  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                   y.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+_STOPWORD_LIST = "('the','a','of','and','to','in','is')"
+
+_TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, w -> w IN {_STOPWORD_LIST})) AS n_stop,
+         list_sum(list_transform(toks, w -> length(w))) AS total_len
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0.0 ELSE n_distinct::DOUBLE / n::DOUBLE END AS distinct_ratio,
+       CASE WHEN n = 0 THEN 0.0 ELSE n_stop::DOUBLE / n::DOUBLE END AS stopword_ratio,
+       CASE WHEN n = 0 THEN 0.0 ELSE total_len::DOUBLE / n::DOUBLE END AS mean_word_len,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE (n_distinct::DOUBLE / n::DOUBLE)
+                 * (1 - n_stop::DOUBLE / n::DOUBLE) END AS quality
+FROM m
+"""
+
+# marker lists must match stages/textstats.py LANG_MARKERS
+_TEXT_LANGID_SQL = r"""
+WITH langs(lang, markers) AS (
+  VALUES ('de', ['small','slow','big']),
+         ('en', ['the','a','fast']),
+         ('es', ['join','merge','sort']),
+         ('fr', ['row','column','line'])
+),
+t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+scores AS (
+  SELECT t.doc_id, l.lang,
+         len(list_filter(t.toks, w -> list_contains(l.markers, w)))::DOUBLE
+           / (CASE WHEN len(t.toks) = 0 THEN 1 ELSE len(t.toks) END)::DOUBLE AS s
+  FROM t CROSS JOIN langs l
+),
+ranked AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS lang_pred, s AS lang_score FROM ranked WHERE rn = 1
+"""
+
+_TEXT_FINGERPRINT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4 THEN array_to_string(toks[i+1 : i+4], ' ')
+              ELSE array_to_string(toks, ' ') END AS w
+  FROM t, unnest(CASE WHEN len(toks) >= 4 THEN range(0, len(toks) - 3)
+                      ELSE range(0, 1) END) AS u(i)
+)
+SELECT doc_id, min(md5(w)) AS fingerprint FROM wins GROUP BY doc_id
+"""
+
+_ANN_TOPK_SQL = r"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  )::INTEGER AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+_EMB_BUCKET4_EXPR = (
+    "("
+    + " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(4)
+    )
+    + ")"
+)
+
+# NOTE: the Ray side buckets queries on their *unit* vector — same sign
+# pattern as the raw vector, so raw-vector bucketing here is equivalent.
+_ANN_TOPK_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_EMB_BUCKET4_EXPR} AS bucket FROM embeddings
+),
+q AS (SELECT * FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  )::INTEGER AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+# mirrors sources/io.flat_documents_as_interleaved (one image span per full
+# 40 words, span_index = 1 + k) + stages/multimodal.MediaFeaturizer fake
+# features (md5 digest bytes)
+_MEDIA_FEATURES_SQL = r"""
+WITH docs AS (
+  SELECT 'doc-' || doc_id::VARCHAR AS did,
+         len(regexp_extract_all(text, '\S+')) // 40 AS n_img
+  FROM documents
+),
+media AS (
+  SELECT did, (k + 1)::INTEGER AS span_index,
+         'media://' || did || '/' || k::VARCHAR AS ref
+  FROM docs, unnest(range(0, n_img)) AS u(k)
+)
+SELECT did AS doc_id, span_index, 'image' AS kind, ref AS media_ref,
+       (64 + ('0x' || substr(md5(ref), 1, 2))::INTEGER % 192)::INTEGER AS width,
+       (64 + ('0x' || substr(md5(ref), 3, 2))::INTEGER % 192)::INTEGER AS height,
+       ('0x' || substr(md5(ref), 5, 2))::INTEGER AS f0,
+       ('0x' || substr(md5(ref), 7, 2))::INTEGER AS f1,
+       ('0x' || substr(md5(ref), 9, 2))::INTEGER AS f2,
+       ('0x' || substr(md5(ref), 11, 2))::INTEGER AS f3
+FROM media
+"""
+
+# degree = 0 per node row + 1 per incident edge endpoint, over the same
+# graph the kg_nodes/kg_edges oracles define
+_KG_DEGREES_SQL = _PRELUDE + r"""
+, nodes_real AS (SELECT DISTINCT upper(wo.w) AS entity_id FROM words wo
+                 JOIN gaz g ON wo.w = g.w),
+eps AS (
+  SELECT s AS ep FROM (SELECT DISTINCT s, o FROM relk)
+  UNION ALL
+  SELECT o FROM (SELECT DISTINCT s, o FROM relk)
+),
+all_nodes AS (
+  SELECT entity_id FROM nodes_real
+  UNION
+  SELECT ep FROM eps
+)
+SELECT n.entity_id,
+       (SELECT count(*) FROM eps e WHERE e.ep = n.entity_id) AS degree
+FROM all_nodes n
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -349,6 +741,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "chunks": q_chunks,
         "mentions": q_mentions,
+        "kg_degrees": q_kg_degrees,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "media_features": q_media_features,
     }
 
 
@@ -359,4 +764,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _TRIPLES_SQL,
         "chunks": _CHUNKS_SQL,
         "mentions": _MENTIONS_SQL,
+        "kg_degrees": _KG_DEGREES_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_embedding": _DEDUP_EMBEDDING_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_langid": _TEXT_LANGID_SQL,
+        "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
     }

@@ -1,0 +1,409 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has only exact doc dedup via xxhash64 (SURVEY.md §2.7 D1,
+reference tests/rag_test.go:585-610); a 100 TB training-data pipeline needs
+the full family.  All five are expressed Ray-Data-first:
+
+- exact:        hash → groupby(hash) keep-first     (one keyed shuffle)
+- minhash+LSH:  shingle → minhash sig → band bucket → within-bucket pairs
+- simhash:      per-token hash bit-vote → 16-bit fingerprint (narrow, no shuffle)
+- n-gram Jaccard: shingle inverted index → pair counts → jaccard filter
+- embedding:    sign-bit LSH bucket → within-bucket cosine pairs
+
+Hashes are md5 (hex) so DuckDB can replicate every operator exactly for the
+correctness oracle (``__ray_entry__.oracle_sql``).  md5 here is a uniform
+partitioner, not a security primitive.
+
+Scale notes (100 TB):
+- every groupby key is a hash or a (band, signature) bucket — uniformly
+  distributed, no salting needed except ``max_group`` which drops
+  pathological hot shingles/buckets (stop-shingle capping, standard for
+  web-scale MinHash; disabled by default so small-scale oracles are exact).
+- pair emission is within-bucket only: O(Σ g²) bounded by ``max_group``,
+  never a cross join of the corpus.
+- the per-token hash cache in ``SimHasher`` is actor state (built once per
+  actor, reused across batches).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "SimHasher",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _tokens(text: str) -> list[str]:
+    return text.split()
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    """Distinct k-word shingles in first-occurrence order."""
+    toks = _tokens(text)
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - k + 1):
+        seen.setdefault(" ".join(toks[i : i + k]), None)
+    return list(seen)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (D1)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """hash(text) → keep the smallest doc_id per hash group.
+
+    Returns ``(text_hash, canonical_doc_id, dup_count)``.  The groupby key
+    is the hash itself — uniformly distributed, so the shuffle has no skew
+    by construction (contrast the reference's driver-side per-file loop,
+    tests/rag_test.go:585-610).
+    """
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "text_hash": pa.array([_md5(t or "") for t in texts], pa.string()),
+                "doc_id": b.column("doc_id"),
+            }
+        )
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="canonical_doc_id"),
+        ray.data.aggregate.Count(alias_name="dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (near-dup, Broder 1997)
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor-pool stage: doc → minhash signature.
+
+    signature[i] = min over shingles s of md5(f"{i}|{s}") — the lexicographic
+    min of fixed-width hex equals the numeric min of the 128-bit hash, and
+    is exactly reproducible in SQL as ``min(md5(i || '|' || s))``.
+    """
+
+    def __init__(self, num_perm: int = 16, shingle_k: int = 3) -> None:
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        doc_ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids: list[int] = []
+        sigs: list[list[str]] = []
+        for did, text in zip(doc_ids, texts):
+            sh = _shingles(text or "", self.shingle_k)
+            if not sh:
+                continue
+            sig = [
+                min(_md5(f"{i}|{s}") for s in sh) for i in range(self.num_perm)
+            ]
+            out_ids.append(did)
+            sigs.append(sig)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_ids, b.schema.field("doc_id").type),
+             "signature": pa.array(sigs, pa.list_(pa.string()))}
+        )
+
+
+def minhash_signatures(
+    docs: ray.data.Dataset, num_perm: int = 16, shingle_k: int = 3,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    return docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_group: int = 0,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs: docs agreeing on all rows of ≥1 LSH band.
+
+    bucket key = md5(band_index | band signature slice); pairs are emitted
+    within buckets only and deduped by a second groupby on (a, b) — at no
+    point does the corpus cross-join.  ``max_group`` > 0 drops buckets
+    larger than the cap (hot-bucket guard for web scale).
+    Returns distinct ``(a, b)`` with ``a < b``.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm=num_perm, shingle_k=shingle_k)
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        doc_ids = b.column("doc_id").to_pylist()
+        signatures = b.column("signature").to_pylist()
+        out_doc, out_bucket = [], []
+        for did, sig in zip(doc_ids, signatures):
+            for band in range(bands):
+                key = _md5(f"{band}|" + "|".join(sig[band * rows : (band + 1) * rows]))
+                out_doc.append(did)
+                out_bucket.append(key)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_doc, b.schema.field("doc_id").type),
+             "bucket": pa.array(out_bucket, pa.string())}
+        )
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        typ = group.schema.field("doc_id").type
+        if len(ids) < 2 or (max_group and len(ids) > max_group):
+            return pa.Table.from_pydict(
+                {"a": pa.array([], typ), "b": pa.array([], typ)}
+            )
+        a, bb = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j]:
+                    a.append(ids[i])
+                    bb.append(ids[j])
+        return pa.Table.from_pydict({"a": pa.array(a, typ), "b": pa.array(bb, typ)})
+
+    pairs = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+    # distinct (a, b): same pair can surface from several bands
+    return pairs.groupby(["a", "b"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_bands")
+    ).select_columns(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar 2002 / Manku et al. 2007)
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor-pool stage: doc → ``bits``-bit simhash fingerprint.
+
+    Per-token hash = first bits/4 hex chars of md5(token) as an integer
+    (SQL: ``('0x' || substr(md5(w), 1, bits/4))::BIGINT``).  Each bit gets a
+    +count/-count vote from every token occurrence; fingerprint bit b is set
+    iff the vote sum is > 0.  The token→hash cache is actor state — built
+    once, shared across all batches this actor sees.
+    """
+
+    def __init__(self, bits: int = 16) -> None:
+        assert bits % 4 == 0 and bits <= 60
+        self.bits = bits
+        self._cache: dict[str, int] = {}
+
+    def _token_hash(self, w: str) -> int:
+        h = self._cache.get(w)
+        if h is None:
+            h = int(_md5(w)[: self.bits // 4], 16)
+            self._cache[w] = h
+        return h
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        doc_ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        bit_idx = np.arange(self.bits, dtype=np.int64)
+        out_ids, fps = [], []
+        for did, text in zip(doc_ids, texts):
+            toks = _tokens(text or "")
+            if not toks:
+                continue
+            counts: dict[str, int] = {}
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+            votes = np.zeros(self.bits, dtype=np.int64)
+            for w, c in counts.items():
+                h = self._token_hash(w)
+                bits = (h >> bit_idx) & 1
+                votes += np.where(bits == 1, c, -c)
+            fp = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+            out_ids.append(did)
+            fps.append(fp)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_ids, b.schema.field("doc_id").type),
+             "simhash": pa.array(fps, pa.int64())}
+        )
+
+
+def simhash_fingerprints(
+    docs: ray.data.Dataset, bits: int = 16,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    return docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"bits": bits},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_group: int = 0,
+) -> ray.data.Dataset:
+    """Exact Jaccard over k-word shingle sets, without a corpus cross join.
+
+    inverted index (shingle → docs) → within-shingle pairs (each carrying
+    both set sizes) → groupby(a, b) count common → jaccard = c/(na+nb-c).
+    Shuffle keys are shingle hashes then (a, b) pairs — both uniform.
+    ``max_group`` drops stop-shingles (groups larger than the cap).
+    Returns ``(a, b, jaccard)`` with a < b and jaccard ≥ threshold.
+    """
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_doc, out_sh, out_n = [], [], []
+        for did, text in zip(doc_ids, texts):
+            sh = _shingles(text or "", shingle_k)
+            for s in sh:
+                out_doc.append(did)
+                out_sh.append(_md5(s))
+                out_n.append(len(sh))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_doc, b.schema.field("doc_id").type),
+             "shingle": pa.array(out_sh, pa.string()),
+             "n_shingles": pa.array(out_n, pa.int64())}
+        )
+
+    index = docs.map_batches(explode, batch_format="pyarrow")
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        typ = group.schema.field("doc_id").type
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(),
+                group.column("n_shingles").to_pylist())
+        )
+        empty = pa.Table.from_pydict(
+            {"a": pa.array([], typ), "b": pa.array([], typ),
+             "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+        )
+        if len(rows) < 2 or (max_group and len(rows) > max_group):
+            return empty
+        a, bb, na, nb = [], [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a.append(rows[i][0]); bb.append(rows[j][0])
+                na.append(rows[i][1]); nb.append(rows[j][1])
+        return pa.Table.from_pydict(
+            {"a": pa.array(a, typ), "b": pa.array(bb, typ),
+             "na": pa.array(na, pa.int64()), "nb": pa.array(nb, pa.int64())}
+        )
+
+    pairs = index.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
+    agg = pairs.groupby(["a", "b"]).aggregate(
+        ray.data.aggregate.Count(alias_name="common"),
+        ray.data.aggregate.Max("na", alias_name="na"),
+        ray.data.aggregate.Max("nb", alias_name="nb"),
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        common = b.column("common").to_numpy().astype(np.float64)
+        na = b.column("na").to_numpy().astype(np.float64)
+        nb = b.column("nb").to_numpy().astype(np.float64)
+        jac = common / (na + nb - common)
+        out = b.select(["a", "b"]).append_column(
+            "jaccard", pa.array(jac, pa.float64())
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup via sign-bit LSH
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    sign_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_group: int = 0,
+) -> ray.data.Dataset:
+    """Near-dup vector pairs: bucket by the sign pattern of the first
+    ``sign_bits`` dimensions (a deterministic hyperplane-LSH whose planes
+    are the coordinate axes — SQL-replicable), then exact float64 cosine
+    within each bucket.  Two near-identical vectors agree on every sign, so
+    recall at thresholds near 1.0 is high; lower-threshold recall comes from
+    raising ``sign_bits`` granularity or unioning rotated sign maps.
+    Returns ``(a, b, cos_sim)`` with a < b, cos_sim ≥ threshold.
+    """
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        vecs = b.column(vec_col).to_pylist()
+        out_b = []
+        for v in vecs:
+            bucket = 0
+            for i in range(sign_bits):
+                if v[i] > 0:
+                    bucket |= 1 << i
+            out_b.append(bucket)
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids, b.schema.field(id_col).type),
+             "bucket": pa.array(out_b, pa.int64()),
+             "vec": pa.array(vecs, pa.list_(pa.float64()))}
+        )
+
+    buckets = embeddings.map_batches(to_buckets, batch_format="pyarrow")
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        typ = group.schema.field("vec_id").type
+        empty = pa.Table.from_pydict(
+            {"a": pa.array([], typ), "b": pa.array([], typ),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        n = len(group)
+        if n < 2 or (max_group and n > max_group):
+            return empty
+        order = np.argsort(group.column("vec_id").to_numpy())
+        ids = group.column("vec_id").to_numpy()[order]
+        mat = np.asarray(group.column("vec").to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        # round to 6 dp before thresholding/emitting: the oracle recomputes
+        # cosine with a different summation order (last-ulp differences);
+        # both sides compare and emit the rounded value.
+        sims = np.round(unit @ unit.T, 6)
+        ai, bi = np.triu_indices(n, k=1)
+        keep = sims[ai, bi] >= threshold
+        return pa.Table.from_pydict(
+            {"a": pa.array(ids[ai[keep]], typ),
+             "b": pa.array(ids[bi[keep]], typ),
+             "cos_sim": pa.array(sims[ai[keep], bi[keep]], pa.float64())}
+        )
+
+    return buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+The reference's vector path is a point-lookup ANN against an external store
+(SURVEY.md §2.4 J7, reference storage/chromem.go:49-95, milvus.go:65-180);
+here search is a dataflow over the ``embeddings`` table itself:
+
+- ``ann_topk``      — brute-force cosine top-k: the (small) query matrix is
+  broadcast once via ``ray.put`` and every batch does one float64 matmul
+  against it; each batch emits only its local top-k per query (partial
+  top-k), and a final tiny ``groupby(query_id)`` merge produces the global
+  ranks.  Shuffled volume is O(queries × k × num_blocks), never O(N).
+- ``ann_topk_lsh``  — the scale path: candidates restricted to the query's
+  sign-bit LSH bucket (deterministic coordinate hyperplanes, same scheme as
+  ``dedup.embedding_dup_pairs``), so each query scans ~N/2^bits vectors.
+
+Cosines are computed in float64 and rounded to 6 dp before ranking so the
+DuckDB oracle (which recomputes them with a different summation order,
+agreeing to ~4e-16) ranks identically; ties break on ascending neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+ROUND_DP = 6
+
+
+def _as_matrix(vec_chunked: pa.ChunkedArray) -> np.ndarray:
+    return np.asarray(vec_chunked.to_pylist(), dtype=np.float64)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def load_query_matrix(
+    embeddings: ray.data.Dataset, n_queries: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the (small) query side: vectors with id < n_queries.
+
+    Returns (query_ids, unit query matrix).  This is the one place the
+    pipeline materializes anything — a deliberately small side that is then
+    broadcast via ``ray.put`` and read zero-copy by every task.
+    """
+    rows = (
+        embeddings.filter(expr=f"{id_col} < {n_queries}")
+        .select_columns([id_col, vec_col])
+        .take_all()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    qmat = _unit(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+    return qids, qmat
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Global cosine top-k per query (self-match excluded).
+
+    Returns (query_id, rank 1..k, neighbor_id, cos_sim) ordered within each
+    query by (cos_sim desc, neighbor_id asc).
+    """
+    qids, qmat = load_query_matrix(embeddings, n_queries, id_col, vec_col)
+    q_ref = ray.put((qids, qmat))
+
+    class PartialTopK:
+        """Per-batch local top-k against the broadcast query matrix."""
+
+        def __init__(self) -> None:
+            self.qids, self.qmat = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy()
+            unit = _unit(_as_matrix(b.column(vec_col)))
+            sims = np.round(unit @ self.qmat.T, ROUND_DP)  # (batch, Q)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    # local prune: top-k by (sim desc, id asc)
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    cand_ids, cand_sims = cand_ids[order], cand_sims[order]
+                out_q.extend([qid] * len(cand_ids))
+                out_n.extend(cand_ids.tolist())
+                out_s.extend(cand_sims.tolist())
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 "neighbor_id": pa.array(out_n, pa.int64()),
+                 "cos_sim": pa.array(out_s, pa.float64())}
+            )
+
+    partial = embeddings.map_batches(
+        PartialTopK, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return _final_topk(partial, k)
+
+
+def bucket_of(vec, sign_bits: int) -> int:
+    b = 0
+    for i in range(sign_bits):
+        if vec[i] > 0:
+            b |= 1 << i
+    return b
+
+
+def ann_topk_lsh(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 8,
+    k: int = 5,
+    sign_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k: candidates limited to the query's sign-LSH bucket.
+
+    Same output schema as ``ann_topk``; each query only ever scores vectors
+    whose first ``sign_bits`` coordinate signs match its own — the scan per
+    query drops ~2^sign_bits-fold, the trade being recall for neighbors
+    across a hyperplane.
+    """
+    qids, qmat = load_query_matrix(embeddings, n_queries, id_col, vec_col)
+    qbuckets = np.array([bucket_of(q, sign_bits) for q in qmat], dtype=np.int64)
+    q_ref = ray.put((qids, qmat, qbuckets))
+
+    class BucketTopK:
+        def __init__(self) -> None:
+            self.qids, self.qmat, self.qbuckets = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy()
+            mat = _as_matrix(b.column(vec_col))
+            unit = _unit(mat)
+            buckets = np.array(
+                [bucket_of(v, sign_bits) for v in mat], dtype=np.int64
+            )
+            sims = np.round(unit @ self.qmat.T, ROUND_DP)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = (buckets == self.qbuckets[qi]) & (ids != qid)
+                cand_ids, cand_sims = ids[mask], sims[mask, qi]
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    cand_ids, cand_sims = cand_ids[order], cand_sims[order]
+                out_q.extend([qid] * len(cand_ids))
+                out_n.extend(cand_ids.tolist())
+                out_s.extend(cand_sims.tolist())
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 "neighbor_id": pa.array(out_n, pa.int64()),
+                 "cos_sim": pa.array(out_s, pa.float64())}
+            )
+
+    partial = embeddings.map_batches(
+        BucketTopK, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return _final_topk(partial, k)
+
+
+def _final_topk(partial: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Merge per-batch partial top-k lists into global ranks 1..k."""
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nids = group.column("neighbor_id").to_numpy()
+        sims = group.column("cos_sim").to_numpy()
+        order = np.lexsort((nids, -sims))[:k]
+        n = len(order)
+        return pa.Table.from_pydict(
+            {"query_id": pa.array([qid] * n, pa.int64()),
+             "rank": pa.array(np.arange(1, n + 1), pa.int32()),
+             "neighbor_id": pa.array(nids[order], pa.int64()),
+             "cos_sim": pa.array(sims[order], pa.float64())}
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")

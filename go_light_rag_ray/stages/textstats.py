@@ -1,0 +1,161 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+The reference carries only a token counter (CountTokens,
+reference internal/helper.go:60-72) used for chunk budgeting; a web-scale
+training-data pipeline also filters on quality / language and fingerprints
+documents for provenance.  Everything here is a stateless
+``map_batches(batch_format="pyarrow")`` stage — narrow, no shuffle — and
+every arithmetic step is integer-derived IEEE math so the DuckDB oracle
+reproduces values exactly.
+
+Scale notes: these are the cheapest stages in the pipeline (pure per-row
+string ops); they fuse with the read and never materialize anything.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import ray.data
+
+# BPE-ish pre-tokenization: word runs vs single non-word-non-space chars
+# (the shape of the GPT/Qwen pre-tokenizer regex, reference
+# llm/bpetokenizer.go:137-151, without unicode categories so RE2 (DuckDB)
+# and python `re` agree byte-for-byte).
+BPE_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+# deterministic marker-word lists for the n-gram/stopword language
+# heuristic; score(lang) = marker hits / tokens, winner = max score with
+# lexicographic tie-break (ascending lang code).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "de": ("small", "slow", "big"),
+    "es": ("join", "merge", "sort"),
+    "fr": ("row", "column", "line"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+FINGERPRINT_SHINGLE_K = 4
+
+
+def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_bpe_tokens, n_chars) per document."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(
+                    [len((t or "").split()) for t in texts], pa.int64()
+                ),
+                "n_bpe_tokens": pa.array(
+                    [len(_BPE_RE.findall(t or "")) for t in texts], pa.int64()
+                ),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Heuristic quality features + combined score.
+
+    distinct_ratio = distinct/total tokens, stopword_ratio, mean_word_len —
+    all ratios of integers, so the oracle matches bit-for-bit.
+    quality = distinct_ratio * (1 - stopword_ratio).
+    """
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        dr, sr, mwl, q = [], [], [], []
+        for t in texts:
+            toks = (t or "").split()
+            n = len(toks)
+            if n == 0:
+                dr.append(0.0); sr.append(0.0); mwl.append(0.0); q.append(0.0)
+                continue
+            distinct_ratio = len(set(toks)) / n
+            stop_ratio = sum(1 for w in toks if w in STOPWORDS) / n
+            dr.append(distinct_ratio)
+            sr.append(stop_ratio)
+            mwl.append(sum(len(w) for w in toks) / n)
+            q.append(distinct_ratio * (1 - stop_ratio))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "distinct_ratio": pa.array(dr, pa.float64()),
+                "stopword_ratio": pa.array(sr, pa.float64()),
+                "mean_word_len": pa.array(mwl, pa.float64()),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Marker-word language heuristic.
+
+    (doc_id, lang_pred, lang_score); winner = highest hits/total with
+    ascending-code tie-break (so empty docs deterministically get 'de',
+    the first code alphabetically).
+    """
+    markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+
+    def lid(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            toks = (t or "").split()
+            n = len(toks) or 1
+            best_lang, best_score = None, -1.0
+            for lang in sorted(markers):
+                s = sum(1 for w in toks if w in markers[lang]) / n
+                if s > best_score:
+                    best_lang, best_score = lang, s
+            langs.append(best_lang)
+            scores.append(best_score)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(lid, batch_format="pyarrow")
+
+
+def fingerprints(docs: ray.data.Dataset, shingle_k: int = FINGERPRINT_SHINGLE_K) -> ray.data.Dataset:
+    """Winnowing-style document fingerprint: min md5 over k-word shingles
+    (rolling window; the min-of-window-hashes scheme of Schleimer et al.
+    2003 with a single global window).  (doc_id, fingerprint)."""
+
+    def fp(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if not toks:
+                out.append(hashlib.md5(b"").hexdigest())
+                continue
+            if len(toks) < shingle_k:
+                windows = [" ".join(toks)]
+            else:
+                windows = [
+                    " ".join(toks[i : i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)
+                ]
+            out.append(min(hashlib.md5(w.encode()).hexdigest() for w in windows))
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"), "fingerprint": pa.array(out, pa.string())}
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")

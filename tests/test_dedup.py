@@ -1,0 +1,114 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from go_light_rag_ray.stages.dedup import (
+    SimHasher,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",        # 0
+    "the quick brown fox jumps over the lazy dog",        # 1: exact dup of 0
+    "the quick brown fox jumps over the sleepy dog",      # 2: near dup of 0
+    "completely different words entirely here now folks", # 3
+    "pack my box with five dozen liquor jugs today",      # 4
+]
+
+
+def _docs():
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS})
+    )
+
+
+def test_exact_dedup_groups():
+    rows = exact_dedup(_docs()).take_all()
+    by_hash = {r["text_hash"]: r for r in rows}
+    assert len(rows) == 4  # 0 and 1 collapse
+    dup = by_hash[hashlib.md5(TEXTS[0].encode()).hexdigest()]
+    assert dup["canonical_doc_id"] == 0
+    assert dup["dup_count"] == 2
+    assert all(r["dup_count"] == 1 for r in rows if r is not dup)
+
+
+def test_minhash_signature_deterministic():
+    rows = minhash_signatures(_docs(), num_perm=8, concurrency=1).take_all()
+    by_id = {r["doc_id"]: list(r["signature"]) for r in rows}
+    assert by_id[0] == by_id[1]            # exact dups → identical sigs
+    assert by_id[0] != by_id[3]
+    assert all(len(s) == 8 for s in by_id.values())
+    # a permutation value is the min md5 over shingles with that seed
+    toks = TEXTS[3].split()
+    shingles = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    expect = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shingles)
+    assert by_id[3][0] == expect
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(_docs(), num_perm=16, bands=8).take_all()}
+    assert (0, 1) in pairs           # exact dup always collides
+    assert (0, 2) in pairs           # near dup shares most shingles
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_properties():
+    rows = simhash_fingerprints(_docs(), bits=16, concurrency=1).take_all()
+    by_id = {r["doc_id"]: r["simhash"] for r in rows}
+    assert by_id[0] == by_id[1]
+    assert 0 <= by_id[0] < 2 ** 16
+    ham_near = bin(by_id[0] ^ by_id[2]).count("1")
+    ham_far = bin(by_id[0] ^ by_id[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_cache_is_actor_state():
+    sh = SimHasher(bits=16)
+    sh(pa.table({"doc_id": [0], "text": ["alpha beta"]}))
+    assert set(sh._cache) == {"alpha", "beta"}
+    sh(pa.table({"doc_id": [1], "text": ["beta gamma"]}))
+    assert set(sh._cache) == {"alpha", "beta", "gamma"}
+
+
+def test_ngram_jaccard_exact_values():
+    rows = ngram_jaccard_pairs(_docs(), shingle_k=3, threshold=0.3).take_all()
+    by_pair = {(r["a"], r["b"]): r["jaccard"] for r in rows}
+    assert by_pair[(0, 1)] == 1.0
+    # doc0 vs doc2: 9 words → 7 shingles each; word 8 differs ("lazy" vs
+    # "sleepy"), touching the last 2 shingles → 5 common of 9 union
+    assert by_pair[(0, 2)] == pytest.approx(5 / 9)
+    assert (0, 3) not in by_pair
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    # keep the bucketed dims comfortably away from 0 so the tiny noise on
+    # the near-dup cannot flip a sign bit (the documented recall caveat)
+    base[:8] += np.sign(base[:8]) * 0.5
+    vecs = [
+        base,                                  # 0
+        base + rng.normal(scale=1e-3, size=16),  # 1: near-dup of 0
+        rng.normal(size=16),                   # 2
+        -base,                                 # 3: opposite bucket & sim
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    rows = embedding_dup_pairs(ds, threshold=0.99, sign_bits=8).take_all()
+    pairs = {(r["a"], r["b"]): r["cos_sim"] for r in rows}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 0.99

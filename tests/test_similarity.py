@@ -1,0 +1,65 @@
+"""Similarity search: brute-force cosine top-k + sign-LSH variant."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from go_light_rag_ray.stages.similarity import ann_topk, ann_topk_lsh, bucket_of
+
+
+def _embeddings(n=40, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    mat[1] = mat[0] + rng.normal(scale=1e-3, size=dim)  # planted neighbor
+    return ray.data.from_arrow(pa.table({
+        "vec_id": list(range(n)),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    })), mat
+
+
+def _brute_topk(mat, qid, k):
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(unit @ unit[qid], 6)
+    ids = np.arange(len(mat))
+    mask = ids != qid
+    order = np.lexsort((ids[mask], -sims[mask]))[:k]
+    return ids[mask][order].tolist()
+
+
+def test_ann_topk_matches_numpy_reference():
+    ds, mat = _embeddings()
+    rows = ann_topk(ds, n_queries=3, k=5).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert [r["neighbor_id"] for r in rs] == _brute_topk(mat, qid, 5)
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # planted near-dup is rank 1 both ways
+    assert by_q[0][0]["neighbor_id"] == 1
+    assert by_q[1][0]["neighbor_id"] == 0
+
+
+def test_ann_topk_partial_merge_across_blocks():
+    ds, mat = _embeddings(n=60)
+    ds = ds.repartition(6)  # force multi-block partial top-k merge
+    rows = ann_topk(ds, n_queries=1, k=4).take_all()
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == _brute_topk(mat, 0, 4)
+
+
+def test_ann_topk_lsh_subset_of_bucket():
+    ds, mat = _embeddings()
+    rows = ann_topk_lsh(ds, n_queries=2, k=5, sign_bits=2).take_all()
+    for r in rows:
+        q = mat[r["query_id"]]
+        n = mat[r["neighbor_id"]]
+        assert bucket_of(q / np.linalg.norm(q), 2) == bucket_of(n, 2)
+    # near-identical vectors share every sign → still found
+    assert any(r["query_id"] == 0 and r["neighbor_id"] == 1 and r["rank"] == 1
+               for r in rows)
