@@ -271,6 +271,47 @@ def q_kg_degrees(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# retrieval path (reference Query, query.go:92-190): local/global context
+# assembly over the canonical graph with fixed keyword sets
+# ---------------------------------------------------------------------------
+
+def q_ctx_local_entities(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.pipelines.query import DEFAULT_LOW_LEVEL, local_entities
+
+    return local_entities(_graph(sf_dir), list(DEFAULT_LOW_LEVEL))
+
+
+def q_ctx_local_relationships(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.pipelines.query import (
+        DEFAULT_LOW_LEVEL,
+        local_relationships,
+    )
+
+    return local_relationships(_graph(sf_dir), list(DEFAULT_LOW_LEVEL))
+
+
+def q_ctx_local_sources(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.pipelines.query import DEFAULT_LOW_LEVEL, local_sources
+
+    return local_sources(_graph(sf_dir), list(DEFAULT_LOW_LEVEL))
+
+
+def q_ctx_global_edges(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.pipelines.query import DEFAULT_HIGH_LEVEL, global_edges
+
+    return global_edges(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
+
+
+def q_ctx_global_entities(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.pipelines.query import (
+        DEFAULT_HIGH_LEVEL,
+        global_entities,
+    )
+
+    return global_entities(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
+
+
 def entry() -> Any:
     """Flagship: sf0.001 documents → interleaved spans shape → KG."""
     docs = table_io.read_documents("/root/testdata/sf0.001/documents.parquet")
@@ -734,6 +775,83 @@ FROM all_nodes n
 """
 
 
+# ---------------------------------------------------------------------------
+# oracle SQL for the retrieval path — built over the same graph the
+# kg_nodes/kg_edges oracles define (nested CTEs on the shared prelude)
+# ---------------------------------------------------------------------------
+
+_LOW_KW_SQL = "('SPARK','CUSTOMER','VECTOR')"
+_HIGH_KW_LIST = "['NEAR']"
+
+_CTX_BASE = f"""
+WITH nodes AS ({_NODES_SQL}),
+edges AS ({_EDGES_SQL}),
+deg AS (
+  SELECT entity_id, count(*) AS degree FROM (
+    SELECT src AS entity_id FROM edges UNION ALL SELECT tgt FROM edges
+  ) GROUP BY entity_id
+)
+"""
+
+_CTX_LOCAL_ENTITIES_SQL = _CTX_BASE + f"""
+, sel AS (
+  SELECT n.entity_id, n.entity_type, n.mention_count,
+         coalesce(d.degree, 0) AS degree
+  FROM nodes n LEFT JOIN deg d USING (entity_id)
+  WHERE n.entity_id IN {_LOW_KW_SQL}
+)
+SELECT row_number() OVER (ORDER BY degree DESC, entity_id ASC)::INTEGER AS rank,
+       entity_id, entity_type, degree, mention_count
+FROM sel
+"""
+
+_CTX_LOCAL_RELATIONSHIPS_SQL = _CTX_BASE + f"""
+SELECT row_number() OVER (ORDER BY weight DESC, src ASC, tgt ASC)::INTEGER AS rank,
+       src, tgt, weight, mention_count
+FROM edges
+WHERE src IN {_LOW_KW_SQL} OR tgt IN {_LOW_KW_SQL}
+"""
+
+_CTX_LOCAL_SOURCES_SQL = _CTX_BASE + f"""
+, refs AS (
+  SELECT unnest(string_split(source_ids, '<SEP>')) AS source_id
+  FROM nodes WHERE entity_id IN {_LOW_KW_SQL}
+),
+counts AS (
+  SELECT source_id, count(*) AS ref_count FROM refs GROUP BY source_id
+)
+SELECT row_number() OVER (ORDER BY ref_count DESC, source_id ASC)::INTEGER AS rank,
+       source_id, ref_count
+FROM counts
+"""
+
+_CTX_GLOBAL_EDGES_SQL = _CTX_BASE + f"""
+SELECT row_number() OVER (ORDER BY weight DESC, src ASC, tgt ASC)::INTEGER AS rank,
+       src, tgt, weight, mention_count
+FROM edges
+WHERE len(list_intersect(string_split(keywords, '<SEP>'), {_HIGH_KW_LIST})) > 0
+"""
+
+_CTX_GLOBAL_ENTITIES_SQL = _CTX_BASE + f"""
+, matched AS (
+  SELECT * FROM edges
+  WHERE len(list_intersect(string_split(keywords, '<SEP>'), {_HIGH_KW_LIST})) > 0
+),
+eps AS (
+  SELECT entity_id, count(*) AS edge_hits FROM (
+    SELECT src AS entity_id FROM matched UNION ALL SELECT tgt FROM matched
+  ) GROUP BY entity_id
+),
+sel AS (
+  SELECT e.entity_id, coalesce(d.degree, 0) AS degree, e.edge_hits
+  FROM eps e LEFT JOIN deg d USING (entity_id)
+)
+SELECT row_number() OVER (ORDER BY degree DESC, entity_id ASC)::INTEGER AS rank,
+       entity_id, degree, edge_hits
+FROM sel
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -754,6 +872,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "media_features": q_media_features,
+        "ctx_local_entities": q_ctx_local_entities,
+        "ctx_local_relationships": q_ctx_local_relationships,
+        "ctx_local_sources": q_ctx_local_sources,
+        "ctx_global_edges": q_ctx_global_edges,
+        "ctx_global_entities": q_ctx_global_entities,
     }
 
 
@@ -777,4 +900,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
+        "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,
+        "ctx_local_sources": _CTX_LOCAL_SOURCES_SQL,
+        "ctx_global_edges": _CTX_GLOBAL_EDGES_SQL,
+        "ctx_global_entities": _CTX_GLOBAL_ENTITIES_SQL,
     }

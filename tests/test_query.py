@@ -1,0 +1,106 @@
+"""Retrieval path: keyword extraction, context assembly, ranking, CSV."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from go_light_rag_ray.pipelines.query import (
+    degrees,
+    global_edges,
+    global_entities,
+    keyword_extract,
+    local_entities,
+    local_relationships,
+    local_sources,
+    query_context,
+    render_csv_section,
+    render_query_result,
+)
+from go_light_rag_ray.stages.canonicalize import GRAPH_SCHEMA
+
+
+def _node(eid, etype, mentions, sids):
+    return {"kind": "node", "entity_id": eid, "entity_type": etype,
+            "src": "", "tgt": "", "weight": 0.0, "descriptions": [],
+            "keywords": [], "source_ids": sids, "mention_count": mentions}
+
+
+def _edge(src, tgt, weight, kws, sids):
+    return {"kind": "edge", "entity_id": "", "entity_type": "",
+            "src": src, "tgt": tgt, "weight": weight, "descriptions": [],
+            "keywords": kws, "source_ids": sids, "mention_count": 1}
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    rows = [
+        _node("SPARK", "SYSTEM", 5, ["c0", "c1"]),
+        _node("CUSTOMER", "ACTOR", 3, ["c1"]),
+        _node("VECTOR", "DATA", 2, ["c2"]),
+        _node("LONELY", "DATA", 1, ["c3"]),
+        _edge("SPARK", "CUSTOMER", 3.0, ["CO_OCCURS"], ["c0"]),
+        _edge("SPARK", "VECTOR", 1.5, ["NEAR"], ["c1"]),
+        _edge("CUSTOMER", "VECTOR", 2.0, ["CO_OCCURS", "NEAR"], ["c2"]),
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=GRAPH_SCHEMA)
+    return ray.data.from_arrow(tbl)
+
+
+def test_keyword_extract_rule():
+    high, low = keyword_extract("how does spark merge the customer stream")
+    assert low == ["SPARK", "CUSTOMER", "STREAM"]  # gazetteer words in order
+    assert high == ["MERGE"]                        # rel-vocab-only word
+
+
+def test_degrees(graph):
+    d = {r["entity_id"]: r["degree"] for r in degrees(graph).take_all()}
+    assert d == {"SPARK": 2, "CUSTOMER": 2, "VECTOR": 2, "LONELY": 0}
+
+
+def test_local_entities_ranked(graph):
+    rows = local_entities(graph, ["SPARK", "LONELY"]).take_all()
+    rows.sort(key=lambda r: r["rank"])
+    assert [(r["rank"], r["entity_id"], r["degree"]) for r in rows] == [
+        (1, "SPARK", 2), (2, "LONELY", 0)]
+
+
+def test_local_relationships_ranked(graph):
+    rows = local_relationships(graph, ["SPARK"]).take_all()
+    rows.sort(key=lambda r: r["rank"])
+    assert [(r["src"], r["tgt"]) for r in rows] == [
+        ("SPARK", "CUSTOMER"), ("SPARK", "VECTOR")]  # weight 3.0 then 1.5
+
+
+def test_local_sources_refcount(graph):
+    rows = local_sources(graph, ["SPARK", "CUSTOMER"]).take_all()
+    rows.sort(key=lambda r: r["rank"])
+    # c1 referenced by both SPARK and CUSTOMER → refcount 2, rank 1
+    assert (rows[0]["source_id"], rows[0]["ref_count"]) == ("c1", 2)
+    assert {r["source_id"] for r in rows} == {"c0", "c1"}
+
+
+def test_global_edges_and_entities(graph):
+    e = global_edges(graph, ["NEAR"]).take_all()
+    e.sort(key=lambda r: r["rank"])
+    assert [(r["src"], r["tgt"]) for r in e] == [
+        ("CUSTOMER", "VECTOR"), ("SPARK", "VECTOR")]  # weight 2.0 then 1.5
+    g = global_entities(graph, ["NEAR"]).take_all()
+    assert {r["entity_id"] for r in g} == {"SPARK", "CUSTOMER", "VECTOR"}
+    ranks = {r["entity_id"]: r["rank"] for r in g}
+    assert ranks["CUSTOMER"] < ranks["SPARK"] < ranks["VECTOR"]  # deg tie → id asc
+
+
+def test_query_context_end_to_end(graph):
+    ctx = query_context(graph, "spark near the vector table")
+    assert set(ctx) == {"local_entities", "local_relationships",
+                       "local_sources", "global_edges", "global_entities"}
+    text = render_query_result(ctx)
+    assert "-----Local Entities-----" in text
+    assert '"SPARK"' in text
+
+
+def test_csv_quoting():
+    tbl = pa.table({"name": ['he said "hi"'], "v": [1]})
+    out = render_csv_section("T", tbl)
+    assert r'"he said \"hi\""' in out
+    assert out.splitlines()[0] == "-----T-----"
