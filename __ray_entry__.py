@@ -312,6 +312,43 @@ def q_ctx_global_entities(sf_dir: str) -> ray.data.Dataset:
     return global_entities(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
 
 
+def q_chunks_by_handler(sf_dir: str) -> ray.data.Dataset:
+    """Mixed-corpus chunking with per-row handler dispatch (reference S3
+    router + markdown/code handlers).  doc_kind derived deterministically
+    from doc_id.  Rows-only check (chunker internals are not SQL)."""
+    from go_light_rag_ray.stages.chunker import ChunkerConfig
+    from go_light_rag_ray.stages.handlers import HandlerChunker
+
+    kinds = pa.array(["default", "markdown", "code"], pa.string())
+
+    def add_kind(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pa.array(
+            b.column("doc_id").combine_chunks().to_numpy() % 3, pa.int64()
+        )
+        return b.append_column("doc_kind", pc.take(kinds, idx))
+
+    docs = _raw_docs(sf_dir).map_batches(add_kind, batch_format="pyarrow")
+    cfg = ChunkerConfig(max_tokens=32, overlap_tokens=4, tokenizer="regex",
+                        content_mode="text", doc_id_format="doc-{:09d}")
+    return docs.map_batches(
+        HandlerChunker,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def q_chunk_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Chunk → embedding-encoder actor pool (reference T5/S8).  Rows-only
+    check (hash-projection vectors are not SQL)."""
+    from go_light_rag_ray.stages.encode import encode_chunks
+
+    chunks = chunk_documents(_docs(sf_dir), _oracle_handler())
+    return encode_chunks(chunks.select_columns(["chunk_id", "content"]), dims=32)
+
+
 def entry() -> Any:
     """Flagship: sf0.001 documents → interleaved spans shape → KG."""
     docs = table_io.read_documents("/root/testdata/sf0.001/documents.parquet")
@@ -877,6 +914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctx_local_sources": q_ctx_local_sources,
         "ctx_global_edges": q_ctx_global_edges,
         "ctx_global_entities": q_ctx_global_entities,
+        "chunks_by_handler": q_chunks_by_handler,
+        "chunk_embeddings": q_chunk_embeddings,
     }
 
 

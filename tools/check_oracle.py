@@ -55,10 +55,12 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        got = canon(to_pandas(fn(sf_dir)))
         if name not in oracles:
-            print(f"{name:24s} rows={len(got)} (no oracle: rows-only)")
+            # rows-only check: no value canon (list columns don't sort)
+            n = len(to_pandas(fn(sf_dir)))
+            print(f"{name:24s} rows={n} (no oracle: rows-only)")
             continue
+        got = canon(to_pandas(fn(sf_dir)))
         want = canon(con.execute(oracles[name]).fetchdf())
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
