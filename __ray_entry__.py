@@ -58,13 +58,25 @@ def _oracle_handler() -> Handler:
         rules="word_cooccurrence",
         glean_count=1,
         max_summaries_token_length=0,   # summarizer off for exact SQL parity
+        merge_cap=0,                    # exact accumulation (no first-K cap)
         content_mode="text",
         doc_id_format="doc-{:09d}",     # zero-padded: string order == numeric
     )
 
 
+# The canonical graph is the shared base of 9 queries (kg_* + ctx_*); build
+# it once per sf_dir and keep the (small — it IS the reduced output) result
+# materialized in the object store.  First query pays the build, the rest
+# reuse — the realistic "index once, query many" shape.
+_GRAPH_CACHE: dict[str, ray.data.Dataset] = {}
+
+
 def _graph(sf_dir: str) -> ray.data.Dataset:
-    return kg_pipeline(_docs(sf_dir), _oracle_handler())
+    ds = _GRAPH_CACHE.get(sf_dir)
+    if ds is None:
+        ds = kg_pipeline(_docs(sf_dir), _oracle_handler()).materialize()
+        _GRAPH_CACHE[sf_dir] = ds
+    return ds
 
 
 def _join_sep(tbl: pa.Table, cols: list[str]) -> pa.Table:

@@ -70,9 +70,42 @@ def _pipelines(sf_dir: str) -> dict:
                           content_mode="spans")
         return kg_pipeline(docs, handler)
 
+    def kg_scale():
+        # scaling-run variant: the same input replicated REP× with distinct
+        # doc ids, so per-CPU compute dominates fixed pipeline overhead and
+        # the 8-vs-32-CPU comparison measures the engine, not Ray startup.
+        import pyarrow as pa
+
+        from go_light_rag_ray.pipelines.kg import Handler, kg_pipeline
+        from go_light_rag_ray.sources import io as table_io
+
+        rep = int(os.environ.get("GRAFT_SCALE_REP", "40"))
+
+        def replicate(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            out_i, out_t = [], []
+            for r in range(rep):
+                out_i.extend(f"{i}r{r}" for i in ids)
+                out_t.extend(texts)
+            return pa.table({"doc_id": out_i, "text": out_t})
+
+        docs = table_io.read_documents(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(replicate, batch_format="pyarrow")
+        docs = docs.map_batches(
+            table_io.flat_documents_as_interleaved, batch_format="pyarrow"
+        )
+        handler = Handler(tokenizer="regex", rules="word_cooccurrence",
+                          content_mode="spans")
+        return kg_pipeline(docs, handler)
+
     out = {"kg_full": kg_full}
     for name, fn in e.queries().items():
         out[name] = (lambda f=fn: f(sf_dir))
+    # scaling-only pipeline: selected via --single kg_scale, never part of
+    # the default sweep (it processes REP× the input)
+    out["__kg_scale__"] = kg_scale
     return out
 
 
@@ -85,6 +118,8 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     pipes = _pipelines(sf_dir)
     if only:
         pipes = {only: pipes[only]}
+    else:
+        pipes = {k: v for k, v in pipes.items() if not k.startswith("__")}
     timings, rows = {}, {}
     for name, fn in pipes.items():
         t0 = time.perf_counter()
@@ -119,30 +154,39 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same flagship job at 8 and 32 CPUs in fresh processes."""
+    """Same flagship job at 8 and 32 CPUs in fresh processes (the sandbox
+    proxy for the N-vs-4N-node criterion, per BASELINE.json).
+
+    The input is the sf corpus replicated ``$GRAFT_SCALE_REP``× (default
+    40) with distinct doc ids — identical for both runs — so per-CPU
+    compute dominates the fixed pipeline overhead that a 2 MB toy input
+    cannot amortize."""
     import pyarrow.parquet as pq
 
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    rep = int(os.environ.get("GRAFT_SCALE_REP", "40"))
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
     points = {}
     for cpus in (8, 32):
         cmd = [sys.executable, os.path.abspath(__file__),
-               "--single", "kg_full", "--cpus", str(cpus), "--sf-dir", sf_dir]
-        env = dict(os.environ)
-        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                             timeout=3600)
+               "--single", "__kg_scale__", "--cpus", str(cpus),
+               "--sf-dir", sf_dir]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             env=dict(os.environ), timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
-        sec = r["queries"]["kg_full"]
+        sec = r["queries"]["__kg_scale__"]
         points[cpus] = {"sec": sec, "docs_per_sec": round(n_docs / sec, 2)}
     eff = (points[8]["sec"] / points[32]["sec"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "queries": {"kg_full_cpus8": points[8]["sec"],
-                    "kg_full_cpus32": points[32]["sec"]},
+        "queries": {"kg_scale_cpus8": points[8]["sec"],
+                    "kg_scale_cpus32": points[32]["sec"]},
         "sf": _sf_of(sf_dir),
         "num_cpus": 32,
+        "replication": rep,
+        "n_docs": n_docs,
         "throughput": {"cpus8_docs_per_sec": points[8]["docs_per_sec"],
                        "cpus32_docs_per_sec": points[32]["docs_per_sec"]},
     }

@@ -49,16 +49,38 @@ class Handler:
     glean_count: int = 1
     max_summaries_token_length: int = DEFAULT_MAX_SUMMARIES_TOKEN_LENGTH
     salt_buckets: int = 8
+    # first-K-by-occurrence cap on accumulated desc/keyword/source lists
+    # during canonicalization (0 = exact; see canonicalize.merge_cap) —
+    # bounds hot-key row width at scale; the summarizer's token cap is the
+    # user-visible bound, this keeps the shuffle from paying for rows the
+    # summarizer would drop anyway
+    merge_cap: int = 512
     content_mode: str = "spans"           # "spans" | "text" (flat table)
     doc_id_format: str = "{}"
     # physical knobs — autoscaling (min, max) actor pools: a FIXED pool of
     # size k on a node with ~k CPUs starves the upstream read tasks of CPU
-    # and deadlocks the stream; min=1 always leaves headroom.
-    chunker_concurrency: int | tuple[int, int] = (1, 4)
-    extractor_concurrency: int | tuple[int, int] = (1, 8)
+    # and deadlocks the stream; min=1 always leaves headroom.  None → size
+    # the max to the cluster at pipeline-build time (_pool below), so the
+    # same Handler scales from 8 to 32+ CPUs without retuning.
+    chunker_concurrency: int | tuple[int, int] | None = None
+    extractor_concurrency: int | tuple[int, int] | None = None
     batch_size: int = 256                 # documents per chunker batch
-    mention_batch_size: int = 8192
+    mention_batch_size: int = 65536
     extra: dict = field(default_factory=dict)
+
+
+def _pool(configured, frac: float) -> tuple[int, int]:
+    """Autoscaling pool bounds: max = frac × cluster CPUs (≥2), leaving the
+    remaining cores for upstream read/shuffle tasks."""
+    if configured is not None:
+        return configured
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return (1, max(2, int(cpus * frac)))
 
 
 def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
@@ -74,7 +96,7 @@ def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Datase
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=handler.batch_size,
-        concurrency=handler.chunker_concurrency,
+        concurrency=_pool(handler.chunker_concurrency, 0.25),
     )
 
 
@@ -84,7 +106,7 @@ def extract_mentions(chunks: ray.data.Dataset, handler: Handler) -> ray.data.Dat
         fn_constructor_kwargs={"rules": handler.rules, "glean_count": handler.glean_count},
         batch_format="pyarrow",
         batch_size=handler.batch_size,
-        concurrency=handler.extractor_concurrency,
+        concurrency=_pool(handler.extractor_concurrency, 0.5),
     )
 
 
@@ -93,6 +115,7 @@ def build_graph(mentions: ray.data.Dataset, handler: Handler) -> ray.data.Datase
         mentions,
         salt_buckets=handler.salt_buckets,
         batch_size=handler.mention_batch_size,
+        merge_cap=handler.merge_cap,
     )
     if handler.max_summaries_token_length > 0:
         graph = graph.map_batches(

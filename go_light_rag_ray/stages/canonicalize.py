@@ -98,7 +98,8 @@ def _acc(d: dict[str, str], text: str, occ: str) -> None:
         d[text] = occ
 
 
-def combine_mentions(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
+def combine_mentions(batch: pa.Table, salt_buckets: int = 8,
+                     merge_cap: int = 0) -> pa.Table:
     """Stage A: mentions batch → ≤1 partial row per (key, kind) per batch."""
     states: dict[tuple[str, str, str], _State] = {}
 
@@ -137,10 +138,25 @@ def combine_mentions(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
                 _acc(ph.ph_descs, desc, occ)
                 _acc(ph.ph_srcids, chunk_id, occ)
 
-    return _states_to_table(states, salt_buckets)
+    return _states_to_table(states, salt_buckets, merge_cap)
 
 
-def _states_to_table(states: dict, salt_buckets: int) -> pa.Table:
+def _cap_dict(d: dict[str, str], cap: int) -> dict[str, str]:
+    """Keep the ``cap`` entries with the smallest occurrence keys.
+
+    Top-K-by-occ is associative under merge (every element of the global
+    first-K is inside the first-K of the partial it came from), so applying
+    the cap at every stage is exact for first-K semantics.  cap=0 = exact
+    full accumulation (the oracle mode); cap>0 bounds hot-key row width at
+    web scale (SURVEY.md §7.3 "very wide rows") — the reference's own cap
+    is the summarize-if-long pass, which only ever reads a bounded prefix.
+    """
+    if not cap or len(d) <= cap:
+        return d
+    return dict(sorted(d.items(), key=lambda kv: kv[1])[:cap])
+
+
+def _states_to_table(states: dict, salt_buckets: int, merge_cap: int = 0) -> pa.Table:
     cols: dict[str, list] = {name: [] for name in PARTIALS_SCHEMA.names}
     for (kind, k1, k2), st in states.items():
         # Salt derives from the *content* of the partial (min occ), not the
@@ -162,38 +178,62 @@ def _states_to_table(states: dict, salt_buckets: int) -> pa.Table:
             ("descs", st.descs), ("kws", st.kws), ("srcids", st.srcids),
             ("ph_descs", st.ph_descs), ("ph_srcids", st.ph_srcids),
         ):
+            d = _cap_dict(d, merge_cap)
             cols[field].append([{"occ": occ, "text": t} for t, occ in d.items()])
     return pa.Table.from_pydict(cols, schema=PARTIALS_SCHEMA)
 
 
 def _merge_rows(batch: pa.Table) -> _State:
-    """Merge all partial rows of one key (or one (key, salt)) into a state."""
+    """Merge all partial rows of one key (or one (key, salt)) into a state.
+
+    Vectorized: the occ-lists are flattened once and reduced with Arrow's
+    C++ hash-aggregate (min occ per text / sum count per type) — the
+    per-entry Python dict path cost ~10s per million entries and dominated
+    the whole canonicalize shuffle before this.
+    """
+    import pyarrow.compute as pc
+
     st = _State()
-    col = {name: batch.column(name).to_pylist() for name in
-           ("types", "type_counts", "weight", "mention_count",
-            "descs", "kws", "srcids", "ph_descs", "ph_srcids")}
-    for i in range(batch.num_rows):
-        for t, c in zip(col["types"][i], col["type_counts"][i]):
-            st.types[t] = st.types.get(t, 0) + c
-        st.weight += col["weight"][i]
-        st.mention_count += col["mention_count"][i]
-        for field, d in (
-            ("descs", st.descs), ("kws", st.kws), ("srcids", st.srcids),
-            ("ph_descs", st.ph_descs), ("ph_srcids", st.ph_srcids),
-        ):
-            for entry in col[field][i]:
-                _acc(d, entry["text"], entry["occ"])
+    st.weight = pc.sum(batch.column("weight")).as_py() or 0.0
+    st.mention_count = pc.sum(batch.column("mention_count")).as_py() or 0
+
+    types = pc.list_flatten(batch.column("types").combine_chunks())
+    if len(types):
+        counts = pc.list_flatten(batch.column("type_counts").combine_chunks())
+        agg = (
+            pa.table({"t": types, "c": counts})
+            .group_by("t")
+            .aggregate([("c", "sum")])
+        )
+        st.types = dict(
+            zip(agg.column("t").to_pylist(), agg.column("c_sum").to_pylist())
+        )
+
+    for field, d in (
+        ("descs", st.descs), ("kws", st.kws), ("srcids", st.srcids),
+        ("ph_descs", st.ph_descs), ("ph_srcids", st.ph_srcids),
+    ):
+        flat = pc.list_flatten(batch.column(field).combine_chunks())
+        if not len(flat):
+            continue
+        agg = (
+            pa.table({"text": pc.struct_field(flat, "text"),
+                      "occ": pc.struct_field(flat, "occ")})
+            .group_by("text")
+            .aggregate([("occ", "min")])
+        )
+        d.update(zip(agg.column("text").to_pylist(),
+                     agg.column("occ_min").to_pylist()))
     return st
 
 
-def merge_partials_group(batch: pa.Table) -> pa.Table:
+def merge_partials_group(batch: pa.Table, merge_cap: int = 0) -> pa.Table:
     """Stage B: per (kind, k1, k2, salt) group → one partial row."""
     st = _merge_rows(batch)
     states = {(batch.column("kind")[0].as_py(),
                batch.column("k1")[0].as_py(),
                batch.column("k2")[0].as_py()): st}
-    out = _states_to_table(states, salt_buckets=1)
-    return out
+    return _states_to_table(states, salt_buckets=1, merge_cap=merge_cap)
 
 
 def _ordered(d: dict[str, str]) -> list[str]:
@@ -234,21 +274,29 @@ def finalize_group(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict({k: [v] for k, v in row.items()}, schema=GRAPH_SCHEMA)
 
 
-def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192):
+def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
+                 merge_cap: int = 0):
     """mentions Dataset → combined graph Dataset (kind ∈ {node, edge}).
 
     Three stages: vectorized combiner (stateless map_batches), salted
     partial merge (groupby shuffle 1), final merge (groupby shuffle 2 over
     the already-compressed partials).
+
+    ``merge_cap`` bounds every accumulated list to its first-``cap``
+    entries by occurrence at every stage (associative, deterministic);
+    0 = exact full accumulation.  At web scale a hot entity would otherwise
+    accumulate one description per mentioning document — unbounded row
+    width the summarizer only bounds AFTER the shuffle has paid for it.
     """
     partials = mentions.map_batches(
-        lambda b: combine_mentions(b, salt_buckets),
+        lambda b: combine_mentions(b, salt_buckets, merge_cap),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     if salt_buckets > 1:
         partials = partials.groupby(["kind", "k1", "k2", "salt"]).map_groups(
-            merge_partials_group, batch_format="pyarrow"
+            lambda g: merge_partials_group(g, merge_cap),
+            batch_format="pyarrow",
         )
     return partials.groupby(["kind", "k1", "k2"]).map_groups(
         finalize_group, batch_format="pyarrow"

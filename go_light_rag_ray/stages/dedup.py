@@ -105,9 +105,24 @@ class MinHasher:
     is exactly reproducible in SQL as ``min(md5(i || '|' || s))``.
     """
 
+    # bound on the per-actor shingle-hash cache; shingles repeat heavily
+    # across documents (stop-shingles at web scale), so the cache converts
+    # num_perm md5 calls per occurrence into one dict hit
+    CACHE_CAP = 1 << 20
+
     def __init__(self, num_perm: int = 16, shingle_k: int = 3) -> None:
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        self._cache: dict[str, list[str]] = {}
+
+    def _hashes(self, s: str) -> list[str]:
+        h = self._cache.get(s)
+        if h is None:
+            h = [_md5(f"{i}|{s}") for i in range(self.num_perm)]
+            if len(self._cache) >= self.CACHE_CAP:
+                self._cache.clear()
+            self._cache[s] = h
+        return h
 
     def __call__(self, b: pa.Table) -> pa.Table:
         doc_ids = b.column("doc_id").to_pylist()
@@ -118,9 +133,8 @@ class MinHasher:
             sh = _shingles(text or "", self.shingle_k)
             if not sh:
                 continue
-            sig = [
-                min(_md5(f"{i}|{s}") for s in sh) for i in range(self.num_perm)
-            ]
+            rows = [self._hashes(s) for s in sh]
+            sig = [min(r[i] for r in rows) for i in range(self.num_perm)]
             out_ids.append(did)
             sigs.append(sig)
         return pa.Table.from_pydict(
@@ -176,19 +190,18 @@ def minhash_lsh_pairs(
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
         typ = group.schema.field("doc_id").type
-        if len(ids) < 2 or (max_group and len(ids) > max_group):
+        ids = np.sort(group.column("doc_id").to_numpy())
+        n = len(ids)
+        if n < 2 or (max_group and n > max_group):
             return pa.Table.from_pydict(
                 {"a": pa.array([], typ), "b": pa.array([], typ)}
             )
-        a, bb = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j]:
-                    a.append(ids[i])
-                    bb.append(ids[j])
-        return pa.Table.from_pydict({"a": pa.array(a, typ), "b": pa.array(bb, typ)})
+        ai, bi = np.triu_indices(n, k=1)
+        keep = ids[ai] != ids[bi]
+        return pa.Table.from_pydict(
+            {"a": pa.array(ids[ai[keep]], typ), "b": pa.array(ids[bi[keep]], typ)}
+        )
 
     pairs = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
     # distinct (a, b): same pair can surface from several bands
@@ -299,38 +312,39 @@ def ngram_jaccard_pairs(
     index = docs.map_batches(explode, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
+        """Vectorized pair emission; the two set sizes pack into ONE int64
+        value column (sizes = na<<32 | nb — shingle counts are <2^32 at any
+        doc size) so the expensive pair-key aggregate below carries a
+        single Max instead of two (Ray's sort-aggregate cost is per group ×
+        per aggregate)."""
         typ = group.schema.field("doc_id").type
-        rows = sorted(
-            zip(group.column("doc_id").to_pylist(),
-                group.column("n_shingles").to_pylist())
-        )
-        empty = pa.Table.from_pydict(
-            {"a": pa.array([], typ), "b": pa.array([], typ),
-             "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
-        )
-        if len(rows) < 2 or (max_group and len(rows) > max_group):
-            return empty
-        a, bb, na, nb = [], [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                a.append(rows[i][0]); bb.append(rows[j][0])
-                na.append(rows[i][1]); nb.append(rows[j][1])
+        ids = group.column("doc_id").to_numpy()
+        ns = group.column("n_shingles").to_numpy()
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
+        n = len(ids)
+        if n < 2 or (max_group and n > max_group):
+            return pa.Table.from_pydict(
+                {"a": pa.array([], typ), "b": pa.array([], typ),
+                 "sizes": pa.array([], pa.int64())}
+            )
+        ai, bi = np.triu_indices(n, k=1)
         return pa.Table.from_pydict(
-            {"a": pa.array(a, typ), "b": pa.array(bb, typ),
-             "na": pa.array(na, pa.int64()), "nb": pa.array(nb, pa.int64())}
+            {"a": pa.array(ids[ai], typ), "b": pa.array(ids[bi], typ),
+             "sizes": pa.array((ns[ai] << 32) | ns[bi], pa.int64())}
         )
 
     pairs = index.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
     agg = pairs.groupby(["a", "b"]).aggregate(
         ray.data.aggregate.Count(alias_name="common"),
-        ray.data.aggregate.Max("na", alias_name="na"),
-        ray.data.aggregate.Max("nb", alias_name="nb"),
+        ray.data.aggregate.Max("sizes", alias_name="sizes"),
     )
 
     def score(b: pa.Table) -> pa.Table:
         common = b.column("common").to_numpy().astype(np.float64)
-        na = b.column("na").to_numpy().astype(np.float64)
-        nb = b.column("nb").to_numpy().astype(np.float64)
+        sizes = b.column("sizes").to_numpy()
+        na = (sizes >> 32).astype(np.float64)
+        nb = (sizes & 0xFFFFFFFF).astype(np.float64)
         jac = common / (na + nb - common)
         out = b.select(["a", "b"]).append_column(
             "jaccard", pa.array(jac, pa.float64())
