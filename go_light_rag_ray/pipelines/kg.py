@@ -135,6 +135,38 @@ def kg_pipeline(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
     return build_graph(extract_mentions(chunk_documents(docs, handler), handler), handler)
 
 
+def kg_pipeline_incremental(
+    docs: ray.data.Dataset, prior_graph: ray.data.Dataset, handler: Handler
+) -> ray.data.Dataset:
+    """Incremental insert: new documents merged into a prior graph snapshot
+    (the reference's re-run-Insert upsert path, insert.go:499-623) as one
+    shuffle — snapshot rows re-enter as partials, no per-key lookups.
+    For ordered corpus splits this is exactly associative:
+    ``incremental(graph(part1), part2) == graph(part1 ∪ part2)``.
+    """
+    from ..stages.canonicalize import canonicalize_incremental
+
+    mentions = extract_mentions(chunk_documents(docs, handler), handler)
+    graph = canonicalize_incremental(
+        mentions,
+        prior_graph,
+        salt_buckets=handler.salt_buckets,
+        batch_size=handler.mention_batch_size,
+        merge_cap=handler.merge_cap,
+    )
+    if handler.max_summaries_token_length > 0:
+        graph = graph.map_batches(
+            DescriptionSummarizer,
+            fn_constructor_kwargs={
+                "max_tokens": handler.max_summaries_token_length,
+                "tokenizer": handler.tokenizer,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+    return graph
+
+
 def nodes_view(graph: ray.data.Dataset) -> ray.data.Dataset:
     return graph.filter(expr="kind == 'node'").select_columns(
         ["entity_id", "entity_type", "descriptions", "source_ids", "mention_count"]

@@ -293,6 +293,12 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+    return _merge_and_finalize(partials, salt_buckets, merge_cap)
+
+
+def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int):
+    """Stages B + C over a partials Dataset (shared by the fresh and the
+    incremental path)."""
     if salt_buckets > 1:
         partials = partials.groupby(["kind", "k1", "k2", "salt"]).map_groups(
             lambda g: merge_partials_group(g, merge_cap),
@@ -301,6 +307,80 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
     return partials.groupby(["kind", "k1", "k2"]).map_groups(
         finalize_group, batch_format="pyarrow"
     )
+
+
+# occ prefix that sorts before any real occurrence key (real keys start
+# with a doc-id character > NUL), so prior-snapshot content keeps its order
+# and new mentions append after it — the reference's read-existing-first
+# appendIfUnique semantics (insert.go:522-534)
+_PRIOR_OCC_PREFIX = "\x00prior\x00"
+
+
+def _prior_occ(i: int) -> str:
+    return f"{_PRIOR_OCC_PREFIX}{i:010d}"
+
+
+def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
+    """Prior graph snapshot rows → partial rows, re-entering the shuffle.
+
+    Incremental-insert semantics vs the reference (insert.go:499-623):
+    weight is additive on top of the stored edge weight; stored
+    descriptions/keywords/source_ids come first in merge order; the stored
+    entity type re-enters the mode vote weighted by the stored
+    mention_count (the reference votes it once per upsert call — ours is
+    the associative choice so that canonicalize(part1) ⊕ part2 ==
+    canonicalize(part1 ∪ part2) for ordered splits).  UNKNOWN placeholders
+    re-enter as placeholder (ph_*) partials, so they upgrade in place when
+    real mentions for the name later arrive.
+    """
+    states: dict[tuple[str, str, str], _State] = {}
+    n = batch.num_rows
+    col = {name: batch.column(name).to_pylist() for name in
+           ("kind", "entity_id", "entity_type", "src", "tgt", "weight",
+            "descriptions", "keywords", "source_ids", "mention_count")}
+    for i in range(n):
+        kind = col["kind"][i]
+        if kind == "node":
+            key = ("node", col["entity_id"][i], "")
+        else:
+            key = ("edge", col["src"][i], col["tgt"][i])
+        st = states.setdefault(key, _State())
+        mc = col["mention_count"][i]
+        placeholder = kind == "node" and col["entity_type"][i] == "UNKNOWN" and mc == 0
+        st.mention_count += mc
+        st.weight += col["weight"][i]
+        if kind == "node" and not placeholder:
+            t = col["entity_type"][i]
+            st.types[t] = st.types.get(t, 0) + max(1, mc)
+        descs_d = st.ph_descs if placeholder else st.descs
+        srcs_d = st.ph_srcids if placeholder else st.srcids
+        for j, d in enumerate(col["descriptions"][i]):
+            _acc(descs_d, d, _prior_occ(j))
+        for j, s in enumerate(col["source_ids"][i]):
+            _acc(srcs_d, s, _prior_occ(j))
+        for j, kw in enumerate(col["keywords"][i]):
+            _acc(st.kws, kw, _prior_occ(j))
+    return _states_to_table(states, salt_buckets)
+
+
+def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,
+                             batch_size: int = 8192, merge_cap: int = 0):
+    """Incremental insert: new mentions merged with a prior graph snapshot
+    in ONE shuffle — the reference's point-lookup upsert loop becomes a
+    union of partials (new combiner output ∪ snapshot partials) flowing
+    through the same salted merge + finalize.  No join, no per-key reads.
+    """
+    new_partials = mentions.map_batches(
+        lambda b: combine_mentions(b, salt_buckets, merge_cap),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    prior_partials = prior_graph.map_batches(
+        lambda b: graph_to_partials(b, salt_buckets),
+        batch_format="pyarrow",
+    )
+    return _merge_and_finalize(new_partials.union(prior_partials),
+                               salt_buckets, merge_cap)
 
 
 def sep_join(values: list[str]) -> str:

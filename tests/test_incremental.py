@@ -1,0 +1,109 @@
+"""Incremental insert: prior-snapshot merge equals the one-shot run."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from go_light_rag_ray.corpus import generate_documents
+from go_light_rag_ray.pipelines.kg import (
+    Handler,
+    kg_pipeline,
+    kg_pipeline_incremental,
+)
+from go_light_rag_ray.stages.canonicalize import GRAPH_SCHEMA, graph_to_partials
+
+# corpus.generate_documents emits the interleaved spans shape with
+# zero-padded string doc ids (occurrence order == id order)
+HANDLER = Handler(
+    rules="pattern",
+    content_mode="spans",
+    max_summaries_token_length=0,   # summaries off: compare raw lists
+    merge_cap=0,
+    salt_buckets=4,
+)
+
+FLAT_HANDLER = Handler(
+    tokenizer="whitespace",
+    rules="word_cooccurrence",
+    content_mode="text",
+    doc_id_format="doc-{:09d}",
+    max_summaries_token_length=0,
+    merge_cap=0,
+    salt_buckets=4,
+)
+
+
+def _rows(ds):
+    rows = ds.take_all()
+    key = lambda r: (r["kind"], r["entity_id"], r["src"], r["tgt"])
+    return sorted(rows, key=key)
+
+
+def test_incremental_equals_one_shot(ray_session):
+    # ordered split: part1 = lower doc ids, so prior-first merge order
+    # matches the full run's occurrence order exactly
+    full = generate_documents(60)
+    part1, part2 = full.slice(0, 40), full.slice(40)
+
+    one_shot = _rows(kg_pipeline(ray.data.from_arrow(full), HANDLER))
+    prior = kg_pipeline(ray.data.from_arrow(part1), HANDLER).materialize()
+    merged = _rows(
+        kg_pipeline_incremental(ray.data.from_arrow(part2), prior, HANDLER)
+    )
+
+    assert len(one_shot) == len(merged)
+    for a, b in zip(one_shot, merged):
+        assert a == b, (a, b)
+
+
+def test_placeholder_upgrades_in_place(ray_session):
+    prior = pa.Table.from_pylist(
+        [{"kind": "node", "entity_id": "SPARK", "entity_type": "UNKNOWN",
+          "src": "", "tgt": "", "weight": 0.0,
+          "descriptions": ["edge-derived desc"], "keywords": [],
+          "source_ids": ["c0"], "mention_count": 0}],
+        schema=GRAPH_SCHEMA,
+    )
+    docs = pa.table({"doc_id": [7], "text": ["spark spark"]})
+    merged = kg_pipeline_incremental(
+        ray.data.from_arrow(docs), ray.data.from_arrow(prior), FLAT_HANDLER
+    ).take_all()
+    node = next(r for r in merged if r["kind"] == "node"
+                and r["entity_id"] == "SPARK")
+    # real mentions arrived → placeholder upgraded: typed, real descriptions
+    assert node["entity_type"] == "SYSTEM"
+    assert node["mention_count"] == 2
+    assert all("edge-derived" not in d for d in node["descriptions"])
+
+
+def test_prior_content_keeps_first_position(ray_session):
+    prior = pa.Table.from_pylist(
+        [{"kind": "edge", "entity_id": "", "entity_type": "",
+          "src": "SPARK", "tgt": "CUSTOMER", "weight": 2.5,
+          "descriptions": ["old desc"], "keywords": ["OLD_KW"],
+          "source_ids": ["old-chunk"], "mention_count": 3}],
+        schema=GRAPH_SCHEMA,
+    )
+    docs = pa.table({"doc_id": [1], "text": ["spark customer"]})
+    merged = kg_pipeline_incremental(
+        ray.data.from_arrow(docs), ray.data.from_arrow(prior), FLAT_HANDLER
+    ).take_all()
+    edge = next(r for r in merged if r["kind"] == "edge")
+    assert edge["descriptions"][0] == "old desc"        # stored-first order
+    assert edge["keywords"][0] == "OLD_KW"
+    assert edge["source_ids"][0] == "old-chunk"
+    assert edge["weight"] == pytest.approx(2.5 + 1.0)   # additive
+    assert edge["mention_count"] == 4
+
+
+def test_graph_to_partials_roundtrip_salt_deterministic():
+    tbl = pa.Table.from_pylist(
+        [{"kind": "node", "entity_id": "X", "entity_type": "DATA",
+          "src": "", "tgt": "", "weight": 0.0, "descriptions": ["d"],
+          "keywords": [], "source_ids": ["c"], "mention_count": 2}],
+        schema=GRAPH_SCHEMA,
+    )
+    p1 = graph_to_partials(tbl, salt_buckets=8)
+    p2 = graph_to_partials(tbl, salt_buckets=8)
+    assert p1.equals(p2)
+    assert p1.column("salt")[0].as_py() == p2.column("salt")[0].as_py()
