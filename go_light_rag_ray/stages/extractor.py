@@ -208,6 +208,61 @@ class WordCooccurrenceRules(ExtractionRules):
         return rounds
 
 
+class TranscriptRules(ExtractionRules):
+    """Mock-LLM transcript playback (the reference's MockLLM,
+    tests/rag_test.go:102-112) with the exact glean-loop control flow of
+    insert.go:385-446:
+
+    * round 0 parses ``base_response``;
+    * at least one glean round always runs; after glean round k the loop
+      breaks when ``glean_count_done > max_glean_count`` or when the
+      decide-continue answer (trimmed of quotes, lower-cased,
+      insert.go:438) is not the literal "yes";
+    * every parsed round's mentions accumulate — duplicates are the
+      canonicalization shuffle's job, exactly as dedupeLLMResult defers
+      grouping in the reference.
+
+    ``responses`` rotate like a canned chat: glean round k uses
+    ``glean_responses[k % len]``; unparseable rounds raise (the caller's
+    retry shell owns the retry policy, reference insert.go:326-336).
+    """
+
+    def __init__(
+        self,
+        base_response: str,
+        glean_responses: list[str] | None = None,
+        decide_responses: list[str] | None = None,
+        entity_types: list[str] | None = None,
+        max_glean_count: int = 1,
+    ) -> None:
+        from .llm_io import parse_llm_response
+
+        self._parse = parse_llm_response
+        self.base_response = base_response
+        self.glean_responses = glean_responses or [base_response]
+        self.decide_responses = decide_responses or []
+        self.entity_types = entity_types or ENTITY_TYPES
+        self.glean_count = max_glean_count
+
+    def extract_rounds(self, doc_id, chunk_id, content):
+        rounds = [self._parse(self.base_response)]
+        glean_done = 0
+        while True:
+            resp = self.glean_responses[glean_done % len(self.glean_responses)]
+            rounds.append(self._parse(resp))
+            glean_done += 1
+            if glean_done > self.glean_count:
+                break
+            decide = (
+                self.decide_responses[(glean_done - 1) % len(self.decide_responses)]
+                if self.decide_responses else ""
+            )
+            decide = decide.strip().strip('"').strip("'").strip().lower()
+            if decide != "yes":
+                break
+        return rounds
+
+
 RULES_REGISTRY = {
     "pattern": PatternRules,
     "word_cooccurrence": WordCooccurrenceRules,
@@ -222,8 +277,11 @@ class Extractor:
     tables are compiled once per actor.
     """
 
-    def __init__(self, rules: str = "pattern", glean_count: int | None = None) -> None:
-        self.rules: ExtractionRules = RULES_REGISTRY[rules]()
+    def __init__(self, rules: str | ExtractionRules = "pattern",
+                 glean_count: int | None = None) -> None:
+        self.rules: ExtractionRules = (
+            rules if isinstance(rules, ExtractionRules) else RULES_REGISTRY[rules]()
+        )
         if glean_count is not None:
             self.rules.glean_count = glean_count
         self._allowed = {t.upper() for t in self.rules.entity_types} | {"UNKNOWN"}
