@@ -324,6 +324,39 @@ def q_ctx_global_entities(sf_dir: str) -> ray.data.Dataset:
     return global_entities(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
 
 
+def q_span_check(sf_dir: str) -> ray.data.Dataset:
+    """Span-sequence invariant (input_hint per-row invariant): fingerprint
+    each document's engine-materialized span sequence (kind, text,
+    media_ref, order); the oracle derives the same fingerprint from the raw
+    table independently — a value mismatch means a stage mutated spans."""
+    import hashlib
+
+    from go_light_rag_ray.sources.io import flat_documents_as_interleaved
+
+    docs = _raw_docs(sf_dir).map_batches(
+        flat_documents_as_interleaved, batch_format="pyarrow"
+    )
+
+    def fingerprint(b: pa.Table) -> pa.Table:
+        doc_ids = b.column("doc_id").to_pylist()
+        spans = b.column("spans").to_pylist()
+        fps, counts = [], []
+        for row in spans:
+            parts = [
+                f"{s['kind']}\x01{s['text']}\x01{s['media_ref']}\x01{i}"
+                for i, s in enumerate(row)
+            ]
+            fps.append(hashlib.md5("\x02".join(parts).encode()).hexdigest())
+            counts.append(len(row))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(doc_ids, pa.string()),
+             "n_spans": pa.array(counts, pa.int64()),
+             "span_fp": pa.array(fps, pa.string())}
+        )
+
+    return docs.map_batches(fingerprint, batch_format="pyarrow")
+
+
 def q_chunks_by_handler(sf_dir: str) -> ray.data.Dataset:
     """Mixed-corpus chunking with per-row handler dispatch (reference S3
     router + markdown/code handlers).  doc_kind derived deterministically
@@ -803,6 +836,33 @@ SELECT did AS doc_id, span_index, 'image' AS kind, ref AS media_ref,
 FROM media
 """
 
+# independent SQL derivation of the interleaved span sequence (the
+# flat_documents_as_interleaved rule): one text span at order 0, one image
+# span per full 40 words at order k+1 — fingerprinted exactly like
+# q_span_check's engine-side md5
+_SPAN_CHECK_SQL = r"""
+WITH docs AS (
+  SELECT 'doc-' || doc_id::VARCHAR AS did, text,
+         len(regexp_extract_all(text, '\S+')) // 40 AS n_img
+  FROM documents
+),
+spans AS (
+  SELECT did, 0 AS ord,
+         'text' || chr(1) || text || chr(1) || '' || chr(1) || '0' AS part
+  FROM docs
+  UNION ALL
+  SELECT did, k + 1,
+         'image' || chr(1) || '' || chr(1) || 'media://' || did || '/' || k::VARCHAR
+           || chr(1) || (k + 1)::VARCHAR
+  FROM docs, unnest(range(0, n_img)) AS u(k)
+)
+SELECT did AS doc_id,
+       count(*) AS n_spans,
+       md5(string_agg(part, chr(2) ORDER BY ord)) AS span_fp
+FROM spans GROUP BY did
+"""
+
+
 # degree = 0 per node row + 1 per incident edge endpoint, over the same
 # graph the kg_nodes/kg_edges oracles define
 _KG_DEGREES_SQL = _PRELUDE + r"""
@@ -926,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctx_local_sources": q_ctx_local_sources,
         "ctx_global_edges": q_ctx_global_edges,
         "ctx_global_entities": q_ctx_global_entities,
+        "span_check": q_span_check,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
     }
@@ -951,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "span_check": _SPAN_CHECK_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
         "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,
         "ctx_local_sources": _CTX_LOCAL_SOURCES_SQL,

@@ -106,3 +106,28 @@ def test_mentions_deterministic_across_runs():
     m2 = extract_mentions(chunk_documents(_docs(6), h), h).take_all()
     key = lambda r: (r["chunk_id"], r["mention_index"])
     assert sorted(m1, key=key) == sorted(m2, key=key)
+
+
+def test_write_graph_partitioned_with_manifest(graph, tmp_path):
+    import json
+    import os
+
+    from go_light_rag_ray.pipelines.kg import read_graph, write_graph
+
+    out = str(tmp_path / "graph")
+    manifest = write_graph(graph, out, num_buckets=4,
+                           lineage={"input": "synthetic-40"})
+    nodes, edges = read_graph(out)
+    assert manifest["counters"]["nodes"] == nodes.count() > 0
+    assert manifest["counters"]["edges"] == edges.count() > 0
+    # hash-bucketed directory layout (resumable, never one giant file)
+    node_parts = sorted(os.listdir(os.path.join(out, "nodes")))
+    assert all(p.startswith("bucket=") for p in node_parts)
+    assert len(node_parts) > 1
+    on_disk = json.load(open(os.path.join(out, "GRAPH-MANIFEST.json")))
+    assert on_disk["lineage"] == {"input": "synthetic-40"}
+    assert on_disk["counters"] == manifest["counters"]
+    # idempotent re-write: same content, manifest unchanged
+    again = write_graph(graph, out, num_buckets=4,
+                        lineage={"input": "synthetic-40"})
+    assert again["counters"] == manifest["counters"]
