@@ -240,12 +240,22 @@ def _ordered(d: dict[str, str]) -> list[str]:
     return [t for t, _ in sorted(d.items(), key=lambda kv: kv[1])]
 
 
-def finalize_group(batch: pa.Table) -> pa.Table:
-    """Stage C: per (kind, k1, k2) group → one finalized node/edge row."""
+def finalize_group(batch: pa.Table, merge_cap: int = 0) -> pa.Table:
+    """Stage C: per (kind, k1, k2) group → one finalized node/edge row.
+
+    Re-applies ``merge_cap`` after the final merge: merging capped partials
+    yields up to (groups × cap) entries, and only a final re-cap restores
+    the exact global first-K (top-K merge needs the cap at EVERY combine,
+    including the last — caught by the hypothesis associativity property).
+    """
     kind = batch.column("kind")[0].as_py()
     k1 = batch.column("k1")[0].as_py()
     k2 = batch.column("k2")[0].as_py()
     st = _merge_rows(batch)
+
+    def ordered(d):
+        vals = _ordered(d)
+        return vals[:merge_cap] if merge_cap else vals
 
     row: dict[str, object] = {
         "kind": kind, "entity_id": "", "entity_type": "", "src": "", "tgt": "",
@@ -259,18 +269,18 @@ def finalize_group(batch: pa.Table) -> pa.Table:
             row["entity_type"] = min(
                 st.types.items(), key=lambda kv: (-kv[1], kv[0])
             )[0]
-            row["descriptions"] = _ordered(st.descs)
-            row["source_ids"] = _ordered(st.srcids)
+            row["descriptions"] = ordered(st.descs)
+            row["source_ids"] = ordered(st.srcids)
         else:
             row["entity_type"] = "UNKNOWN"
-            row["descriptions"] = _ordered(st.ph_descs)
-            row["source_ids"] = _ordered(st.ph_srcids)
+            row["descriptions"] = ordered(st.ph_descs)
+            row["source_ids"] = ordered(st.ph_srcids)
     else:
         row["src"], row["tgt"] = k1, k2
         row["weight"] = st.weight
-        row["descriptions"] = _ordered(st.descs)
-        row["keywords"] = _ordered(st.kws)
-        row["source_ids"] = _ordered(st.srcids)
+        row["descriptions"] = ordered(st.descs)
+        row["keywords"] = ordered(st.kws)
+        row["source_ids"] = ordered(st.srcids)
     return pa.Table.from_pydict({k: [v] for k, v in row.items()}, schema=GRAPH_SCHEMA)
 
 
@@ -305,7 +315,7 @@ def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int):
             batch_format="pyarrow",
         )
     return partials.groupby(["kind", "k1", "k2"]).map_groups(
-        finalize_group, batch_format="pyarrow"
+        lambda g: finalize_group(g, merge_cap), batch_format="pyarrow"
     )
 
 

@@ -1,0 +1,139 @@
+"""Property-based invariants (hypothesis): the determinism claims the
+engine's design rests on, tested over random inputs rather than goldens.
+
+* canonicalization is a pure function of the mention SET — physical block
+  order, batch size, salt count and row permutation never change the graph
+  (SURVEY.md §7.0: determinism via carried occurrence keys, never block
+  order);
+* merge_cap is associative (first-K capping at every stage == capping once
+  at the end);
+* the sliding-window chunker covers the input: concatenating windows with
+  the overlap removed reproduces the token stream.
+
+These run the shuffle kernels directly (combine → merge → finalize as
+plain functions) so hypothesis can iterate fast without Ray jobs.
+"""
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from go_light_rag_ray.stages.canonicalize import (
+    _merge_rows,
+    _states_to_table,
+    combine_mentions,
+    finalize_group,
+)
+from go_light_rag_ray.stages.chunker import chunk_text
+from go_light_rag_ray.stages.extractor import MENTIONS_SCHEMA
+from go_light_rag_ray.tokenizer import get_tokenizer
+
+ENTS = ["A", "B", "C"]
+TYPES = ["SYSTEM", "DATA", "OP"]
+
+
+@st.composite
+def mention_rows(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for i in range(n):
+        doc = draw(st.integers(0, 5))
+        kind = draw(st.sampled_from(["entity", "relationship"]))
+        row = {
+            "doc_id": f"doc-{doc:04d}",
+            "chunk_id": f"doc-{doc:04d}-chunk-0",
+            "order_index": 0,
+            "mention_index": i,
+            "kind": kind,
+            "name": draw(st.sampled_from(ENTS)) if kind == "entity" else "",
+            "type": draw(st.sampled_from(TYPES)) if kind == "entity" else "",
+            "src": draw(st.sampled_from(ENTS)) if kind == "relationship" else "",
+            "tgt": draw(st.sampled_from(ENTS + ["D"])) if kind == "relationship" else "",
+            "description": f"desc-{draw(st.integers(0, 6))}",
+            "keywords": draw(st.lists(st.sampled_from(["K1", "K2", "K3"]),
+                                      max_size=3)) if kind == "relationship" else [],
+            "weight": float(draw(st.integers(1, 5))) if kind == "relationship" else 0.0,
+        }
+        if row["kind"] == "relationship" and row["src"] == row["tgt"]:
+            row["tgt"] = "D"
+        rows.append(row)
+    return rows
+
+
+def _graph_of(rows, batch_size, salt_buckets, merge_cap=0):
+    """Run the canonicalize kernels directly over explicit batch splits."""
+    partial_tables = []
+    for i in range(0, len(rows), batch_size):
+        batch = pa.Table.from_pylist(rows[i:i + batch_size], schema=MENTIONS_SCHEMA)
+        partial_tables.append(combine_mentions(batch, salt_buckets, merge_cap))
+    partials = pa.concat_tables(partial_tables)
+    # group by (kind, k1, k2) exactly as the shuffle would
+    out = {}
+    keys = set(zip(partials.column("kind").to_pylist(),
+                   partials.column("k1").to_pylist(),
+                   partials.column("k2").to_pylist()))
+    import pyarrow.compute as pc
+
+    for kind, k1, k2 in sorted(keys):
+        mask = pc.and_(
+            pc.and_(pc.equal(partials.column("kind"), kind),
+                    pc.equal(partials.column("k1"), k1)),
+            pc.equal(partials.column("k2"), k2),
+        )
+        group = partials.filter(mask)
+        row = finalize_group(group, merge_cap).to_pylist()[0]
+        out[(kind, k1, k2)] = row
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=mention_rows(), batch_a=st.integers(1, 40), batch_b=st.integers(1, 40),
+       salt_a=st.integers(1, 16), salt_b=st.integers(1, 16),
+       seed=st.randoms(use_true_random=False))
+def test_canonicalize_invariant_to_physical_order(rows, batch_a, batch_b,
+                                                  salt_a, salt_b, seed):
+    shuffled = list(rows)
+    seed.shuffle(shuffled)
+    a = _graph_of(rows, batch_a, salt_a)
+    b = _graph_of(shuffled, batch_b, salt_b)
+    assert a == b
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=mention_rows(), batch=st.integers(1, 40), cap=st.integers(1, 8))
+def test_merge_cap_is_associative(rows, batch, cap):
+    """Capping at every stage == capping the exact result once."""
+    capped = _graph_of(rows, batch, salt_buckets=4, merge_cap=cap)
+    exact = _graph_of(rows, batch, salt_buckets=4, merge_cap=0)
+    for key, row in capped.items():
+        for field in ("descriptions", "keywords", "source_ids"):
+            assert row[field] == exact[key][field][:cap] or \
+                row[field] == exact[key][field]  # short lists unaffected
+        assert row["weight"] == exact[key]["weight"]
+        assert row["mention_count"] == exact[key]["mention_count"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(words=st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                      min_size=0, max_size=120),
+       max_tokens=st.integers(2, 30), overlap=st.integers(0, 10))
+def test_chunker_windows_cover_input(words, max_tokens, overlap):
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    text = " ".join(words)
+    tok = get_tokenizer("whitespace")
+    chunks = chunk_text(text, tok, max_tokens, overlap)
+    if not text:
+        assert chunks == []
+        return
+    # reconstruct: first window whole, then each window minus its overlap
+    stride = max_tokens - overlap
+    rebuilt: list[str] = []
+    for content, token_size, idx in chunks:
+        toks = content.split()
+        assert token_size == len(toks) <= max_tokens
+        rebuilt.extend(toks if idx == 0 else toks[overlap:] if len(toks) > overlap else [])
+        assert idx == chunks.index((content, token_size, idx))
+    # every input token appears, in order, exactly once
+    expected = text.split()
+    # windows past the end can duplicate the tail; dedupe by position count
+    assert rebuilt[: len(expected)] == expected
