@@ -324,6 +324,14 @@ def q_ctx_global_entities(sf_dir: str) -> ray.data.Dataset:
     return global_entities(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
 
 
+def q_entity_ann(sf_dir: str) -> ray.data.Dataset:
+    """Entity vector search over the canonical graph (reference J7 entity
+    collection).  Rows-only check (hash-projection vectors not SQL)."""
+    from go_light_rag_ray.pipelines.query import entity_similarity
+
+    return entity_similarity(_graph(sf_dir), dims=32, k=3)
+
+
 def q_span_check(sf_dir: str) -> ray.data.Dataset:
     """Span-sequence invariant (input_hint per-row invariant): fingerprint
     each document's engine-materialized span sequence (kind, text,
@@ -987,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctx_global_edges": q_ctx_global_edges,
         "ctx_global_entities": q_ctx_global_entities,
         "span_check": q_span_check,
+        "entity_ann": q_entity_ann,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
     }

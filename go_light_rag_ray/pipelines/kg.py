@@ -200,6 +200,57 @@ def triples_view(graph: ray.data.Dataset) -> ray.data.Dataset:
     return graph.map_batches(to_triples, batch_format="pyarrow")
 
 
+def stage_chunks(
+    input_path: str,
+    ckpt_dir: str,
+    handler: Handler,
+    n_shards: int = 4,
+    flat_adapter: bool = False,
+) -> list[str]:
+    """Phase 1 of the staged two-phase ingest (reference ``InsertChunk``,
+    insert.go:102-140): chunk documents and persist the chunks WITHOUT
+    running extraction.  Each input shard writes
+    ``<ckpt>/chunks/shard=<id>/`` plus a manifest; the manifest set IS the
+    reference's ``unprocessed`` queue — a staged shard without a matching
+    ``processed`` marker is pending.  Returns the staged shard ids.
+    """
+    fragments = table_io.list_input_fragments(input_path)
+    shards = mf.plan_shards(fragments, n_shards)
+    staged = []
+    for shard_id in mf.pending_shards(ckpt_dir, shards, stage="staged"):
+        frags = shards[shard_id]
+        docs = table_io.read_documents(frags)
+        if flat_adapter:
+            docs = docs.map_batches(
+                table_io.flat_documents_as_interleaved, batch_format="pyarrow"
+            )
+        chunks = chunk_documents(docs, handler)
+        out = mf.shard_out_dir(ckpt_dir, "chunks", shard_id)
+        chunks.write_parquet(out)
+        mf.write_manifest(
+            ckpt_dir,
+            mf.ShardManifest(
+                shard_id=shard_id,
+                input_fragments=frags,
+                fingerprint=mf.shard_fingerprint(frags),
+                counters={"fragments": len(frags)},
+            ),
+            stage="staged",
+        )
+        staged.append(shard_id)
+    return staged
+
+
+def process_staged(ckpt_dir: str, handler: Handler) -> ray.data.Dataset:
+    """Phase 2 (reference ``ProcessUnprocessedChunk``, insert.go:142-171):
+    extract + canonicalize over every staged chunk shard.  The doc id is a
+    carried column — no parsing it back out of the chunk id (the
+    reference's ``"-chunk-"`` split, insert.go:156-162, is the latent-bug
+    path our schema design removes)."""
+    chunks = ray.data.read_parquet(os.path.join(ckpt_dir, "chunks"))
+    return build_graph(extract_mentions(chunks, handler), handler)
+
+
 def write_graph(
     graph: ray.data.Dataset,
     out_dir: str,

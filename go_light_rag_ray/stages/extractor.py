@@ -278,13 +278,33 @@ class Extractor:
     """
 
     def __init__(self, rules: str | ExtractionRules = "pattern",
-                 glean_count: int | None = None) -> None:
+                 glean_count: int | None = None,
+                 max_retries: int = 3, backoff_s: float = 0.0) -> None:
         self.rules: ExtractionRules = (
             rules if isinstance(rules, ExtractionRules) else RULES_REGISTRY[rules]()
         )
         if glean_count is not None:
             self.rules.glean_count = glean_count
         self._allowed = {t.upper() for t in self.rules.entity_types} | {"UNKNOWN"}
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def _rounds_with_retry(self, doc_id, chunk_id, content):
+        """Reference T6 retry shell (insert.go:326-348): semantic failures
+        (unparseable model output → ValueError) retry with backoff up to
+        ``max_retries``; once exhausted the chunk yields NO mentions and
+        the pipeline continues (the reference's return-empty-maps path,
+        insert.go:360-365).  Worker/task death is Ray's task retry, not
+        ours."""
+        import time
+
+        for attempt in range(self.max_retries):
+            try:
+                return self.rules.extract_rounds(doc_id, chunk_id, content)
+            except ValueError:
+                if attempt + 1 < self.max_retries and self.backoff_s:
+                    time.sleep(self.backoff_s)
+        return []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}
@@ -296,7 +316,7 @@ class Extractor:
             doc_ids, chunk_ids, orders, contents
         ):
             mention_index = 0
-            for ents, rels in self.rules.extract_rounds(doc_id, chunk_id, content):
+            for ents, rels in self._rounds_with_retry(doc_id, chunk_id, content):
                 for name, etype, desc in ents:
                     etype = etype.upper()
                     if etype not in self._allowed:

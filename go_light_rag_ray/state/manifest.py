@@ -47,26 +47,26 @@ def shard_fingerprint(fragments: list[str]) -> str:
     return h.hexdigest()[:32]
 
 
-def manifest_path(ckpt_dir: str, shard_id: str) -> str:
-    return os.path.join(ckpt_dir, f"MANIFEST-{shard_id}.json")
+def manifest_path(ckpt_dir: str, shard_id: str, stage: str = "mentions") -> str:
+    return os.path.join(ckpt_dir, f"MANIFEST-{stage}-{shard_id}.json")
 
 
 def shard_out_dir(ckpt_dir: str, stage: str, shard_id: str) -> str:
     return os.path.join(ckpt_dir, stage, f"shard={shard_id}")
 
 
-def write_manifest(ckpt_dir: str, m: ShardManifest) -> None:
+def write_manifest(ckpt_dir: str, m: ShardManifest, stage: str = "mentions") -> None:
     """Atomic write: tmp file + rename (partial manifests never observed)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    path = manifest_path(ckpt_dir, m.shard_id)
+    path = manifest_path(ckpt_dir, m.shard_id, stage)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(asdict(m), f, indent=1)
     os.replace(tmp, path)
 
 
-def load_manifest(ckpt_dir: str, shard_id: str) -> ShardManifest | None:
-    path = manifest_path(ckpt_dir, shard_id)
+def load_manifest(ckpt_dir: str, shard_id: str, stage: str = "mentions") -> ShardManifest | None:
+    path = manifest_path(ckpt_dir, shard_id, stage)
     if not os.path.exists(path):
         return None
     try:
@@ -96,7 +96,7 @@ def pending_shards(
     """
     pending: list[str] = []
     for shard_id, fragments in shards.items():
-        m = load_manifest(ckpt_dir, shard_id)
+        m = load_manifest(ckpt_dir, shard_id, stage)
         if (
             m is not None
             and m.code_version == CODE_VERSION

@@ -131,3 +131,32 @@ def test_write_graph_partitioned_with_manifest(graph, tmp_path):
     again = write_graph(graph, out, num_buckets=4,
                         lineage={"input": "synthetic-40"})
     assert again["counters"] == manifest["counters"]
+
+
+def test_staged_two_phase_ingest(tmp_path):
+    """S5 parity: stage_chunks (InsertChunk) then process_staged
+    (ProcessUnprocessedChunk) — with staged-phase resume."""
+    import pyarrow.parquet as pq
+
+    from go_light_rag_ray.pipelines.kg import process_staged, stage_chunks
+
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    tbl = generate_documents(30)
+    pq.write_table(tbl.slice(0, 15), f"{inp}/part0.parquet")
+    pq.write_table(tbl.slice(15), f"{inp}/part1.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    staged = stage_chunks(inp, ckpt, HANDLER, n_shards=2)
+    assert len(staged) == 2
+    # phase 1 is resumable: second call stages nothing new
+    assert stage_chunks(inp, ckpt, HANDLER, n_shards=2) == []
+    chunks = ray.data.read_parquet(os.path.join(ckpt, "chunks"))
+    assert chunks.count() > 0
+    assert "doc_id" in chunks.schema().names   # carried column, no id parsing
+
+    graph = process_staged(ckpt, HANDLER)
+    rows = graph.take_all()
+    one_shot = kg_pipeline(ray.data.from_arrow(tbl), HANDLER).take_all()
+    key = lambda r: (r["kind"], r["entity_id"], r["src"], r["tgt"])
+    assert sorted(rows, key=key) == sorted(one_shot, key=key)

@@ -104,3 +104,19 @@ def test_csv_quoting():
     out = render_csv_section("T", tbl)
     assert r'"he said \"hi\""' in out
     assert out.splitlines()[0] == "-----T-----"
+
+
+def test_entity_similarity_over_graph(graph):
+    from go_light_rag_ray.pipelines.query import entity_similarity
+
+    rows = entity_similarity(graph, dims=16, k=2).take_all()
+    by_e = {}
+    for r in rows:
+        by_e.setdefault(r["entity_id"], []).append(r)
+    assert set(by_e) == {"SPARK", "CUSTOMER", "VECTOR", "LONELY"}
+    for ent, rs in by_e.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2]
+        assert all(r["neighbor_id"] != ent for r in rs)
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)

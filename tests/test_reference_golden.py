@@ -150,3 +150,34 @@ def test_unknown_type_normalization(ray_session):
     ).take_all()
     e1 = next(r for r in rows if r["name"] == "ENTITY1")
     assert e1["type"] == "UNKNOWN"
+
+
+class _FlakyRules(TranscriptRules):
+    """Fails the first N extract calls, then succeeds (retry-shell probe)."""
+
+    def __init__(self, fail_times: int, **kw):
+        super().__init__(MOCK_RESPONSE, max_glean_count=0, **kw)
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def extract_rounds(self, doc_id, chunk_id, content):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise ValueError("flaky model output")
+        return super().extract_rounds(doc_id, chunk_id, content)
+
+
+def test_retry_shell_recovers_then_gives_up():
+    """T6: semantic failures retry up to max_retries, then the chunk yields
+    no mentions (reference insert.go:326-348, 360-365)."""
+    ok = Extractor(rules=_FlakyRules(fail_times=2), max_retries=3)
+    batch = pa.table({
+        "doc_id": ["d"], "chunk_id": ["d-chunk-0"],
+        "order_index": pa.array([0], pa.int32()), "content": ["x"],
+    })
+    out = ok(batch)
+    assert out.num_rows > 0                      # recovered on 3rd attempt
+
+    dead = Extractor(rules=_FlakyRules(fail_times=5), max_retries=3)
+    out2 = dead(batch)
+    assert out2.num_rows == 0                    # exhausted → empty, no raise
