@@ -324,6 +324,42 @@ def q_ctx_global_entities(sf_dir: str) -> ray.data.Dataset:
     return global_entities(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
 
 
+# ---------------------------------------------------------------------------
+# event-time operators over the events table (custom operators Ray Data
+# lacks: windowed aggregate, sessionization, as-of join — stages/windows.py)
+# ---------------------------------------------------------------------------
+
+def _raw_events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+def q_window_tumbling(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.windows import tumbling_window_agg
+
+    return tumbling_window_agg(_raw_events(sf_dir), window_s=3600)
+
+
+def q_window_hopping(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.windows import hopping_window_agg
+
+    return hopping_window_agg(_raw_events(sf_dir), window_s=3600, hop_s=900)
+
+
+def q_sessions(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.windows import sessionize
+
+    return sessionize(_raw_events(sf_dir), gap_s=1800)
+
+
+def q_asof_join(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.windows import asof_join_latest
+
+    return asof_join_latest(_raw_events(sf_dir), mark_type="error")
+
+
 def q_entity_ann(sf_dir: str) -> ray.data.Dataset:
     """Entity vector search over the canonical graph (reference J7 entity
     collection).  Rows-only check (hash-projection vectors not SQL)."""
@@ -871,6 +907,61 @@ FROM spans GROUP BY did
 """
 
 
+# event-time oracles: integer-cent sums (float sums are order-dependent);
+# window ids are pure epoch-µs arithmetic on both sides
+_WINDOW_TUMBLING_SQL = r"""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       sum(round(value * 100)::BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+_WINDOW_HOPPING_SQL = r"""
+WITH e AS (
+  SELECT epoch_us(ts) AS t, round(value * 100)::BIGINT AS cents FROM events
+),
+hops AS (
+  SELECT ((t - 3600000000) // 900000000 + 1) * 900000000 + k * 900000000
+           AS window_start_us,
+         cents, t
+  FROM e, unnest(range(0, 4)) AS u(k)
+)
+SELECT window_start_us, count(*) AS n_events, sum(cents) AS sum_value_cents
+FROM hops WHERE window_start_us <= t
+GROUP BY 1
+"""
+
+_SESSIONS_SQL = r"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+  FROM e
+)
+SELECT user_id, session_index::INTEGER AS session_index,
+       count(*) AS n_events, min(t) AS start_us, max(t) AS end_us
+FROM s GROUP BY user_id, session_index
+"""
+
+_ASOF_JOIN_SQL = r"""
+SELECT e.event_id, e.user_id,
+       (SELECT m.event_id FROM events m
+        WHERE m.user_id = e.user_id AND m.event_type = 'error'
+          AND (m.ts < e.ts OR (m.ts = e.ts AND m.event_id <= e.event_id))
+        ORDER BY m.ts DESC, m.event_id DESC LIMIT 1) AS mark_event_id
+FROM events e
+"""
+
+
 # degree = 0 per node row + 1 per incident edge endpoint, over the same
 # graph the kg_nodes/kg_edges oracles define
 _KG_DEGREES_SQL = _PRELUDE + r"""
@@ -996,6 +1087,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctx_global_entities": q_ctx_global_entities,
         "span_check": q_span_check,
         "entity_ann": q_entity_ann,
+        "window_tumbling": q_window_tumbling,
+        "window_hopping": q_window_hopping,
+        "sessions": q_sessions,
+        "asof_join": q_asof_join,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
     }
@@ -1022,6 +1117,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "span_check": _SPAN_CHECK_SQL,
+        "window_tumbling": _WINDOW_TUMBLING_SQL,
+        "window_hopping": _WINDOW_HOPPING_SQL,
+        "sessions": _SESSIONS_SQL,
+        "asof_join": _ASOF_JOIN_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
         "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,
         "ctx_local_sources": _CTX_LOCAL_SOURCES_SQL,

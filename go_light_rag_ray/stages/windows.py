@@ -1,0 +1,165 @@
+"""Windowed / event-time operators over the ``events`` table.
+
+Ray Data has no windowed aggregates, sessionization, or as-of joins; the
+reference has no streaming ops at all (SURVEY.md §2.9).  A web-scale
+training-data pipeline needs them (log bucketing, session corpus
+construction, point-in-time feature joins), so they are built here from
+Ray Data primitives with their partitioning assumptions documented:
+
+- tumbling / hopping windows: the window id is a pure function of the
+  timestamp → assign in ``map_batches``, then ONE keyed groupby; hopping
+  windows flat-map each event to its ⌈W/H⌉ windows first.
+- sessionization: partitioned by ``user_id`` (groupby), sorted sweep inside
+  the group; assumes one user's events fit one group (true unless a single
+  user exceeds a block — salt by day for such whales).
+- as-of join: union both sides with a side tag, partition by ``user_id``,
+  per-group time-sorted sweep carrying the latest right-side row — the
+  standard distributed as-of pattern (no cross join, no per-row lookup).
+
+Monetary sums use integer cents so the DuckDB oracle matches exactly
+(float sums are order-dependent across backends).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+import ray.data.aggregate as agg
+
+US = 1_000_000  # microseconds per second
+
+
+def _epoch_us(ts_col: pa.ChunkedArray) -> np.ndarray:
+    return pc.cast(ts_col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_agg(
+    events: ray.data.Dataset, window_s: int = 3600
+) -> ray.data.Dataset:
+    """Per (window, event_type): count + exact integer-cent value sum.
+    Returns (window_start_us, event_type, n_events, sum_value_cents)."""
+    w_us = window_s * US
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        cents = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"window_start_us": pa.array((ts // w_us) * w_us, pa.int64()),
+             "event_type": b.column("event_type").combine_chunks(),
+             "cents": pa.array(cents, pa.int64())}
+        )
+
+    return (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(
+            agg.Count(alias_name="n_events"),
+            agg.Sum("cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def hopping_window_agg(
+    events: ray.data.Dataset, window_s: int = 3600, hop_s: int = 900
+) -> ray.data.Dataset:
+    """Overlapping (sliding) windows: each event lands in every window of
+    length ``window_s`` starting at a ``hop_s`` boundary that covers it.
+    Returns (window_start_us, n_events, sum_value_cents)."""
+    w_us, h_us = window_s * US, hop_s * US
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        cents = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        out_w, out_c = [], []
+        for t, c in zip(ts, cents):
+            first = ((t - w_us) // h_us + 1) * h_us  # first hop covering t
+            s = first
+            while s <= t:
+                out_w.append(s)
+                out_c.append(c)
+                s += h_us
+        return pa.Table.from_pydict(
+            {"window_start_us": pa.array(out_w, pa.int64()),
+             "cents": pa.array(out_c, pa.int64())}
+        )
+
+    return (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(
+            agg.Count(alias_name="n_events"),
+            agg.Sum("cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def sessionize(
+    events: ray.data.Dataset, gap_s: int = 1800
+) -> ray.data.Dataset:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_s``.  Returns
+    (user_id, session_index, n_events, start_us, end_us)."""
+    gap_us = gap_s * US
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = np.sort(_epoch_us(group.column("ts")))
+        breaks = np.nonzero(np.diff(ts) > gap_us)[0]
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [len(ts) - 1]])
+        n = len(starts)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array([uid] * n, pa.int64()),
+             "session_index": pa.array(np.arange(n), pa.int32()),
+             "n_events": pa.array(ends - starts + 1, pa.int64()),
+             "start_us": pa.array(ts[starts], pa.int64()),
+             "end_us": pa.array(ts[ends], pa.int64())}
+        )
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def asof_join_latest(
+    events: ray.data.Dataset,
+    mark_type: str = "error",
+) -> ray.data.Dataset:
+    """Point-in-time self as-of join: for every event, the id of the user's
+    most recent ``mark_type`` event at-or-before it (NULL if none).
+
+    Distributed pattern: partition by user, per-group time-sorted sweep
+    carrying the running latest mark — never a cross join.  Ties on equal
+    timestamps break toward the mark with the larger event_id (latest id).
+    Returns (event_id, user_id, mark_event_id nullable)."""
+
+    def sweep(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = _epoch_us(group.column("ts"))
+        eid = group.column("event_id").to_numpy()
+        etype = np.array(group.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts))
+        ts, eid, etype = ts[order], eid[order], etype[order]
+        latest = -1
+        out = np.empty(len(eid), dtype=np.int64)
+        for i in range(len(eid)):
+            if etype[i] == mark_type:
+                latest = eid[i]
+            out[i] = latest
+        res = pa.Table.from_pydict(
+            {"event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array([uid] * len(eid), pa.int64()),
+             "mark_event_id": pa.array(
+                 [None if v < 0 else int(v) for v in out], pa.int64())}
+        )
+        return res
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(sweep, batch_format="pyarrow")
+    )

@@ -1,0 +1,83 @@
+"""Event-time operators: tumbling/hopping windows, sessions, as-of join."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data
+
+from go_light_rag_ray.stages.windows import (
+    asof_join_latest,
+    hopping_window_agg,
+    sessionize,
+    tumbling_window_agg,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(rows):
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    }))
+
+
+def test_tumbling_window():
+    ev = _events([
+        (0, 10, 1, "click", 1.25),
+        (1, 20, 1, "click", 2.50),
+        (2, 3700, 1, "click", 4.00),   # next hour
+        (3, 30, 2, "view", 0.10),
+    ])
+    rows = {(r["window_start_us"], r["event_type"]): r
+            for r in tumbling_window_agg(ev, window_s=3600).take_all()}
+    base = int(T0.timestamp()) * 1_000_000
+    assert rows[(base, "click")]["n_events"] == 2
+    assert rows[(base, "click")]["sum_value_cents"] == 375
+    assert rows[(base + 3600_000_000, "click")]["n_events"] == 1
+    assert rows[(base, "view")]["sum_value_cents"] == 10
+
+
+def test_hopping_window_covers_each_event_w_over_h_times():
+    ev = _events([(0, 5000, 1, "click", 1.00)])
+    rows = hopping_window_agg(ev, window_s=3600, hop_s=900).take_all()
+    assert len(rows) == 4                      # 3600/900 windows cover it
+    assert all(r["n_events"] == 1 and r["sum_value_cents"] == 100 for r in rows)
+    starts = sorted(r["window_start_us"] for r in rows)
+    assert starts[-1] - starts[0] == 3 * 900_000_000
+    t_us = int(T0.timestamp()) * 1_000_000 + 5000 * 1_000_000
+    assert all(s <= t_us < s + 3600_000_000 for s in starts)
+
+
+def test_sessionize_gap_breaks():
+    ev = _events([
+        (0, 0, 1, "click", 0.0),
+        (1, 100, 1, "click", 0.0),
+        (2, 100 + 1801, 1, "click", 0.0),   # gap > 1800s → new session
+        (3, 50, 2, "view", 0.0),
+    ])
+    rows = sessionize(ev, gap_s=1800).take_all()
+    u1 = sorted([r for r in rows if r["user_id"] == 1],
+                key=lambda r: r["session_index"])
+    assert [(r["session_index"], r["n_events"]) for r in u1] == [(0, 2), (1, 1)]
+    base = int(T0.timestamp()) * 1_000_000
+    assert u1[0]["start_us"] == base and u1[0]["end_us"] == base + 100_000_000
+    assert len([r for r in rows if r["user_id"] == 2]) == 1
+
+
+def test_asof_join_latest_mark():
+    ev = _events([
+        (0, 0, 1, "click", 0.0),     # before any error → NULL
+        (1, 10, 1, "error", 0.0),
+        (2, 20, 1, "click", 0.0),    # → error 1
+        (3, 30, 1, "error", 0.0),    # mark itself → 3
+        (4, 40, 1, "click", 0.0),    # → error 3
+        (5, 40, 2, "click", 0.0),    # other user, no error → NULL
+    ])
+    rows = {r["event_id"]: r["mark_event_id"]
+            for r in asof_join_latest(ev, mark_type="error").take_all()}
+    assert rows == {0: None, 1: 1, 2: 1, 3: 3, 4: 3, 5: None}
