@@ -160,3 +160,68 @@ def test_staged_two_phase_ingest(tmp_path):
     one_shot = kg_pipeline(ray.data.from_arrow(tbl), HANDLER).take_all()
     key = lambda r: (r["kind"], r["entity_id"], r["src"], r["tgt"])
     assert sorted(rows, key=key) == sorted(one_shot, key=key)
+
+
+def test_cli_entrypoint_end_to_end(tmp_path):
+    """ray-job-submit surface: python -m go_light_rag_ray runs the
+    checkpointed pipeline and materializes the graph (fresh process)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    pq.write_table(generate_documents(20), f"{inp}/part0.parquet")
+    out = str(tmp_path / "graph")
+    env = dict(os.environ)
+    env["RAY_ADDRESS"] = "local"
+    r = subprocess.run(
+        [sys.executable, "-m", "go_light_rag_ray",
+         "--input", inp, "--ckpt", str(tmp_path / "ckpt"), "--out", out,
+         "--shards", "2"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads([l for l in r.stdout.splitlines()
+                           if l.startswith("{")][-1])
+    assert manifest["counters"]["nodes"] > 0
+    assert manifest["counters"]["edges"] > 0
+    assert os.path.exists(os.path.join(out, "GRAPH-MANIFEST.json"))
+
+
+def test_cli_incremental_prior(tmp_path):
+    """--prior merges new docs into an existing materialized graph."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["RAY_ADDRESS"] = "local"
+
+    def run(args):
+        r = subprocess.run([sys.executable, "-m", "go_light_rag_ray", *args],
+                           capture_output=True, text=True, timeout=300,
+                           env=env, cwd=repo)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads([l for l in r.stdout.splitlines()
+                           if l.startswith("{")][-1])
+
+    full = generate_documents(30)
+    inp1, inp2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    os.makedirs(inp1); os.makedirs(inp2)
+    pq.write_table(full.slice(0, 20), f"{inp1}/part.parquet")
+    pq.write_table(full.slice(20), f"{inp2}/part.parquet")
+    g1 = str(tmp_path / "g1")
+    m1 = run(["--input", inp1, "--ckpt", str(tmp_path / "c1"), "--out", g1,
+              "--shards", "1", "--merge-cap", "0"])
+    m2 = run(["--input", inp2, "--ckpt", str(tmp_path / "c2"),
+              "--out", str(tmp_path / "g2"), "--shards", "1",
+              "--prior", g1, "--merge-cap", "0"])
+    assert m2["counters"]["nodes"] >= m1["counters"]["nodes"]
+    assert m2["lineage"]["prior"] == g1
