@@ -204,10 +204,13 @@ def minhash_lsh_pairs(
         )
 
     pairs = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
-    # distinct (a, b): same pair can surface from several bands
-    return pairs.groupby(["a", "b"]).aggregate(
-        ray.data.aggregate.Count(alias_name="n_bands")
-    ).select_columns(["a", "b"])
+    # distinct (a, b): same pair can surface from several bands — dedupe via
+    # the sorted-run counter (pair keys are ~all-distinct; see sortagg.py)
+    from .sortagg import sorted_count
+
+    return sorted_count(pairs, keys=["a", "b"], count_name="n_bands").select_columns(
+        ["a", "b"]
+    )
 
 
 # ---------------------------------------------------------------------------
