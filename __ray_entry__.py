@@ -223,6 +223,12 @@ def q_text_langid(sf_dir: str) -> ray.data.Dataset:
     return language_id(_raw_docs(sf_dir))
 
 
+def q_text_tfidf(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_raw_docs(sf_dir), k=3)
+
+
 def q_text_fingerprint(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.textstats import fingerprints
 
@@ -808,6 +814,27 @@ wins AS (
 SELECT doc_id, min(md5(w)) AS fingerprint FROM wins GROUP BY doc_id
 """
 
+_TEXT_TFIDF_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, w AS word, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         t.tf::DOUBLE / d.df::DOUBLE AS score
+  FROM tf t JOIN df d USING (word)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, word ASC
+  )::INTEGER AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tf, df, score FROM ranked WHERE rank <= 3
+"""
+
 _ANN_TOPK_SQL = r"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
 scored AS (
@@ -1077,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_tfidf": q_text_tfidf,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "media_features": q_media_features,
@@ -1113,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+        "text_tfidf": _TEXT_TFIDF_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,

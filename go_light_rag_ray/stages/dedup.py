@@ -86,11 +86,18 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
+    from .sortagg import sorted_count
+
     hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
-    return hashed.groupby("text_hash").aggregate(
-        ray.data.aggregate.Min("doc_id", alias_name="canonical_doc_id"),
-        ray.data.aggregate.Count(alias_name="dup_count"),
-    )
+    counted = sorted_count(hashed, keys=["text_hash"], min_cols=["doc_id"],
+                           count_name="dup_count")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["canonical_doc_id" if c == "doc_id" else c for c in b.column_names]
+        )
+
+    return counted.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

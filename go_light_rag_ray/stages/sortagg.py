@@ -30,18 +30,21 @@ def sorted_count(
     ds: ray.data.Dataset,
     keys: list[str],
     carry: list[str] | None = None,
+    min_cols: list[str] | None = None,
     count_name: str = "common",
 ) -> ray.data.Dataset:
-    """→ one row per distinct key: keys..., ``count_name``, carry columns."""
+    """→ one row per distinct key: keys..., ``count_name``, carry columns
+    (constant within key), ``min_cols`` (per-group minimum)."""
     carry = carry or []
-    out_names = [*keys, count_name, *carry, "_final"]
+    min_cols = min_cols or []
+    value_cols = [*carry, *min_cols]
 
     def runs(b: pa.Table) -> pa.Table:
         n = len(b)
         if n == 0:
             cols = {k: pa.array([], b.schema.field(k).type) for k in keys}
             cols[count_name] = pa.array([], pa.int64())
-            for c in carry:
+            for c in value_cols:
                 cols[c] = pa.array([], b.schema.field(c).type)
             cols["_final"] = pa.array([], pa.int8())
             return pa.Table.from_pydict(cols)
@@ -62,6 +65,9 @@ def sorted_count(
             cols[c] = pa.array(
                 b.column(c).to_numpy(zero_copy_only=False)[starts]
             )
+        for c in min_cols:
+            vals = b.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.minimum.reduceat(vals, starts))
         cols["_final"] = pa.array((~is_boundary).astype(np.int8), pa.int8())
         return pa.Table.from_pydict(cols)
 
@@ -73,7 +79,7 @@ def sorted_count(
         .materialize()
     )
     finals = reduced.filter(expr="_final == 1").select_columns(
-        [*keys, count_name, *carry]
+        [*keys, count_name, *value_cols]
     )
     boundary = (
         reduced.filter(expr="_final == 0")
@@ -81,7 +87,8 @@ def sorted_count(
         .aggregate(
             agg.Sum(count_name, alias_name=count_name),
             *[agg.Max(c, alias_name=c) for c in carry],
+            *[agg.Min(c, alias_name=c) for c in min_cols],
         )
-        .select_columns([*keys, count_name, *carry])
+        .select_columns([*keys, count_name, *value_cols])
     )
     return finals.union(boundary)

@@ -133,6 +133,69 @@ def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(lid, batch_format="pyarrow")
 
 
+def tfidf_top_terms(
+    docs: ray.data.Dataset, k: int = 3, n_docs: int | None = None
+) -> ray.data.Dataset:
+    """Per-document top-k distinctive terms by tf/df score.
+
+    Join-free two-shuffle plan (no broadcast vocabulary, so it holds at
+    web-scale vocabularies): explode → (doc, word, tf) rows → groupby(word)
+    attaches df to every row *inside* the word group → groupby(doc) ranks
+    its terms.  Score = tf/df (a rational of two ints, so the DuckDB oracle
+    matches the double exactly); rank ties break on ascending word.
+    Returns (doc_id, rank, word, tf, df, score).
+    """
+    import ray.data.aggregate  # noqa: F401  (keeps parity with module deps)
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_d, out_w, out_tf = [], [], []
+        for did, t in zip(doc_ids, texts):
+            counts: dict[str, int] = {}
+            for w in (t or "").split():
+                counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                out_d.append(did)
+                out_w.append(w)
+                out_tf.append(c)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_d, b.schema.field("doc_id").type),
+             "word": pa.array(out_w, pa.string()),
+             "tf": pa.array(out_tf, pa.int64())}
+        )
+
+    tf_rows = docs.map_batches(explode, batch_format="pyarrow")
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        return group.append_column(
+            "df", pa.nulls(len(group), pa.int64()).fill_null(len(group))
+        )
+
+    with_df = tf_rows.groupby("word").map_groups(attach_df, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id")[0]
+        words = group.column("word").to_pylist()
+        tf = group.column("tf").to_pylist()
+        df = group.column("df").to_pylist()
+        scored = sorted(
+            ((t / d, w, t, d) for w, t, d in zip(words, tf, df)),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        n = len(scored)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([did.as_py()] * n, group.schema.field("doc_id").type),
+             "rank": pa.array(range(1, n + 1), pa.int32()),
+             "word": pa.array([s[1] for s in scored], pa.string()),
+             "tf": pa.array([s[2] for s in scored], pa.int64()),
+             "df": pa.array([s[3] for s in scored], pa.int64()),
+             "score": pa.array([s[0] for s in scored], pa.float64())}
+        )
+
+    return with_df.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
 def fingerprints(docs: ray.data.Dataset, shingle_k: int = FINGERPRINT_SHINGLE_K) -> ray.data.Dataset:
     """Winnowing-style document fingerprint: min md5 over k-word shingles
     (rolling window; the min-of-window-hashes scheme of Schleimer et al.

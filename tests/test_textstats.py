@@ -61,3 +61,23 @@ def test_fingerprints():
     assert rows[2] == hashlib.md5(b"").hexdigest()
     w = ["the quick-brown", "quick-brown fox"]
     assert rows[0] == min(hashlib.md5(x.encode()).hexdigest() for x in w)
+
+
+def test_tfidf_top_terms():
+    from go_light_rag_ray.stages.textstats import tfidf_top_terms
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["rare common common", "common common", "other common"],
+    }))
+    rows = tfidf_top_terms(docs, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    # "rare": tf=1 df=1 → 1.0 beats "common": tf=2 df=3 → 0.667
+    assert (d0[0]["word"], d0[0]["score"]) == ("rare", 1.0)
+    assert d0[1]["word"] == "common" and d0[1]["tf"] == 2 and d0[1]["df"] == 3
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert d2[0]["word"] == "other"        # tf1/df1 beats common tf1/df3
+    assert all(len(v) <= 2 for v in by_doc.values())
