@@ -229,6 +229,14 @@ def q_text_tfidf(sf_dir: str) -> ray.data.Dataset:
     return tfidf_top_terms(_raw_docs(sf_dir), k=3)
 
 
+def q_curate(sf_dir: str) -> ray.data.Dataset:
+    """Composed curation pass: quality + language filters fused into the
+    read, exact dedup keep-first as the only shuffle (pipelines/curate.py)."""
+    from go_light_rag_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(_raw_docs(sf_dir), min_quality=0.5, langs=("en",))
+
+
 def q_text_fingerprint(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.textstats import fingerprints
 
@@ -835,6 +843,46 @@ ranked AS (
 SELECT doc_id, rank, word, tf, df, score FROM ranked WHERE rank <= 3
 """
 
+# mirrors pipelines/curate.py: quality/lang filters then keep min doc_id
+# per md5(text) among survivors
+_CURATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(toks) AS n,
+         (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           * (1 - len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+                  / len(toks)::DOUBLE) AS quality,
+         toks
+  FROM t WHERE len(toks) > 0
+),
+langs(lang, markers) AS (
+  VALUES ('de', ['small','slow','big']), ('en', ['the','a','fast']),
+         ('es', ['join','merge','sort']), ('fr', ['row','column','line'])
+),
+lid AS (
+  SELECT doc_id, lang AS lang_pred FROM (
+    SELECT m.doc_id, l.lang,
+           row_number() OVER (
+             PARTITION BY m.doc_id
+             ORDER BY len(list_filter(m.toks, w -> list_contains(l.markers, w)))::DOUBLE
+                        / len(m.toks)::DOUBLE DESC, l.lang ASC) AS rn
+    FROM m CROSS JOIN langs l
+  ) WHERE rn = 1
+),
+surv AS (
+  SELECT m.doc_id, m.n AS n_tokens, m.quality, lid.lang_pred, md5(m.text) AS h
+  FROM m JOIN lid USING (doc_id)
+  WHERE m.quality >= 0.5 AND lid.lang_pred = 'en'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) AS rn
+  FROM surv
+)
+SELECT doc_id, n_tokens, quality, lang_pred FROM ranked WHERE rn = 1
+"""
+
 _ANN_TOPK_SQL = r"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
 scored AS (
@@ -1105,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
+        "curate": q_curate,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "media_features": q_media_features,
@@ -1142,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _TEXT_LANGID_SQL,
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
         "text_tfidf": _TEXT_TFIDF_SQL,
+        "curate": _CURATE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
