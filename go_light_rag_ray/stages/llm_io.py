@@ -41,6 +41,25 @@ def json_repair(text: str) -> str:
     return _TRAILING_COMMA_RE.sub(r"\1", text)
 
 
+def parse_keyword_response(text: str) -> tuple[list[str], list[str]]:
+    """Query-path keyword extraction parse (reference query.go:133-145):
+    backslash strip FIRST, then think-tag strip, fence strip, repair, parse
+    ``{"high_level_keywords": [...], "low_level_keywords": [...]}``.
+    Returns (high, low); raises ValueError on unparseable input."""
+    cleaned = json_repair(
+        remove_markdown_backticks(remove_think_tags(text.replace("\\", "")))
+    )
+    try:
+        obj = json.loads(cleaned)
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"unparseable keyword response: {exc}") from exc
+    if not isinstance(obj, dict):
+        raise ValueError("keyword response is not a JSON object")
+    high = [str(k) for k in obj.get("high_level_keywords") or []]
+    low = [str(k) for k in obj.get("low_level_keywords") or []]
+    return high, low
+
+
 def parse_llm_response(
     text: str,
 ) -> tuple[list[EntityMention], list[RelationMention]]:

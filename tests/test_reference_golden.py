@@ -181,3 +181,22 @@ def test_retry_shell_recovers_then_gives_up():
     dead = Extractor(rules=_FlakyRules(fail_times=5), max_retries=3)
     out2 = dead(batch)
     assert out2.num_rows == 0                    # exhausted → empty, no raise
+
+
+def test_keyword_response_parse_matches_reference_scrub_order():
+    """query.go:133-145: backslash strip → think strip → fence strip →
+    repair → parse into high/low keyword lists."""
+    from go_light_rag_ray.stages.llm_io import parse_keyword_response
+
+    payload = (
+        "<think>hmm</think>```json\n"
+        '{\\"high_level_keywords\\": [\\"architecture\\"],'
+        ' \\"low_level_keywords\\": [\\"spark\\", \\"cache\\"],}'
+        "\n```"
+    )
+    high, low = parse_keyword_response(payload)
+    assert high == ["architecture"]
+    assert low == ["spark", "cache"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_keyword_response("not json at all")
