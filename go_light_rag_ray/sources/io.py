@@ -38,8 +38,6 @@ def flat_documents_as_interleaved(batch: pa.Table) -> pa.Table:
     ``media://doc-{id}/{k}`` — so multimodal stages have real rows to chew
     on.  Deterministic and SQL-expressible for the oracle.
     """
-    import pyarrow.compute as pc
-
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     out_ids: list[str] = []
@@ -72,6 +70,9 @@ def list_input_fragments(path: str) -> list[str]:
 def write_table(ds: ray.data.Dataset, out_dir: str, partition_cols: list[str] | None = None,
                 min_rows_per_file: int | None = None) -> None:
     """Write a Dataset as a partitioned table (lance if available, else parquet)."""
+    if HAVE_LANCE and out_dir.endswith(".lance"):  # pragma: no cover
+        ds.write_lance(out_dir)
+        return
     kwargs = {}
     if partition_cols:
         kwargs["partition_cols"] = partition_cols

@@ -120,8 +120,6 @@ def encode_graph_content(graph: ray.data.Dataset, dims: int = 64) -> ray.data.Da
     nodes embed name+descriptions, edges embed keywords+src+tgt+descs."""
 
     def to_content(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         ids, texts = [], []
         kinds = b.column("kind").to_pylist()
         for i, kind in enumerate(kinds):
