@@ -67,9 +67,12 @@ def main() -> int:
         ok_vals = False
         if ok_rows and ok_cols:
             try:
+                # exact, like the driver's value-hash: every double must
+                # match bit-for-bit (oracles are engineered for this —
+                # integer-derived ratios, dyadic weights, 6-dp rounding)
                 pd.testing.assert_frame_equal(
                     got.reset_index(drop=True), want.reset_index(drop=True),
-                    check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-12,
+                    check_dtype=False, check_exact=True,
                 )
                 ok_vals = True
             except AssertionError as ex:
