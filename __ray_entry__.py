@@ -229,6 +229,24 @@ def q_text_tfidf(sf_dir: str) -> ray.data.Dataset:
     return tfidf_top_terms(_raw_docs(sf_dir), k=3)
 
 
+def q_split_assign(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by md5 hash range — stable
+    across runs, cluster sizes, and block layouts (stages/sampling.py)."""
+    from go_light_rag_ray.stages.sampling import split_assign
+
+    return split_assign(
+        _raw_docs(sf_dir).select_columns(["doc_id"]), id_col="doc_id"
+    )
+
+
+def q_hash_sample(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.sampling import hash_sample
+
+    return hash_sample(
+        _raw_docs(sf_dir).select_columns(["doc_id"]), fraction=0.25
+    )
+
+
 def q_curate(sf_dir: str) -> ray.data.Dataset:
     """Composed curation pass: quality + language filters fused into the
     read, exact dedup keep-first as the only shuffle (pipelines/curate.py)."""
@@ -883,6 +901,21 @@ ranked AS (
 SELECT doc_id, n_tokens, quality, lang_pred FROM ranked WHERE rn = 1
 """
 
+_SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT < 3435973836
+              THEN 'train'
+            WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT < 3865470566
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 8))::BIGINT < 1073741824
+"""
+
 _ANN_TOPK_SQL = r"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
 scored AS (
@@ -1154,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
         "curate": q_curate,
+        "split_assign": q_split_assign,
+        "hash_sample": q_hash_sample,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "media_features": q_media_features,
@@ -1192,6 +1227,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
         "text_tfidf": _TEXT_TFIDF_SQL,
         "curate": _CURATE_SQL,
+        "split_assign": _SPLIT_ASSIGN_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
