@@ -137,3 +137,66 @@ def test_chunker_windows_cover_input(words, max_tokens, overlap):
     expected = text.split()
     # windows past the end can duplicate the tail; dedupe by position count
     assert rebuilt[: len(expected)] == expected
+
+
+FIXED_TYPE = {"A": "SYSTEM", "B": "DATA", "C": "OP"}
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=mention_rows(), cut=st.floats(0.1, 0.9), batch=st.integers(1, 40))
+def test_incremental_merge_is_associative(rows, cut, batch):
+    """graph(part1 ∪ part2) == incremental(graph(part1), part2) for splits
+    ordered by occurrence (doc_id carries the order).
+
+    Scope: entity mentions carry a consistent type per name (what real
+    extractors emit — type is a function of the gazetteer).  When mentions
+    DISAGREE on type, exact associativity of the mode vote is impossible:
+    the snapshot stores only the winning type (the reference has the same
+    information loss, insert.go:522-527) — documented in
+    graph_to_partials's docstring."""
+    from go_light_rag_ray.stages.canonicalize import graph_to_partials
+
+    for r in rows:
+        if r["kind"] == "entity":
+            r["type"] = FIXED_TYPE[r["name"]]
+    rows = sorted(rows, key=lambda r: (r["doc_id"], r["mention_index"]))
+    k = max(1, min(len(rows) - 1, int(len(rows) * cut)))
+    part1, part2 = rows[:k], rows[k:]
+    if not part2:
+        return
+
+    one_shot = _graph_of(rows, batch, salt_buckets=4)
+
+    # snapshot part1's graph, convert to partials, merge with part2 partials
+    g1 = _graph_of(part1, batch, salt_buckets=4)
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.canonicalize import (
+        GRAPH_SCHEMA,
+        combine_mentions,
+        finalize_group,
+    )
+
+    snapshot = pa.Table.from_pylist(list(g1.values()), schema=GRAPH_SCHEMA)
+    prior_partials = graph_to_partials(snapshot, salt_buckets=4)
+    new_tables = [prior_partials]
+    for i in range(0, len(part2), batch):
+        b = pa.Table.from_pylist(part2[i:i + batch], schema=MENTIONS_SCHEMA)
+        new_tables.append(combine_mentions(b, 4))
+    partials = pa.concat_tables(new_tables)
+
+    import pyarrow.compute as pc
+
+    merged = {}
+    keys = set(zip(partials.column("kind").to_pylist(),
+                   partials.column("k1").to_pylist(),
+                   partials.column("k2").to_pylist()))
+    for kind, k1, k2 in sorted(keys):
+        mask = pc.and_(
+            pc.and_(pc.equal(partials.column("kind"), kind),
+                    pc.equal(partials.column("k1"), k1)),
+            pc.equal(partials.column("k2"), k2),
+        )
+        merged[(kind, k1, k2)] = finalize_group(
+            partials.filter(mask)).to_pylist()[0]
+    assert merged == one_shot
