@@ -698,15 +698,24 @@ shingles AS (
 )
 """
 
-_DEDUP_MINHASH_SQL = _SHINGLES_CTE + r"""
-, sig AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS h
-  FROM shingles, unnest(range(0, 16)) AS p(i)
-  GROUP BY doc_id, i
+# universal-hash minhash (stages/dedup.py MINHASH_A/B over P = 2^31-1):
+# base hash = 60-bit md5 prefix mod P, perm_i = (A_i*h + B_i) mod P
+_DEDUP_MINHASH_SQL = _SHINGLES_CTE + """
+, perms(i, pa, pb) AS (VALUES (0, 1103515245, 12345), (1, 1299709, 54321), (2, 15485863, 98765), (3, 32452843, 13579), (4, 49979687, 24680), (5, 67867967, 11111), (6, 86028121, 22222), (7, 104395301, 33333), (8, 122949823, 44444), (9, 141650939, 55555), (10, 160481183, 66666), (11, 179424673, 77777), (12, 198491317, 88888), (13, 217645177, 99999), (14, 236887691, 10101), (15, 256203161, 20202)),
+base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id, p.i,
+         min((p.pa * base.h + p.pb) % 2147483647) AS h
+  FROM base CROSS JOIN perms p
+  GROUP BY doc_id, p.i
 ),
 bands AS (
   SELECT doc_id,
-         md5((i // 4)::VARCHAR || '|' || string_agg(h, '|' ORDER BY i)) AS bucket
+         md5((i // 4)::VARCHAR || '|' || string_agg(h::VARCHAR, '|' ORDER BY i)) AS bucket
   FROM sig GROUP BY doc_id, i // 4
 )
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

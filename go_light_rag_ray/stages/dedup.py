@@ -104,28 +104,43 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 # MinHash + LSH (near-dup, Broder 1997)
 # ---------------------------------------------------------------------------
 
+# universal-hash permutation family over the Mersenne prime 2^31-1:
+# perm_i(h) = (A[i]·h + B[i]) mod P with h = 60-bit md5 prefix mod P.
+# ONE md5 per shingle, then a vectorized (num_perm × n) affine transform —
+# 16× fewer digests than hashing per (permutation, shingle), and exactly
+# reproducible in SQL (products stay < 2^61, BIGINT-safe).
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = [1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
+             86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
+             198491317, 217645177, 236887691, 256203161]
+MINHASH_B = [12345, 54321, 98765, 13579, 24680, 11111, 22222, 33333,
+             44444, 55555, 66666, 77777, 88888, 99999, 10101, 20202]
+
+
+def _shingle_base_hash(s: str) -> int:
+    return int(_md5(s)[:15], 16) % MINHASH_P
+
+
 class MinHasher:
-    """Actor-pool stage: doc → minhash signature.
+    """Actor-pool stage: doc → minhash signature (list<int64>).
 
-    signature[i] = min over shingles s of md5(f"{i}|{s}") — the lexicographic
-    min of fixed-width hex equals the numeric min of the 128-bit hash, and
-    is exactly reproducible in SQL as ``min(md5(i || '|' || s))``.
-    """
+    Per-actor state: the shingle→base-hash cache (shingles repeat heavily
+    across documents; one dict hit replaces the md5)."""
 
-    # bound on the per-actor shingle-hash cache; shingles repeat heavily
-    # across documents (stop-shingles at web scale), so the cache converts
-    # num_perm md5 calls per occurrence into one dict hit
     CACHE_CAP = 1 << 20
 
     def __init__(self, num_perm: int = 16, shingle_k: int = 3) -> None:
+        assert num_perm <= len(MINHASH_A)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
-        self._cache: dict[str, list[str]] = {}
+        self._a = np.array(MINHASH_A[:num_perm], dtype=np.int64)[:, None]
+        self._b = np.array(MINHASH_B[:num_perm], dtype=np.int64)[:, None]
+        self._cache: dict[str, int] = {}
 
-    def _hashes(self, s: str) -> list[str]:
+    def _base(self, s: str) -> int:
         h = self._cache.get(s)
         if h is None:
-            h = [_md5(f"{i}|{s}") for i in range(self.num_perm)]
+            h = _shingle_base_hash(s)
             if len(self._cache) >= self.CACHE_CAP:
                 self._cache.clear()
             self._cache[s] = h
@@ -135,18 +150,18 @@ class MinHasher:
         doc_ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
         out_ids: list[int] = []
-        sigs: list[list[str]] = []
+        sigs: list[list[int]] = []
         for did, text in zip(doc_ids, texts):
             sh = _shingles(text or "", self.shingle_k)
             if not sh:
                 continue
-            rows = [self._hashes(s) for s in sh]
-            sig = [min(r[i] for r in rows) for i in range(self.num_perm)]
+            h = np.array([self._base(s) for s in sh], dtype=np.int64)
+            perms = (self._a * h + self._b) % MINHASH_P   # (num_perm, n)
+            sigs.append(perms.min(axis=1).tolist())
             out_ids.append(did)
-            sigs.append(sig)
         return pa.Table.from_pydict(
             {"doc_id": pa.array(out_ids, b.schema.field("doc_id").type),
-             "signature": pa.array(sigs, pa.list_(pa.string()))}
+             "signature": pa.array(sigs, pa.list_(pa.int64()))}
         )
 
 
@@ -186,7 +201,10 @@ def minhash_lsh_pairs(
         out_doc, out_bucket = [], []
         for did, sig in zip(doc_ids, signatures):
             for band in range(bands):
-                key = _md5(f"{band}|" + "|".join(sig[band * rows : (band + 1) * rows]))
+                key = _md5(
+                    f"{band}|"
+                    + "|".join(str(v) for v in sig[band * rows : (band + 1) * rows])
+                )
                 out_doc.append(did)
                 out_bucket.append(key)
         return pa.Table.from_pydict(
@@ -212,7 +230,9 @@ def minhash_lsh_pairs(
 
     pairs = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
     # distinct (a, b): same pair can surface from several bands — dedupe via
-    # the sorted-run counter (pair keys are ~all-distinct; see sortagg.py)
+    # the sorted-run counter (pair keys are ~all-distinct; see sortagg.py).
+    # Pair emission itself stays a conventional map_groups: measured A/B,
+    # the parallel grouped map beats a sort+union pipeline for this shape.
     from .sortagg import sorted_count
 
     return sorted_count(pairs, keys=["a", "b"], count_name="n_bands").select_columns(
@@ -322,11 +342,9 @@ def ngram_jaccard_pairs(
     index = docs.map_batches(explode, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        """Vectorized pair emission; the two set sizes pack into ONE int64
-        value column (sizes = na<<32 | nb — shingle counts are <2^32 at any
-        doc size) so the expensive pair-key aggregate below carries a
-        single Max instead of two (Ray's sort-aggregate cost is per group ×
-        per aggregate)."""
+        """Vectorized pair emission; both set sizes pack into ONE int64
+        (sizes = na<<32 | nb — counts are <2^32 at any doc size) so the
+        pair-key count below carries a single value column."""
         typ = group.schema.field("doc_id").type
         ids = group.column("doc_id").to_numpy()
         ns = group.column("n_shingles").to_numpy()
@@ -347,7 +365,9 @@ def ngram_jaccard_pairs(
     pairs = index.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
     # pair keys are ~all-distinct (millions of size-1..50 groups): Ray's
     # per-group aggregate overhead dominates there, so count via the
-    # sorted-run operator instead (15 s → 1.6 s at 1.27M pairs, exact)
+    # sorted-run operator (15 s → 1.6 s at 1.27M pairs, exact).  The pair
+    # EMISSION stays a conventional map_groups — measured A/B, the parallel
+    # grouped map beats a sort+union pipeline for that shape.
     from .sortagg import sorted_count
 
     agg = sorted_count(pairs, keys=["a", "b"], carry=["sizes"],

@@ -48,10 +48,20 @@ def test_minhash_signature_deterministic():
     assert by_id[0] == by_id[1]            # exact dups → identical sigs
     assert by_id[0] != by_id[3]
     assert all(len(s) == 8 for s in by_id.values())
-    # a permutation value is the min md5 over shingles with that seed
+    # a permutation value is min over shingles of the affine universal hash
+    from go_light_rag_ray.stages.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _shingle_base_hash,
+    )
+
     toks = TEXTS[3].split()
     shingles = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
-    expect = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shingles)
+    expect = min(
+        (MINHASH_A[0] * _shingle_base_hash(s) + MINHASH_B[0]) % MINHASH_P
+        for s in shingles
+    )
     assert by_id[3][0] == expect
 
 
