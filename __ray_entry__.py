@@ -199,6 +199,16 @@ def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
     return ngram_jaccard_pairs(_raw_docs(sf_dir), shingle_k=3, threshold=0.3)
 
 
+def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup clustering: connected components over the MinHash candidate
+    pairs; cluster_id = smallest doc id in the component."""
+    from go_light_rag_ray.stages.dedup import cluster_duplicates, minhash_lsh_pairs
+
+    docs = _raw_docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3)
+    return cluster_duplicates(docs, pairs)
+
+
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.dedup import embedding_dup_pairs
 
@@ -722,6 +732,27 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
 """
 
+_DEDUP_CLUSTERS_SQL = _DEDUP_MINHASH_SQL.replace(
+    "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b",
+    ", cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b",
+).replace(
+    "ON x.bucket = y.bucket AND x.doc_id < y.doc_id",
+    """ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+edges2 AS (
+  SELECT a AS s, b AS d FROM cand UNION ALL SELECT b, a FROM cand
+),
+reach AS (
+  -- undirected reachability closure (pair graph is tiny at oracle scale)
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.d FROM r JOIN edges2 e ON r.dst = e.s
+  )
+  SELECT * FROM r
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""",
+)
+
 _DEDUP_SIMHASH_SQL = r"""
 WITH words AS (
   SELECT doc_id, w, count(*) AS c FROM (
@@ -1190,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1230,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

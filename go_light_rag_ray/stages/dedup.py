@@ -387,6 +387,58 @@ def ngram_jaccard_pairs(
     return agg.map_batches(score, batch_format="pyarrow")
 
 
+def cluster_duplicates(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Duplicate clustering: connected components over candidate pairs →
+    ``(doc_id, cluster_id)`` with cluster_id = the smallest doc id in the
+    component (docs in no pair are their own cluster).
+
+    The pair set is the REDUCED side (near-dup candidates ≪ corpus), so
+    union-find runs on the collected pairs and the component map broadcasts
+    via ``ray.put``; the corpus-wide assignment is a vectorized
+    ``map_batches``.  At scales where even the pair set is huge, swap the
+    driver union-find for iterative min-label propagation over
+    hash-partitioned edges (same output; more rounds).
+    """
+    import ray
+
+    edge_rows = pairs.select_columns(["a", "b"]).take_all()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            # union by min id so the representative is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp = {x: find(x) for x in list(parent)}
+    comp_ref = ray.put(comp)
+
+    def assign(b: pa.Table) -> pa.Table:
+        mapping = ray.get(comp_ref)
+        ids = b.column(id_col).to_pylist()
+        clusters = [mapping.get(i, i) for i in ids]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, b.schema.field(id_col).type),
+             "cluster_id": pa.array(clusters, b.schema.field(id_col).type)}
+        )
+
+    return docs.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup via sign-bit LSH
 # ---------------------------------------------------------------------------

@@ -122,3 +122,25 @@ def test_embedding_dup_pairs():
     pairs = {(r["a"], r["b"]): r["cos_sim"] for r in rows}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] >= 0.99
+
+
+def test_cluster_duplicates_transitive_components():
+    from go_light_rag_ray.stages.dedup import cluster_duplicates
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2, 3, 4, 5]}))
+    # chain 0-1, 1-2 (transitive) and pair 4-5; 3 is a singleton
+    pairs = ray.data.from_arrow(pa.table({"a": [0, 1, 4], "b": [1, 2, 5]}))
+    rows = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_duplicates(docs, pairs).take_all()}
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_cluster_duplicates_no_pairs_identity():
+    from go_light_rag_ray.stages.dedup import cluster_duplicates
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": [7, 8]}))
+    pairs = ray.data.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                          "b": pa.array([], pa.int64())}))
+    rows = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_duplicates(docs, pairs).take_all()}
+    assert rows == {7: 7, 8: 8}
