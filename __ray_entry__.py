@@ -283,6 +283,12 @@ def q_ann_topk_lsh(sf_dir: str) -> ray.data.Dataset:
     return ann_topk_lsh(_raw_embeddings(sf_dir), n_queries=8, k=5, sign_bits=4)
 
 
+def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.stages.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_raw_embeddings(sf_dir), n_queries=8, k=5, n_centroids=8)
+
+
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.sources.io import flat_documents_as_interleaved
     from go_light_rag_ray.stages.multimodal import featurize_media
@@ -1004,6 +1010,37 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
+# IVF coarse quantizer: centroids = first 8 vectors; cell = argmax rounded
+# cosine with ties to the lowest centroid id (np.argmax picks the first max)
+_ANN_TOPK_IVF_SQL = r"""
+WITH cents AS (
+  SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+cells AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.ci FROM cents c
+          ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                c.cvec::DOUBLE[]), 6) DESC,
+                   c.ci ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+q AS (SELECT * FROM cells WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q JOIN cells e ON e.cell = q.cell AND e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  )::INTEGER AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
 # mirrors sources/io.flat_documents_as_interleaved (one image span per full
 # 40 words, span_index = 1 + k) + stages/multimodal.MediaFeaturizer fake
 # features (md5 digest bytes)
@@ -1232,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "media_features": q_media_features,
         "ctx_local_entities": q_ctx_local_entities,
         "ctx_local_relationships": q_ctx_local_relationships,
@@ -1273,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
+        "ann_topk_ivf": _ANN_TOPK_IVF_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "span_check": _SPAN_CHECK_SQL,
         "window_tumbling": _WINDOW_TUMBLING_SQL,

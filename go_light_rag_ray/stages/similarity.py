@@ -169,6 +169,70 @@ def ann_topk_lsh(
     return _final_topk(partial, k)
 
 
+def ann_topk_ivf(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF-style approximate top-k: a coarse quantizer of ``n_centroids``
+    deterministic centroids (the first ``n_centroids`` vectors, unit-
+    normalized — a data-dependent, SQL-replicable stand-in for trained
+    k-means centers) partitions the corpus; each query scans only its own
+    centroid's inverted list (nprobe=1).  The scan per query drops
+    ~n_centroids-fold, trading recall across cell boundaries.
+    Same output schema as ``ann_topk``; tie-breaks identical.
+    """
+    qids, qmat = load_query_matrix(embeddings, n_queries, id_col, vec_col)
+    crows = (
+        embeddings.filter(expr=f"{id_col} < {n_centroids}")
+        .select_columns([id_col, vec_col])
+        .take_all()
+    )
+    crows.sort(key=lambda r: r[id_col])
+    cmat = _unit(np.asarray([r[vec_col] for r in crows], dtype=np.float64))
+
+    def cell_of(unit_rows: np.ndarray) -> np.ndarray:
+        """argmax cosine centroid; ties break to the lowest centroid index
+        (np.argmax picks the first maximum)."""
+        return np.argmax(np.round(unit_rows @ cmat.T, ROUND_DP), axis=1)
+
+    qcells = cell_of(qmat)
+    q_ref = ray.put((qids, qmat, qcells))
+
+    class CellTopK:
+        def __init__(self) -> None:
+            self.qids, self.qmat, self.qcells = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy()
+            unit = _unit(_as_matrix(b.column(vec_col)))
+            cells = cell_of(unit)
+            sims = np.round(unit @ self.qmat.T, ROUND_DP)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = (cells == self.qcells[qi]) & (ids != qid)
+                cand_ids, cand_sims = ids[mask], sims[mask, qi]
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    cand_ids, cand_sims = cand_ids[order], cand_sims[order]
+                out_q.extend([qid] * len(cand_ids))
+                out_n.extend(cand_ids.tolist())
+                out_s.extend(cand_sims.tolist())
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 "neighbor_id": pa.array(out_n, pa.int64()),
+                 "cos_sim": pa.array(out_s, pa.float64())}
+            )
+
+    partial = embeddings.map_batches(
+        CellTopK, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return _final_topk(partial, k)
+
+
 def _final_topk(partial: ray.data.Dataset, k: int) -> ray.data.Dataset:
     """Merge per-batch partial top-k lists into global ranks 1..k."""
 

@@ -63,3 +63,19 @@ def test_ann_topk_lsh_subset_of_bucket():
     # near-identical vectors share every sign → still found
     assert any(r["query_id"] == 0 and r["neighbor_id"] == 1 and r["rank"] == 1
                for r in rows)
+
+
+def test_ann_topk_ivf_cell_restriction():
+    from go_light_rag_ray.stages.similarity import ann_topk_ivf, _unit
+
+    ds, mat = _embeddings(n=40)
+    rows = ann_topk_ivf(ds, n_queries=2, k=5, n_centroids=4).take_all()
+    # every neighbor shares its query's coarse cell
+    unit = _unit(np.asarray(mat, dtype=np.float64))
+    cmat = unit[:4]
+    cells = np.argmax(np.round(unit @ cmat.T, 6), axis=1)
+    for r in rows:
+        assert cells[r["query_id"]] == cells[r["neighbor_id"]]
+    # the planted near-identical pair lands in the same cell → rank 1
+    assert any(r["query_id"] == 0 and r["neighbor_id"] == 1 and r["rank"] == 1
+               for r in rows)
