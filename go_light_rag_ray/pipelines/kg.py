@@ -200,6 +200,49 @@ def triples_view(graph: ray.data.Dataset) -> ray.data.Dataset:
     return graph.map_batches(to_triples, batch_format="pyarrow")
 
 
+def ingest_prechunked(
+    content_chunks: ray.data.Dataset, handler: Handler
+) -> ray.data.Dataset:
+    """Externally pre-chunked content → graph (reference ``InsertChunks``,
+    insert.go:67-100, over the richer ContentChunk provenance schema,
+    rag.go:138-159).
+
+    Accepts rows shaped ``(id, content_id, chunk_index, text, ...)`` —
+    extra provenance columns (text_hash, offsets, origin) pass through
+    untouched upstream and are simply not consumed here.  The rows are
+    adapted to the engine's chunk schema (content_id → doc_id, chunk_index
+    → order_index; chunk ids keep the external id so source_ids in the
+    graph reference the caller's identifiers), then flow through the same
+    extract → canonicalize path as internally-chunked documents.
+    """
+    import pyarrow as pa
+
+    from ..tokenizer import get_tokenizer
+
+    tok = get_tokenizer(handler.tokenizer)
+
+    def adapt(b: pa.Table) -> pa.Table:
+        from ..schemas import CHUNKS_SCHEMA
+
+        ids = b.column("id").to_pylist()
+        content_ids = b.column("content_id").to_pylist()
+        idxs = b.column("chunk_index").to_pylist()
+        texts = b.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": [str(i) for i in ids],
+                "doc_id": [str(c) for c in content_ids],
+                "order_index": [int(i) for i in idxs],
+                "content": [t or "" for t in texts],
+                "token_size": [tok.count(t or "") for t in texts],
+            },
+            schema=CHUNKS_SCHEMA,
+        )
+
+    chunks = content_chunks.map_batches(adapt, batch_format="pyarrow")
+    return build_graph(extract_mentions(chunks, handler), handler)
+
+
 def stage_chunks(
     input_path: str,
     ckpt_dir: str,

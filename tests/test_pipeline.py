@@ -225,3 +225,29 @@ def test_cli_incremental_prior(tmp_path):
               "--prior", g1, "--merge-cap", "0"])
     assert m2["counters"]["nodes"] >= m1["counters"]["nodes"]
     assert m2["lineage"]["prior"] == g1
+
+
+def test_ingest_prechunked_content(ray_session):
+    """InsertChunks parity: external ContentChunk rows flow through the
+    same extract → canonicalize path; external ids become source_ids."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.pipelines.kg import Handler, ingest_prechunked
+
+    rows = pa.table({
+        "id": ["ext-c1", "ext-c2"],
+        "content_id": ["paper-9", "paper-9"],
+        "chunk_index": [0, 1],
+        "text": ["spark merge customer", "customer join spark"],
+        "text_hash": ["h1", "h2"],           # provenance passes through
+    })
+    h = Handler(tokenizer="whitespace", rules="word_cooccurrence",
+                content_mode="text", max_summaries_token_length=0,
+                merge_cap=0, salt_buckets=2)
+    graph = ingest_prechunked(ray.data.from_arrow(rows), h).take_all()
+    nodes = {r["entity_id"]: r for r in graph if r["kind"] == "node"}
+    assert "SPARK" in nodes and "CUSTOMER" in nodes
+    # source ids are the caller's external chunk ids
+    assert set(nodes["SPARK"]["source_ids"]) == {"ext-c1", "ext-c2"}
+    edges = [r for r in graph if r["kind"] == "edge"]
+    assert any(e["src"] == "SPARK" and e["tgt"] == "MERGE" for e in edges)
