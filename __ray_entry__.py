@@ -3,17 +3,30 @@
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-The KG queries run the full flagship pipeline (chunk → extract → glean →
-canonicalize) over the driver testdata ``documents`` table with the
-``word_cooccurrence`` rule set (stages/extractor.py), which was designed to
-be exactly mirrored in ANSI SQL so DuckDB can serve as the correctness
-oracle for the *dataflow* (normalization, grouping, ordered-distinct merge,
-weight accumulation, placeholder nodes) — the part of the reference
-(insert.go:454-690) this graft exercises.
+Query families (34 with DuckDB value oracles, 3 rows-only):
 
-Column-name and dtype parity with the SQL is deliberate: every aggregate is
-cast so both sides produce identical logical types (string / int32 / int64
-/ double) and identical column names.
+- kg_* / ctx_* / mentions / chunks — the flagship pipeline (chunk →
+  extract → glean → canonicalize) and the retrieval path over the driver
+  ``documents`` table with the ``word_cooccurrence`` rule set
+  (stages/extractor.py), designed to be exactly mirrored in ANSI SQL so
+  DuckDB oracles the *dataflow* (normalization, grouping, ordered-distinct
+  merge, weight accumulation, placeholder nodes — reference
+  insert.go:454-690); the canonical graph is built once per sf_dir and
+  cached (``_graph``).
+- dedup_* — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+  embedding-cosine near-dup + connected-component clustering.
+- text_* / curate / split_assign / hash_sample — text analysis, the
+  composed corpus-cleaning pass, deterministic sampling.
+- ann_topk(_lsh/_ivf) / media_features / span_check — similarity search,
+  multimodal plumbing, the per-row span-sequence invariant.
+- window_* / sessions / asof_join — event-time operators over ``events``.
+- chunks_by_handler / chunk_embeddings / entity_ann — rows-only (their
+  hash-projection vectors / chunker internals are not SQL).
+
+Every value oracle matches BIT-EXACTLY (the driver hashes values): all
+hashing is md5, ratios derive from integers, edge weights are dyadic
+(order-independent float sums), cosines round to 6 dp on ``DOUBLE``-cast
+inputs, and column names/dtypes are aligned on both sides.
 """
 
 from __future__ import annotations
