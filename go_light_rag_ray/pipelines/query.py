@@ -377,6 +377,29 @@ def render_csv_section(title: str, tbl: pa.Table) -> str:
     return "\n".join(lines)
 
 
+def extract_query_and_histories(
+    conversations: list[dict],
+) -> tuple[str, list[dict]]:
+    """Latest user message + preceding history (reference
+    extractQueryAndHistories, query.go:192-200): scan backwards for the
+    last role == "user" turn; everything before it is history.  Raises
+    ``ValueError`` when no user message exists (the reference's error
+    path, query_test.go no-user-message case)."""
+    for i in range(len(conversations) - 1, -1, -1):
+        if conversations[i].get("role") == "user":
+            return conversations[i].get("message", ""), conversations[:i]
+    raise ValueError("no user message found")
+
+
+def query(graph: ray.data.Dataset, conversations: list[dict]) -> str:
+    """Full Query analog (reference query.go:92-190): conversations →
+    keyword extraction → local + global contexts → rendered CSV sections
+    (QueryResult.String()).  History is currently context for the keyword
+    rule only, mirroring the reference's prompt usage."""
+    query_text, _histories = extract_query_and_histories(conversations)
+    return render_query_result(query_context(graph, query_text))
+
+
 def query_context(
     graph: ray.data.Dataset, query_text: str
 ) -> dict[str, pa.Table]:

@@ -120,3 +120,30 @@ def test_entity_similarity_over_graph(graph):
         assert all(r["neighbor_id"] != ent for r in rs)
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_extract_query_and_histories():
+    from go_light_rag_ray.pipelines.query import extract_query_and_histories
+
+    convs = [
+        {"role": "user", "message": "first question"},
+        {"role": "assistant", "message": "answer"},
+        {"role": "user", "message": "spark near vector?"},
+    ]
+    q, hist = extract_query_and_histories(convs)
+    assert q == "spark near vector?"
+    assert len(hist) == 2 and hist[0]["message"] == "first question"
+    with pytest.raises(ValueError):
+        extract_query_and_histories([{"role": "assistant", "message": "hi"}])
+
+
+def test_full_query_analog(graph):
+    from go_light_rag_ray.pipelines.query import query
+
+    out = query(graph, [
+        {"role": "assistant", "message": "hello"},
+        {"role": "user", "message": "how does spark relate near the vector"},
+    ])
+    assert "-----Local Entities-----" in out
+    assert "-----Global Edges-----" in out
+    assert '"SPARK"' in out
