@@ -18,3 +18,45 @@ deterministic aggregation over all mentions (SURVEY.md §7.0).
 __version__ = "0.1.0"
 
 GRAPH_FIELD_SEPARATOR = "<SEP>"  # reference insert.go:62 (GraphFieldSeparator)
+
+
+# Public API — constants above must stay defined before these imports
+# (submodules import them back from this package).
+from .pipelines.kg import (  # noqa: E402
+    Handler,
+    build_graph,
+    chunk_documents,
+    extract_mentions,
+    ingest_prechunked,
+    kg_pipeline,
+    kg_pipeline_incremental,
+    process_staged,
+    read_graph,
+    run_kg,
+    stage_chunks,
+    write_graph,
+)
+from .pipelines.query import query, query_context  # noqa: E402
+from .pipelines.curate import curate_corpus  # noqa: E402
+from .stages.dedup import (  # noqa: E402
+    cluster_duplicates,
+    exact_dedup,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .stages.similarity import ann_topk, ann_topk_ivf, ann_topk_lsh  # noqa: E402
+from .stages.sampling import hash_sample, split_assign  # noqa: E402
+
+__all__ = [
+    "GRAPH_FIELD_SEPARATOR",
+    "Handler",
+    "ann_topk", "ann_topk_ivf", "ann_topk_lsh",
+    "build_graph", "chunk_documents", "cluster_duplicates", "curate_corpus",
+    "embedding_dup_pairs", "exact_dedup", "extract_mentions", "hash_sample",
+    "ingest_prechunked", "kg_pipeline", "kg_pipeline_incremental",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "process_staged", "query",
+    "query_context", "read_graph", "run_kg", "simhash_fingerprints",
+    "split_assign", "stage_chunks", "write_graph",
+]
