@@ -785,7 +785,8 @@ votes AS (
   FROM words, unnest(range(0, 16)) AS bits(b)
   GROUP BY doc_id, b
 )
-SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -1111,14 +1112,14 @@ _WINDOW_TUMBLING_SQL = r"""
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        count(*) AS n_events,
-       sum(round(value * 100)::BIGINT) AS sum_value_cents
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_value_cents
 FROM events
 GROUP BY 1, 2
 """
 
 _WINDOW_HOPPING_SQL = r"""
 WITH e AS (
-  SELECT epoch_us(ts) AS t, round(value * 100)::BIGINT AS cents FROM events
+  SELECT epoch_us(ts) AS t, floor(value * 100 + 0.5)::BIGINT AS cents FROM events
 ),
 hops AS (
   SELECT ((t - 3600000000) // 900000000 + 1) * 900000000 + k * 900000000
@@ -1126,7 +1127,7 @@ hops AS (
          cents, t
   FROM e, unnest(range(0, 4)) AS u(k)
 )
-SELECT window_start_us, count(*) AS n_events, sum(cents) AS sum_value_cents
+SELECT window_start_us, count(*) AS n_events, sum(cents)::BIGINT AS sum_value_cents
 FROM hops WHERE window_start_us <= t
 GROUP BY 1
 """

@@ -35,6 +35,13 @@ def _epoch_us(ts_col: pa.ChunkedArray) -> np.ndarray:
     return pc.cast(ts_col, pa.int64()).to_numpy(zero_copy_only=False)
 
 
+def _cents(value_col: pa.ChunkedArray) -> np.ndarray:
+    # floor(v*100 + 0.5): the SAME IEEE op sequence the DuckDB oracle runs
+    # (np.round is half-to-even, DuckDB round() is half-away-from-zero —
+    # either alone would silently diverge on exact .5 inputs).
+    return np.floor(value_col.to_numpy() * 100 + 0.5).astype(np.int64)
+
+
 def tumbling_window_agg(
     events: ray.data.Dataset, window_s: int = 3600
 ) -> ray.data.Dataset:
@@ -44,7 +51,7 @@ def tumbling_window_agg(
 
     def assign(b: pa.Table) -> pa.Table:
         ts = _epoch_us(b.column("ts"))
-        cents = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        cents = _cents(b.column("value"))
         return pa.Table.from_pydict(
             {"window_start_us": pa.array((ts // w_us) * w_us, pa.int64()),
              "event_type": b.column("event_type").combine_chunks(),
@@ -71,18 +78,20 @@ def hopping_window_agg(
 
     def assign(b: pa.Table) -> pa.Table:
         ts = _epoch_us(b.column("ts"))
-        cents = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
-        out_w, out_c = [], []
-        for t, c in zip(ts, cents):
-            first = ((t - w_us) // h_us + 1) * h_us  # first hop covering t
-            s = first
-            while s <= t:
-                out_w.append(s)
-                out_c.append(c)
-                s += h_us
+        cents = _cents(b.column("value"))
+        # vectorized ⌈W/H⌉-way expansion: each event joins every hop-aligned
+        # window [first, last] covering it — np.repeat + per-group offsets,
+        # no Python loop (this stage sees the full event stream).
+        first = ((ts - w_us) // h_us + 1) * h_us
+        last = (ts // h_us) * h_us
+        counts = (last - first) // h_us + 1  # ≥1 since w_us ≥ h_us
+        offsets = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
         return pa.Table.from_pydict(
-            {"window_start_us": pa.array(out_w, pa.int64()),
-             "cents": pa.array(out_c, pa.int64())}
+            {"window_start_us": pa.array(
+                np.repeat(first, counts) + offsets * h_us, pa.int64()),
+             "cents": pa.array(np.repeat(cents, counts), pa.int64())}
         )
 
     return (

@@ -69,10 +69,13 @@ def main() -> int:
             try:
                 # exact, like the driver's value-hash: every double must
                 # match bit-for-bit (oracles are engineered for this —
-                # integer-derived ratios, dyadic weights, 6-dp rounding)
+                # integer-derived ratios, dyadic weights, 6-dp rounding).
+                # dtype-strict: a DuckDB HUGEINT vs engine int64 renders
+                # differently in the driver's hash even when values agree
+                # (this exact class caused 3 red rows in round 1).
                 pd.testing.assert_frame_equal(
                     got.reset_index(drop=True), want.reset_index(drop=True),
-                    check_dtype=False, check_exact=True,
+                    check_dtype=True, check_exact=True,
                 )
                 ok_vals = True
             except AssertionError as ex:
