@@ -197,7 +197,8 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
 def q_dedup_minhash_lsh(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_raw_docs(sf_dir), num_perm=16, bands=4, shingle_k=3)
+    return minhash_lsh_pairs(_raw_docs(sf_dir), num_perm=16, bands=4, shingle_k=3,
+                             max_group=0)
 
 
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
@@ -209,7 +210,8 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
 def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_raw_docs(sf_dir), shingle_k=3, threshold=0.3)
+    return ngram_jaccard_pairs(_raw_docs(sf_dir), shingle_k=3, threshold=0.3,
+                               max_group=0)
 
 
 def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
@@ -218,14 +220,15 @@ def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.dedup import cluster_duplicates, minhash_lsh_pairs
 
     docs = _raw_docs(sf_dir)
-    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3)
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3, max_group=0)
     return cluster_duplicates(docs, pairs)
 
 
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_raw_embeddings(sf_dir), threshold=0.3, sign_bits=8)
+    return embedding_dup_pairs(_raw_embeddings(sf_dir), threshold=0.3, sign_bits=8,
+                               max_group=0)
 
 
 def q_text_stats(sf_dir: str) -> ray.data.Dataset:

@@ -301,57 +301,24 @@ def global_entities(graph: ray.data.Dataset, high_keywords: list[str]) -> ray.da
     )
 
 
-def entity_similarity(graph: ray.data.Dataset, dims: int = 32, k: int = 3) -> ray.data.Dataset:
+def entity_similarity(
+    graph: ray.data.Dataset, dims: int = 32, k: int = 3, sign_bits: int = 2,
+) -> ray.data.Dataset:
     """Entity vector search over the graph (reference J7's entity
     collection: chromem.go:99-112 embeds name+descriptions per entity):
-    encode node content with the embedding actor pool, then cosine top-k
-    neighbors per entity.
-
-    The canonical node table is the *reduced* output of canonicalization,
-    so the final top-k runs in one group like the other context ranks; at
-    web scale (10^9 nodes) route through ``similarity.ann_topk_lsh`` over
-    the persisted embeddings table instead — this composition is the
-    retrieval-path seam, not the bulk path.
+    encode node content with the embedding actor pool, then approximate
+    cosine top-k neighbors per entity via ``similarity.ann_self_topk_lsh``
+    — the same sign-LSH bucketed self-ANN that scales to 10^9 nodes (one
+    keyed shuffle, per-bucket matmul, never an all-pairs single group).
     Returns (entity_id, rank, neighbor_id, cos_sim).
     """
-    import numpy as np
-
     from ..stages.encode import encode_graph_content
+    from ..stages.similarity import ann_self_topk_lsh
 
     emb = encode_graph_content(_nodes(graph), dims=dims)
-
-    def add_key(b: pa.Table) -> pa.Table:
-        return b.append_column("_g", pa.nulls(len(b), pa.int32()).fill_null(0))
-
-    def topk(group: pa.Table) -> pa.Table:
-        ids = np.array(group.column("chunk_id").to_pylist())
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.asarray(group.column("vector").to_pylist(), dtype=np.float64)[order]
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        sims = np.round((mat / norms[:, None]) @ (mat / norms[:, None]).T, 6)
-        out = {"entity_id": [], "rank": [], "neighbor_id": [], "cos_sim": []}
-        n = len(ids)
-        for i in range(n):
-            cand = [(j, sims[i, j]) for j in range(n) if j != i]
-            cand.sort(key=lambda t: (-t[1], ids[t[0]]))
-            for r, (j, s) in enumerate(cand[:k], start=1):
-                out["entity_id"].append(ids[i])
-                out["rank"].append(r)
-                out["neighbor_id"].append(ids[j])
-                out["cos_sim"].append(float(s))
-        return pa.Table.from_pydict(
-            {"entity_id": pa.array(out["entity_id"], pa.string()),
-             "rank": pa.array(out["rank"], pa.int32()),
-             "neighbor_id": pa.array(out["neighbor_id"], pa.string()),
-             "cos_sim": pa.array(out["cos_sim"], pa.float64())}
-        )
-
-    return (
-        emb.map_batches(add_key, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(topk, batch_format="pyarrow")
+    return ann_self_topk_lsh(
+        emb, k=k, sign_bits=sign_bits, id_col="chunk_id", vec_col="vector",
+        out_id_name="entity_id",
     )
 
 

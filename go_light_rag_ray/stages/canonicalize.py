@@ -68,6 +68,13 @@ GRAPH_SCHEMA = pa.schema(
         pa.field("keywords", pa.list_(pa.string())),
         pa.field("source_ids", pa.list_(pa.string())),
         pa.field("mention_count", pa.int64()),
+        # full type-vote tally (nodes only; parallel lists ordered by
+        # (-count, name)).  entity_type is the argmax, but the snapshot
+        # keeps the minority counts so an incremental re-insert re-enters
+        # the vote EXACTLY — without these, mixed-type entities could elect
+        # a different type in incremental(graph(p1), p2) vs graph(p1 ∪ p2).
+        pa.field("type_names", pa.list_(pa.string())),
+        pa.field("type_votes", pa.list_(pa.int64())),
     ]
 )
 
@@ -98,47 +105,263 @@ def _acc(d: dict[str, str], text: str, occ: str) -> None:
         d[text] = occ
 
 
+def _occ_strings(batch: pa.Table) -> pa.Array:
+    """Vectorized ``occ_key`` over the whole batch."""
+    import pyarrow.compute as pc
+
+    def pad10(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 10, "0")
+
+    return pc.binary_join_element_wise(
+        batch.column("doc_id"), pad10(batch.column("order_index")),
+        pad10(batch.column("mention_index")), "\x00",
+    ).combine_chunks()
+
+
+def _dedup_entries(tbl: pa.Table, keys: list[str], sort: bool = True):
+    """(keys…, text, occ) rows → per-key (occ_list, text_list, occ floor).
+
+    Two Arrow hash-aggregates replace the per-row Python dict path: level 1
+    dedupes (keys, text) keeping the min occ; level 2 packs parallel
+    occ/text lists per key plus the per-key min occ (the salt seed).
+    Sorted by the keys so parallel aggregates over the same key set align
+    row-for-row."""
+    lvl1 = tbl.group_by(keys + ["text"]).aggregate([("occ", "min")])
+    lvl2 = (
+        pa.table({**{k: lvl1.column(k) for k in keys},
+                  "occ": lvl1.column("occ_min"), "text": lvl1.column("text")})
+        .group_by(keys)
+        .aggregate([("occ", "list"), ("text", "list"), ("occ", "min")])
+    )
+    if sort:
+        lvl2 = lvl2.sort_by([(k, "ascending") for k in keys])
+    return lvl2  # columns: keys…, occ_list, text_list, occ_min
+
+
+def _occ_list_col(lvl2: pa.Table, cap: int) -> pa.ListArray:
+    """Parallel (occ_list, text_list) columns → one list<struct{occ,text}>
+    column, built from offsets + a flat ``make_struct`` (no Python rows).
+
+    ``cap`` > 0 keeps the cap entries with the smallest occs per row; only
+    rows actually over the cap are rebuilt (rare at batch granularity)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ol = lvl2.column("occ_list").combine_chunks()
+    tl = lvl2.column("text_list").combine_chunks()
+    lens = pc.list_value_length(ol).to_numpy(zero_copy_only=False).astype(np.int64)
+    if cap and (lens > cap).any():
+        occs, texts = ol.to_pylist(), tl.to_pylist()
+        for i in np.nonzero(lens > cap)[0]:
+            order = sorted(range(len(occs[i])), key=occs[i].__getitem__)[:cap]
+            occs[i] = [occs[i][j] for j in order]
+            texts[i] = [texts[i][j] for j in order]
+        ol = pa.array(occs, pa.list_(pa.string()))
+        tl = pa.array(texts, pa.list_(pa.string()))
+        lens = np.minimum(lens, cap)
+    offsets = pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32())
+    flat = pc.make_struct(
+        pc.list_flatten(ol), pc.list_flatten(tl), field_names=["occ", "text"]
+    )
+    return pa.ListArray.from_arrays(offsets, flat)
+
+
+def _empty_occ_col(n: int) -> pa.ListArray:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    flat = pc.make_struct(pa.array([], pa.string()), pa.array([], pa.string()),
+                          field_names=["occ", "text"])
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)), flat)
+
+
+def _empty_list_col(n: int, value_type: pa.DataType) -> pa.ListArray:
+    import numpy as np
+
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], value_type))
+
+
+def _salt_col(k1: list, k2: list, occ_mins, salt_buckets: int) -> pa.Array:
+    m = max(1, salt_buckets)
+    return pa.array(
+        [zlib.crc32(f"{a}|{b}|{o}".encode()) % m
+         for a, b, o in zip(k1, k2, occ_mins)],
+        pa.int32(),
+    )
+
+
+def _partial_rows(kind: str, k1: pa.Array, k2, *, salt_buckets: int,
+                  occ_min=None, types=None, type_counts=None, weight=None,
+                  mention_count=None, descs=None, kws=None, srcids=None,
+                  ph_descs=None, ph_srcids=None) -> pa.Table:
+    """One contribution table in PARTIALS_SCHEMA; unspecified fields get
+    empty/zero defaults.  Salt derives from each row's own content floor
+    (min occ), keeping hot keys spread and the output deterministic."""
+    import numpy as np
+
+    n = len(k1)
+    if k2 is None:
+        k2 = pa.array([""] * n, pa.string())
+    k1_py, k2_py = k1.to_pylist(), k2.to_pylist()
+    cols = {
+        "kind": pa.array([kind] * n, pa.string()),
+        "k1": k1,
+        "k2": k2,
+        "salt": _salt_col(k1_py, k2_py,
+                          occ_min if occ_min is not None else ["\x7f"] * n,
+                          salt_buckets),
+        "types": types if types is not None else _empty_list_col(n, pa.string()),
+        "type_counts": (type_counts if type_counts is not None
+                        else _empty_list_col(n, pa.int64())),
+        "weight": (weight if weight is not None
+                   else pa.array(np.zeros(n), pa.float64())),
+        "mention_count": (mention_count if mention_count is not None
+                          else pa.array(np.zeros(n, dtype=np.int64))),
+        "descs": descs if descs is not None else _empty_occ_col(n),
+        "kws": kws if kws is not None else _empty_occ_col(n),
+        "srcids": srcids if srcids is not None else _empty_occ_col(n),
+        "ph_descs": ph_descs if ph_descs is not None else _empty_occ_col(n),
+        "ph_srcids": ph_srcids if ph_srcids is not None else _empty_occ_col(n),
+    }
+    return pa.Table.from_pydict(cols).cast(PARTIALS_SCHEMA)
+
+
 def combine_mentions(batch: pa.Table, salt_buckets: int = 8,
                      merge_cap: int = 0) -> pa.Table:
-    """Stage A: mentions batch → ≤1 partial row per (key, kind) per batch."""
-    states: dict[tuple[str, str, str], _State] = {}
+    """Stage A: mentions batch → a few partial rows per distinct key.
 
-    def get(kind: str, k1: str, k2: str) -> _State:
-        key = (kind, k1, k2)
-        st = states.get(key)
-        if st is None:
-            st = states[key] = _State()
-        return st
+    Fully vectorized: every reduction (dedupe-by-text keeping the min
+    occurrence, type tallies, weight sums) is an Arrow C++ hash-aggregate
+    over the whole batch and the output table is assembled column-wise —
+    no Python loop touches a mention.  Each key emits up to three partial
+    rows per batch (entity-side, placeholder-side, keyword-side) instead
+    of exactly one; the salted merge stages combine them identically, and
+    the shuffled volume is unchanged (same entries, same dedup)."""
+    import pyarrow.compute as pc
 
-    n = batch.num_rows
-    col = {name: batch.column(name).to_pylist() for name in
-           ("doc_id", "chunk_id", "order_index", "mention_index", "kind",
-            "name", "type", "src", "tgt", "description", "keywords", "weight")}
-    for i in range(n):
-        occ = occ_key(col["doc_id"][i], col["order_index"][i], col["mention_index"][i])
-        chunk_id = col["chunk_id"][i]
-        if col["kind"][i] == "entity":
-            st = get("node", col["name"][i], "")
-            t = col["type"][i]
-            st.types[t] = st.types.get(t, 0) + 1
-            st.mention_count += 1
-            _acc(st.descs, col["description"][i], occ)
-            _acc(st.srcids, chunk_id, occ)
-        else:
-            src, tgt, desc = col["src"][i], col["tgt"][i], col["description"][i]
-            st = get("edge", src, tgt)
-            st.weight += col["weight"][i]
-            st.mention_count += 1
-            _acc(st.descs, desc, occ)
-            _acc(st.srcids, chunk_id, occ)
-            for j, kw in enumerate(col["keywords"][i]):
-                _acc(st.kws, kw, f"{occ}\x00{j:04d}")
-            for endpoint in (src, tgt):
-                ph = get("node", endpoint, "")
-                _acc(ph.ph_descs, desc, occ)
-                _acc(ph.ph_srcids, chunk_id, occ)
+    if batch.num_rows == 0:
+        return _states_to_table({}, salt_buckets, merge_cap)
 
-    return _states_to_table(states, salt_buckets, merge_cap)
+    occ = _occ_strings(batch)
+    is_ent = pc.equal(batch.column("kind"), "entity").combine_chunks()
+    ents = batch.append_column("_occ", occ).filter(is_ent)
+    rels = batch.append_column("_occ", occ).filter(pc.invert(is_ent))
+    parts: list[pa.Table] = []
+
+    if len(ents):
+        tally = (
+            pa.table({"name": ents.column("name"), "type": ents.column("type")})
+            .group_by(["name", "type"])
+            .aggregate([("type", "count")])
+            .group_by("name")
+            .aggregate([("type", "list"), ("type_count", "list"),
+                        ("type_count", "sum")])
+            .sort_by("name")
+        )
+        descs = _dedup_entries(
+            pa.table({"name": ents.column("name"),
+                      "text": ents.column("description"),
+                      "occ": ents.column("_occ")}), ["name"])
+        srcs = _dedup_entries(
+            pa.table({"name": ents.column("name"),
+                      "text": ents.column("chunk_id"),
+                      "occ": ents.column("_occ")}), ["name"])
+        # identical key sets (every entity row has a name/desc/chunk), all
+        # sorted by name → column-aligned
+        parts.append(_partial_rows(
+            "node", tally.column("name").combine_chunks(), None,
+            salt_buckets=salt_buckets,
+            occ_min=descs.column("occ_min").to_pylist(),
+            types=tally.column("type_list").combine_chunks(),
+            type_counts=tally.column("type_count_list").combine_chunks(),
+            mention_count=tally.column("type_count_sum").combine_chunks(),
+            descs=_occ_list_col(descs, merge_cap),
+            srcids=_occ_list_col(srcs, merge_cap),
+        ))
+
+    if len(rels):
+        sums = (
+            pa.table({"src": rels.column("src"), "tgt": rels.column("tgt"),
+                      "weight": rels.column("weight")})
+            .group_by(["src", "tgt"])
+            .aggregate([("weight", "sum"), ("weight", "count")])
+            .sort_by([("src", "ascending"), ("tgt", "ascending")])
+        )
+        edescs = _dedup_entries(
+            pa.table({"src": rels.column("src"), "tgt": rels.column("tgt"),
+                      "text": rels.column("description"),
+                      "occ": rels.column("_occ")}), ["src", "tgt"])
+        esrcs = _dedup_entries(
+            pa.table({"src": rels.column("src"), "tgt": rels.column("tgt"),
+                      "text": rels.column("chunk_id"),
+                      "occ": rels.column("_occ")}), ["src", "tgt"])
+        parts.append(_partial_rows(
+            "edge", sums.column("src").combine_chunks(),
+            sums.column("tgt").combine_chunks(),
+            salt_buckets=salt_buckets,
+            occ_min=edescs.column("occ_min").to_pylist(),
+            weight=sums.column("weight_sum").combine_chunks(),
+            mention_count=sums.column("weight_count").combine_chunks(),
+            descs=_occ_list_col(edescs, merge_cap),
+            srcids=_occ_list_col(esrcs, merge_cap),
+        ))
+
+        # keywords: flatten with parent row + within-list position suffix;
+        # key set is the SUBSET of edges with ≥1 keyword → own partial rows
+        kw_col = rels.column("keywords").combine_chunks()
+        flat = pc.list_flatten(kw_col)
+        if len(flat):
+            import numpy as np
+
+            par = pc.list_parent_indices(kw_col)
+            lens = pc.list_value_length(kw_col).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens).astype(np.int64)
+            pos = np.arange(int(lens.sum())) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            kocc = pc.binary_join_element_wise(
+                rels.column("_occ").combine_chunks().take(par),
+                pc.utf8_lpad(pc.cast(pa.array(pos), pa.string()), 4, "0"),
+                "\x00",
+            )
+            kagg = _dedup_entries(
+                pa.table({"src": rels.column("src").combine_chunks().take(par),
+                          "tgt": rels.column("tgt").combine_chunks().take(par),
+                          "text": flat, "occ": kocc}), ["src", "tgt"])
+            parts.append(_partial_rows(
+                "edge", kagg.column("src").combine_chunks(),
+                kagg.column("tgt").combine_chunks(),
+                salt_buckets=salt_buckets,
+                occ_min=kagg.column("occ_min").to_pylist(),
+                kws=_occ_list_col(kagg, merge_cap),
+            ))
+
+        # dangling-endpoint placeholder partials: both endpoints of every
+        # relationship mention
+        ep_name = pa.concat_arrays([rels.column("src").combine_chunks(),
+                                    rels.column("tgt").combine_chunks()])
+        ep_occ = pa.concat_arrays([rels.column("_occ").combine_chunks()] * 2)
+        phd = _dedup_entries(
+            pa.table({"name": ep_name,
+                      "text": pa.concat_arrays(
+                          [rels.column("description").combine_chunks()] * 2),
+                      "occ": ep_occ}), ["name"])
+        phs = _dedup_entries(
+            pa.table({"name": ep_name,
+                      "text": pa.concat_arrays(
+                          [rels.column("chunk_id").combine_chunks()] * 2),
+                      "occ": ep_occ}), ["name"])
+        parts.append(_partial_rows(
+            "node", phd.column("name").combine_chunks(), None,
+            salt_buckets=salt_buckets,
+            occ_min=phd.column("occ_min").to_pylist(),
+            ph_descs=_occ_list_col(phd, merge_cap),
+            ph_srcids=_occ_list_col(phs, merge_cap),
+        ))
+
+    return pa.concat_tables(parts) if parts else _states_to_table(
+        {}, salt_buckets, merge_cap)
 
 
 def _cap_dict(d: dict[str, str], cap: int) -> dict[str, str]:
@@ -261,14 +484,16 @@ def finalize_group(batch: pa.Table, merge_cap: int = 0) -> pa.Table:
         "kind": kind, "entity_id": "", "entity_type": "", "src": "", "tgt": "",
         "weight": 0.0, "descriptions": [], "keywords": [], "source_ids": [],
         "mention_count": st.mention_count,
+        "type_names": [], "type_votes": [],
     }
     if kind == "node":
         row["entity_id"] = k1
         if st.mention_count > 0:
             # mode with lexicographic tie-break (deterministic A1)
-            row["entity_type"] = min(
-                st.types.items(), key=lambda kv: (-kv[1], kv[0])
-            )[0]
+            tally = sorted(st.types.items(), key=lambda kv: (-kv[1], kv[0]))
+            row["entity_type"] = tally[0][0]
+            row["type_names"] = [t for t, _ in tally]
+            row["type_votes"] = [c for _, c in tally]
             row["descriptions"] = ordered(st.descs)
             row["source_ids"] = ordered(st.srcids)
         else:
@@ -336,18 +561,22 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
     Incremental-insert semantics vs the reference (insert.go:499-623):
     weight is additive on top of the stored edge weight; stored
     descriptions/keywords/source_ids come first in merge order; the stored
-    entity type re-enters the mode vote weighted by the stored
-    mention_count (the reference votes it once per upsert call — ours is
-    the associative choice so that canonicalize(part1) ⊕ part2 ==
-    canonicalize(part1 ∪ part2) for ordered splits).  UNKNOWN placeholders
+    per-type vote tally (``type_names``/``type_votes``) re-enters the mode
+    vote EXACTLY (the reference votes the winner once per upsert call —
+    ours is the associative choice so that canonicalize(part1) ⊕ part2 ==
+    canonicalize(part1 ∪ part2) for ordered splits, including entities
+    whose mentions carry mixed types).  UNKNOWN placeholders
     re-enter as placeholder (ph_*) partials, so they upgrade in place when
     real mentions for the name later arrive.
     """
     states: dict[tuple[str, str, str], _State] = {}
     n = batch.num_rows
-    col = {name: batch.column(name).to_pylist() for name in
+    col = {name: (batch.column(name).to_pylist()
+                  if name in batch.column_names else [[]] * n)
+           for name in
            ("kind", "entity_id", "entity_type", "src", "tgt", "weight",
-            "descriptions", "keywords", "source_ids", "mention_count")}
+            "descriptions", "keywords", "source_ids", "mention_count",
+            "type_names", "type_votes")}
     for i in range(n):
         kind = col["kind"][i]
         if kind == "node":
@@ -360,8 +589,15 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
         st.mention_count += mc
         st.weight += col["weight"][i]
         if kind == "node" and not placeholder:
-            t = col["entity_type"][i]
-            st.types[t] = st.types.get(t, 0) + max(1, mc)
+            names, votes = col["type_names"][i], col["type_votes"][i]
+            if names:
+                # exact re-entry of the stored vote tally
+                for t, c in zip(names, votes):
+                    st.types[t] = st.types.get(t, 0) + c
+            else:
+                # legacy snapshot without tally columns: winner × count
+                t = col["entity_type"][i]
+                st.types[t] = st.types.get(t, 0) + max(1, mc)
         descs_d = st.ph_descs if placeholder else st.descs
         srcs_d = st.ph_srcids if placeholder else st.srcids
         for j, d in enumerate(col["descriptions"][i]):

@@ -45,6 +45,18 @@ __all__ = [
 ]
 
 
+# production hot-bucket cap: LSH buckets / shingle postings larger than this
+# are dropped (stop-shingle capping, standard for web-scale MinHash — a
+# shingle shared by >1000 docs carries no near-dup signal but would emit
+# O(g²) pairs).  The pair operators default to this cap; oracle-exact runs
+# pass ``max_group=0`` explicitly to disable it.
+PRODUCTION_MAX_GROUP = 1000
+
+
+def _resolve_max_group(max_group: int | None) -> int:
+    return PRODUCTION_MAX_GROUP if max_group is None else max_group
+
+
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
@@ -182,16 +194,18 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    max_group: int = 0,
+    max_group: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: docs agreeing on all rows of ≥1 LSH band.
 
     bucket key = md5(band_index | band signature slice); pairs are emitted
     within buckets only and deduped by a second groupby on (a, b) — at no
     point does the corpus cross-join.  ``max_group`` > 0 drops buckets
-    larger than the cap (hot-bucket guard for web scale).
+    larger than the cap (hot-bucket guard for web scale; defaults to
+    ``PRODUCTION_MAX_GROUP``, pass 0 for exact small-scale/oracle runs).
     Returns distinct ``(a, b)`` with ``a < b``.
     """
+    max_group = _resolve_max_group(max_group)
     rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm=num_perm, shingle_k=shingle_k)
 
@@ -254,6 +268,8 @@ class SimHasher:
     once, shared across all batches this actor sees.
     """
 
+    CACHE_CAP = 1 << 20
+
     def __init__(self, bits: int = 16) -> None:
         assert bits % 4 == 0 and bits <= 60
         self.bits = bits
@@ -263,6 +279,8 @@ class SimHasher:
         h = self._cache.get(w)
         if h is None:
             h = int(_md5(w)[: self.bits // 4], 16)
+            if len(self._cache) >= self.CACHE_CAP:
+                self._cache.clear()
             self._cache[w] = h
         return h
 
@@ -312,16 +330,19 @@ def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     shingle_k: int = 3,
     threshold: float = 0.5,
-    max_group: int = 0,
+    max_group: int | None = None,
 ) -> ray.data.Dataset:
     """Exact Jaccard over k-word shingle sets, without a corpus cross join.
 
     inverted index (shingle → docs) → within-shingle pairs (each carrying
     both set sizes) → groupby(a, b) count common → jaccard = c/(na+nb-c).
     Shuffle keys are shingle hashes then (a, b) pairs — both uniform.
-    ``max_group`` drops stop-shingles (groups larger than the cap).
+    ``max_group`` drops stop-shingles (groups larger than the cap; defaults
+    to ``PRODUCTION_MAX_GROUP``, pass 0 for exact small-scale/oracle runs —
+    note a capped run under-counts Jaccard for docs sharing a stop-shingle).
     Returns ``(a, b, jaccard)`` with a < b and jaccard ≥ threshold.
     """
+    max_group = _resolve_max_group(max_group)
 
     def explode(b: pa.Table) -> pa.Table:
         doc_ids = b.column("doc_id").to_pylist()
@@ -391,52 +412,175 @@ def cluster_duplicates(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
+    max_driver_pairs: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Duplicate clustering: connected components over candidate pairs →
     ``(doc_id, cluster_id)`` with cluster_id = the smallest doc id in the
     component (docs in no pair are their own cluster).
 
-    The pair set is the REDUCED side (near-dup candidates ≪ corpus), so
-    union-find runs on the collected pairs and the component map broadcasts
-    via ``ray.put``; the corpus-wide assignment is a vectorized
-    ``map_batches``.  At scales where even the pair set is huge, swap the
-    driver union-find for iterative min-label propagation over
-    hash-partitioned edges (same output; more rounds).
+    Two paths, switched on the measured pair count:
+
+    - pairs ≤ ``max_driver_pairs`` (the common case — near-dup candidates
+      ≪ corpus): union-find on the collected pairs, component map broadcast
+      via ``ray.put``, corpus assignment as a vectorized ``map_batches``.
+    - larger pair sets never touch the driver: iterative min-label
+      propagation over hash-partitioned adjacency (``_cc_min_label``),
+      then ONE keyed min-merge against the corpus ids — same output,
+      O(component diameter) rounds.
     """
     import ray
 
-    edge_rows = pairs.select_columns(["a", "b"]).take_all()
-    parent: dict = {}
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    if pairs.count() <= max_driver_pairs or pairs.count() == 0:
+        edge_rows = pairs.take_all()
+        parent: dict = {}
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
 
-    for r in edge_rows:
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            # union by min id so the representative is deterministic
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    comp = {x: find(x) for x in list(parent)}
-    comp_ref = ray.put(comp)
+        for r in edge_rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                # union by min id so the representative is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comp = {x: find(x) for x in list(parent)}
+        comp_ref = ray.put(comp)
 
-    def assign(b: pa.Table) -> pa.Table:
-        mapping = ray.get(comp_ref)
-        ids = b.column(id_col).to_pylist()
-        clusters = [mapping.get(i, i) for i in ids]
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(ids, b.schema.field(id_col).type),
-             "cluster_id": pa.array(clusters, b.schema.field(id_col).type)}
+        def assign(b: pa.Table) -> pa.Table:
+            mapping = ray.get(comp_ref)
+            ids = b.column(id_col).to_pylist()
+            clusters = [mapping.get(i, i) for i in ids]
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(ids, b.schema.field(id_col).type),
+                 "cluster_id": pa.array(clusters, b.schema.field(id_col).type)}
+            )
+
+        return docs.select_columns([id_col]).map_batches(
+            assign, batch_format="pyarrow"
         )
 
-    return docs.select_columns([id_col]).map_batches(
-        assign, batch_format="pyarrow"
+    labels = _cc_min_label(pairs)
+
+    # corpus-wide assignment without a broadcast OR a join: every doc
+    # re-enters as its own (node, label=node) row; min-label per node is the
+    # cluster id (for paired nodes label ≤ node, for singletons label = node).
+    def self_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": b.column(id_col), "label": b.column(id_col)}
+        )
+
+    from .sortagg import sorted_count
+
+    merged = sorted_count(
+        docs.select_columns([id_col]).map_batches(
+            self_rows, batch_format="pyarrow"
+        ).union(labels),
+        keys=["node"], min_cols=["label"], count_name="_n",
     )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.select(["node", "label"]).rename_columns(
+            ["doc_id", "cluster_id"]
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def _cc_min_label(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed connected components: iterative min-label propagation.
+
+    State = one row per node ``(node, label, nbrs)``, hash-partitioned by
+    node.  Each round every node scatters its current label to its
+    neighbours (vectorized ``list_flatten`` + ``np.repeat``, no Python
+    loop over edges) and gathers the min of incoming labels; a ``changed``
+    column summed per round (a tiny aggregate) is the convergence
+    certificate — labels only ever decrease, so sum(changed)==0 is exact
+    termination, after O(component diameter) rounds.  Nothing is ever
+    collected to the driver; state is re-materialized per round so lineage
+    stays one round deep.  Returns ``(node, label)`` for paired nodes only.
+    """
+
+    def sym(b: pa.Table) -> pa.Table:
+        def arr(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        a, bb = arr(b.column("a")), arr(b.column("b"))
+        return pa.Table.from_pydict(
+            {"node": pa.concat_arrays([a, bb]),
+             "nbr": pa.concat_arrays([bb, a])}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+
+    def build(group: pa.Table) -> pa.Table:
+        node = group.column("node")[0].as_py()
+        nbrs = sorted(set(group.column("nbr").to_pylist()))
+        typ = group.schema.field("node").type
+        return pa.Table.from_pydict(
+            {"node": pa.array([node], typ),
+             "label": pa.array([min(node, nbrs[0])], typ),
+             "nbrs": pa.array([nbrs], pa.list_(typ)),
+             "changed": pa.array([0], pa.int64())}
+        )
+
+    state = edges.groupby("node").map_groups(
+        build, batch_format="pyarrow"
+    ).materialize()
+
+    while True:
+        def scatter(b: pa.Table) -> pa.Table:
+            typ = b.schema.field("node").type
+            nbrs = b.column("nbrs").combine_chunks()
+            flat = pc.list_flatten(nbrs)
+            lens = pc.list_value_length(nbrs).to_numpy(zero_copy_only=False)
+            rep = b.column("label").take(
+                pa.array(np.repeat(np.arange(len(b)), lens), pa.int64())
+            )
+            self_rows = pa.Table.from_pydict(
+                {"node": b.column("node"), "label": b.column("label"),
+                 "nbrs": nbrs, "is_self": pa.array([1] * len(b), pa.int8())}
+            )
+            empty_lists = pa.ListArray.from_arrays(
+                pa.array(np.zeros(len(flat) + 1, dtype=np.int32)),
+                pa.array([], typ),
+            )
+            msg_rows = pa.Table.from_pydict(
+                {"node": flat, "label": rep.combine_chunks(),
+                 "nbrs": empty_lists,
+                 "is_self": pa.array(np.zeros(len(flat), dtype=np.int8))}
+            )
+            return pa.concat_tables([self_rows, msg_rows])
+
+        def gather(group: pa.Table) -> pa.Table:
+            typ = group.schema.field("node").type
+            is_self = group.column("is_self").to_numpy(zero_copy_only=False)
+            self_i = int(np.nonzero(is_self == 1)[0][0])
+            own = group.column("label")[self_i].as_py()
+            new = pc.min(group.column("label")).as_py()
+            return pa.Table.from_pydict(
+                {"node": pa.array([group.column("node")[0].as_py()], typ),
+                 "label": pa.array([new], typ),
+                 "nbrs": pa.array(
+                     [group.column("nbrs")[self_i].as_py()], pa.list_(typ)),
+                 "changed": pa.array([int(new < own)], pa.int64())}
+            )
+
+        state = (
+            state.map_batches(scatter, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(gather, batch_format="pyarrow")
+            .materialize()
+        )
+        if not state.sum("changed"):
+            break
+
+    return state.select_columns(["node", "label"])
 
 
 # ---------------------------------------------------------------------------
@@ -449,7 +593,7 @@ def embedding_dup_pairs(
     sign_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_group: int = 0,
+    max_group: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup vector pairs: bucket by the sign pattern of the first
     ``sign_bits`` dimensions (a deterministic hyperplane-LSH whose planes
@@ -457,8 +601,11 @@ def embedding_dup_pairs(
     within each bucket.  Two near-identical vectors agree on every sign, so
     recall at thresholds near 1.0 is high; lower-threshold recall comes from
     raising ``sign_bits`` granularity or unioning rotated sign maps.
+    ``max_group`` defaults to ``PRODUCTION_MAX_GROUP`` (hot-bucket guard);
+    pass 0 for exact small-scale/oracle runs.
     Returns ``(a, b, cos_sim)`` with a < b, cos_sim ≥ threshold.
     """
+    max_group = _resolve_max_group(max_group)
 
     def to_buckets(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_pylist()

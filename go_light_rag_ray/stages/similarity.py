@@ -233,6 +233,75 @@ def ann_topk_ivf(
     return _final_topk(partial, k)
 
 
+def ann_self_topk_lsh(
+    vectors: ray.data.Dataset,
+    k: int = 3,
+    sign_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id_name: str = "query_id",
+    max_group: int = 0,
+) -> ray.data.Dataset:
+    """All-pairs approximate top-k: EVERY row is a query; candidates are the
+    row's own sign-LSH bucket (same coordinate-hyperplane scheme as
+    ``dedup.embedding_dup_pairs``).
+
+    This is the scale path for self-similarity (entity ANN, near-dup
+    ranking): no broadcast query matrix — the corpus buckets itself, ONE
+    keyed shuffle, per-bucket O(g²) matmul bounded by ``max_group``, and
+    since every row lives in exactly one bucket the within-bucket top-k IS
+    the final rank (no merge stage).  Works for any id type (string entity
+    ids included).  Returns (out_id_name, rank 1..k, neighbor_id, cos_sim)
+    ordered by (cos_sim desc, neighbor_id asc) within each query row.
+    """
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        vecs = b.column(vec_col).to_pylist()
+        out_b = [bucket_of(v, sign_bits) for v in vecs]
+        return pa.Table.from_pydict(
+            {"_id": b.column(id_col),
+             "bucket": pa.array(out_b, pa.int64()),
+             "vec": pa.array(vecs, pa.list_(pa.float64()))}
+        )
+
+    buckets = vectors.map_batches(to_buckets, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        typ = group.schema.field("_id").type
+        empty = pa.Table.from_pydict(
+            {out_id_name: pa.array([], typ),
+             "rank": pa.array([], pa.int32()),
+             "neighbor_id": pa.array([], typ),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        n = len(group)
+        if n < 2 or (max_group and n > max_group):
+            return empty
+        ids = np.array(group.column("_id").to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        unit = _unit(np.asarray(group.column("vec").to_pylist(),
+                                dtype=np.float64)[order])
+        sims = np.round(unit @ unit.T, ROUND_DP)
+        np.fill_diagonal(sims, -np.inf)  # exclude self-match
+        kk = min(k, n - 1)
+        out_q, out_r, out_n, out_s = [], [], [], []
+        for i in range(n):
+            cand = np.lexsort((ids, -sims[i]))[:kk]
+            out_q.extend([ids[i]] * len(cand))
+            out_r.extend(range(1, len(cand) + 1))
+            out_n.extend(ids[cand].tolist())
+            out_s.extend(sims[i, cand].tolist())
+        return pa.Table.from_pydict(
+            {out_id_name: pa.array(out_q, typ),
+             "rank": pa.array(out_r, pa.int32()),
+             "neighbor_id": pa.array(out_n, typ),
+             "cos_sim": pa.array(out_s, pa.float64())}
+        )
+
+    return buckets.groupby("bucket").map_groups(topk, batch_format="pyarrow")
+
+
 def _final_topk(partial: ray.data.Dataset, k: int) -> ray.data.Dataset:
     """Merge per-batch partial top-k lists into global ranks 1..k."""
 

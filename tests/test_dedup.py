@@ -144,3 +144,48 @@ def test_cluster_duplicates_no_pairs_identity():
     rows = {r["doc_id"]: r["cluster_id"]
             for r in cluster_duplicates(docs, pairs).take_all()}
     assert rows == {7: 7, 8: 8}
+
+
+def test_cluster_duplicates_distributed_label_propagation():
+    """max_driver_pairs=0 forces the min-label-propagation path: a chain
+    component spread over several blocks (multi-round convergence) plus an
+    isolated pair and singletons, string ids, no driver union-find."""
+    from go_light_rag_ray.stages.dedup import cluster_duplicates
+
+    ids = [f"d{i:02d}" for i in range(12)]
+    docs = ray.data.from_arrow(pa.table({"doc_id": ids}))
+    # chain d00-d01-...-d07 (diameter 7 → several propagation rounds),
+    # pair d09-d10; d08 and d11 singletons
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(7)]
+    pairs_tbl = pa.table({
+        "a": [a for a, _ in chain] + ["d09"],
+        "b": [b for _, b in chain] + ["d10"],
+    })
+    pairs = ray.data.from_arrow(pa.table(pairs_tbl.to_pydict())).repartition(4)
+    rows = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_duplicates(docs, pairs,
+                                        max_driver_pairs=0).take_all()}
+    want = {f"d{i:02d}": "d00" for i in range(8)}
+    want.update({"d08": "d08", "d09": "d09", "d10": "d09", "d11": "d11"})
+    assert rows == want
+
+
+def test_cluster_duplicates_paths_agree():
+    """Driver union-find and distributed propagation produce identical
+    assignments on the same random-ish pair graph."""
+    from go_light_rag_ray.stages.dedup import cluster_duplicates
+
+    n = 40
+    ids = list(range(n))
+    docs = ray.data.from_arrow(pa.table({"doc_id": ids}))
+    a = [i for i in range(0, n - 3, 3)]
+    b = [(i * 7 + 2) % n for i in range(0, n - 3, 3)]
+    keep = [(x, y) for x, y in zip(a, b) if x != y]
+    pairs = ray.data.from_arrow(pa.table(
+        {"a": [x for x, _ in keep], "b": [y for _, y in keep]})).repartition(3)
+    via_driver = {r["doc_id"]: r["cluster_id"]
+                  for r in cluster_duplicates(docs, pairs).take_all()}
+    via_dist = {r["doc_id"]: r["cluster_id"]
+                for r in cluster_duplicates(docs, pairs,
+                                            max_driver_pairs=0).take_all()}
+    assert via_driver == via_dist

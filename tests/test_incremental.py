@@ -107,3 +107,37 @@ def test_graph_to_partials_roundtrip_salt_deterministic():
     p2 = graph_to_partials(tbl, salt_buckets=8)
     assert p1.equals(p2)
     assert p1.column("salt")[0].as_py() == p2.column("salt")[0].as_py()
+
+
+def test_mixed_type_vote_reenters_exactly(ray_session):
+    """An entity whose mentions carry mixed types must elect the SAME type
+    in incremental(graph(p1), p2) as in graph(p1 ∪ p2) — requires the
+    snapshot to persist the full vote tally, not just the winner."""
+    from go_light_rag_ray.stages.canonicalize import (
+        canonicalize,
+        canonicalize_incremental,
+    )
+    from tests.test_canonicalize import _mentions, ent
+
+    # part1: ALPHA×2 + BETA×1 (winner ALPHA, mc=3)
+    # part2: BETA×3 → full tally ALPHA=2, BETA=4 → BETA must win.
+    # winner×mc re-entry would give ALPHA=3 vs BETA=3 → tie → ALPHA (wrong).
+    p1 = _mentions([
+        ent("d1", "c1", 0, 0, "X", "ALPHA", "a0"),
+        ent("d1", "c1", 0, 1, "X", "ALPHA", "a1"),
+        ent("d1", "c1", 0, 2, "X", "BETA", "b0"),
+    ])
+    p2 = _mentions([
+        ent("d2", "c2", 0, 0, "X", "BETA", "b1"),
+        ent("d2", "c2", 0, 1, "X", "BETA", "b2"),
+        ent("d2", "c2", 0, 2, "X", "BETA", "b3"),
+    ])
+    full = canonicalize(
+        ray.data.from_arrow(pa.concat_tables([p1, p2]))).take_all()
+    prior = canonicalize(ray.data.from_arrow(p1)).materialize()
+    inc = canonicalize_incremental(ray.data.from_arrow(p2), prior).take_all()
+
+    t_full = next(r["entity_type"] for r in full if r["entity_id"] == "X")
+    t_inc = next(r["entity_type"] for r in inc if r["entity_id"] == "X")
+    assert t_full == "BETA"
+    assert t_inc == t_full

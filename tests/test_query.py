@@ -109,7 +109,8 @@ def test_csv_quoting():
 def test_entity_similarity_over_graph(graph):
     from go_light_rag_ray.pipelines.query import entity_similarity
 
-    rows = entity_similarity(graph, dims=16, k=2).take_all()
+    # sign_bits=0 → one bucket → exact all-pairs top-k
+    rows = entity_similarity(graph, dims=16, k=2, sign_bits=0).take_all()
     by_e = {}
     for r in rows:
         by_e.setdefault(r["entity_id"], []).append(r)
@@ -120,6 +121,22 @@ def test_entity_similarity_over_graph(graph):
         assert all(r["neighbor_id"] != ent for r in rs)
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_entity_similarity_lsh_subset_of_exact(graph):
+    """The bucketed (scale) path only ever returns pairs the exact path
+    also ranks, with identical cosine values."""
+    from go_light_rag_ray.pipelines.query import entity_similarity
+
+    exact = {(r["entity_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in entity_similarity(graph, dims=16, k=3,
+                                        sign_bits=0).take_all()}
+    lsh = entity_similarity(graph, dims=16, k=3, sign_bits=2).take_all()
+    for r in lsh:
+        key = (r["entity_id"], r["neighbor_id"])
+        assert r["neighbor_id"] != r["entity_id"]
+        if key in exact:
+            assert exact[key] == r["cos_sim"]
 
 
 def test_extract_query_and_histories():
