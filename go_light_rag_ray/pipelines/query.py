@@ -39,20 +39,42 @@ DEFAULT_HIGH_LEVEL = ("NEAR",)
 EDGE_KEYWORDS = ("CO_OCCURS", "ADJACENT", "NEAR")
 
 
-def keyword_extract(query_text: str) -> tuple[list[str], list[str]]:
-    """query text → (high_level, low_level) keywords (reference
-    query.go:119-145 via the keyword-extraction prompt; rule analog).
+def keyword_extract(
+    query_text: str, history: str = ""
+) -> tuple[list[str], list[str]]:
+    """(query, conversation history) → (high_level, low_level) keywords
+    (reference query.go:104-145: the keyword prompt receives BOTH the
+    current query and the rendered history, prompt.go:53-59; rule analog).
     Low-level = entity-gazetteer hits; high-level = relationship-vocabulary
-    or edge-keyword hits (the space global context is matched against)."""
+    or edge-keyword hits.  Query words rank before history words; order is
+    first occurrence, duplicates dropped."""
     words = [w.lower() for w in query_text.split()]
-    low = [w.upper() for w in words if w in WORD_ENTITY_TYPES]
-    high = [
-        w.upper()
-        for w in words
-        if (w in WORD_REL_VOCAB and w not in WORD_ENTITY_TYPES)
-        or w.upper() in EDGE_KEYWORDS
-    ]
+    words += [w.lower() for w in history.split()]
+    low: list[str] = []
+    high: list[str] = []
+    for w in words:
+        if w in WORD_ENTITY_TYPES:
+            if w.upper() not in low:
+                low.append(w.upper())
+        elif (w in WORD_REL_VOCAB) or w.upper() in EDGE_KEYWORDS:
+            if w.upper() not in high:
+                high.append(w.upper())
     return high, low
+
+
+def keyword_extract_chat(
+    chat_fn, query_text: str, history: str = "",
+    goal: str = "", examples: tuple = (),
+) -> tuple[list[str], list[str]]:
+    """LLM-backed keyword extraction through the Chat seam (reference
+    query.go:119-145): render the keyword prompt with query + history,
+    one chat turn, scrub + parse ``{"high_level_keywords": [...],
+    "low_level_keywords": [...]}``."""
+    from ..stages.chat import render_keyword_prompt
+    from ..stages.llm_io import parse_keyword_response
+
+    prompt = render_keyword_prompt(query_text, history, goal, examples)
+    return parse_keyword_response(chat_fn([prompt]))
 
 
 def _nodes(graph: ray.data.Dataset) -> ray.data.Dataset:
@@ -358,20 +380,30 @@ def extract_query_and_histories(
     raise ValueError("no user message found")
 
 
+def render_history(histories: list[dict]) -> str:
+    """QueryConversation.String() lines joined (reference query.go:113-118,
+    595-597: ``role: %s, content: %s`` per turn)."""
+    return "\n".join(
+        f"role: {h.get('role', '')}, content: {h.get('message', '')}"
+        for h in histories
+    )
+
+
 def query(graph: ray.data.Dataset, conversations: list[dict]) -> str:
     """Full Query analog (reference query.go:92-190): conversations →
-    keyword extraction → local + global contexts → rendered CSV sections
-    (QueryResult.String()).  History is currently context for the keyword
-    rule only, mirroring the reference's prompt usage."""
-    query_text, _histories = extract_query_and_histories(conversations)
-    return render_query_result(query_context(graph, query_text))
+    keyword extraction (query + rendered history, query.go:113-118) →
+    local + global contexts → rendered CSV sections
+    (QueryResult.String())."""
+    query_text, histories = extract_query_and_histories(conversations)
+    return render_query_result(
+        query_context(graph, query_text, render_history(histories)))
 
 
 def query_context(
-    graph: ray.data.Dataset, query_text: str
+    graph: ray.data.Dataset, query_text: str, history: str = ""
 ) -> dict[str, pa.Table]:
     """Full Query flow: keywords → local + global context tables."""
-    high, low = keyword_extract(query_text)
+    high, low = keyword_extract(query_text, history)
     out: dict[str, pa.Table] = {}
     if low:
         out["local_entities"] = pa.Table.from_pylist(

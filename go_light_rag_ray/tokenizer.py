@@ -106,8 +106,20 @@ def default_tokenizer() -> RegexTokenizer:
 
 
 def get_tokenizer(name: str) -> Tokenizer:
+    """``regex`` | ``whitespace`` | ``bpe:<tokenizer.json>`` |
+    ``bpe:<vocab.json>:<merges.txt>`` (real BPE, see ``bpe.py``; paths must
+    be readable on every worker node — ship vendored files, not /tmp)."""
     if name == "regex":
         return RegexTokenizer()
     if name == "whitespace":
         return WhitespaceTokenizer()
+    if name.startswith("bpe:"):
+        from .bpe import BPETokenizer
+
+        paths = name[4:].split(":")
+        if len(paths) == 1:
+            return BPETokenizer.from_tokenizer_json(paths[0])
+        if len(paths) == 2:
+            return BPETokenizer.from_files(paths[0], paths[1])
+        raise ValueError(f"bad bpe tokenizer spec {name!r}")
     raise ValueError(f"unknown tokenizer {name!r}")

@@ -1,0 +1,169 @@
+"""Chat-protocol seam: ChatRules drives the reference's extract/glean/
+decide loop (insert.go:298-452) over any ``chat(messages) -> str``; the
+canned ``transcript_chat`` must reproduce TranscriptRules mention-for-
+mention, and the rendered prompts must carry the reference template
+structure (prompt.go:71-270)."""
+
+from go_light_rag_ray.stages.chat import (
+    GLEAN_DECIDE_CONTINUE_PROMPT,
+    ChatRules,
+    render_extract_prompt,
+    render_glean_prompt,
+    render_keyword_prompt,
+    transcript_chat,
+)
+from go_light_rag_ray.stages.extractor import TranscriptRules
+from tests.test_reference_golden import MOCK_RESPONSE
+
+
+def test_prompt_structure_matches_reference_template():
+    p = render_extract_prompt(
+        "Some input text.",
+        entity_types=["person", "organization"],
+        examples=[{
+            "text": "Alice works at Acme.",
+            "entities": [
+                {"name": "Alice", "type": "person",
+                 "description": "An engineer"},
+            ],
+            "relationships": [
+                {"source_entity": "Alice", "target_entity": "Acme",
+                 "description": "employment", "keywords": ["works_at"],
+                 "strength": 7},
+            ],
+        }],
+    )
+    # the load-bearing template sections, in order (prompt.go:71-156)
+    for needle in ("---Goal---", "---Steps---",
+                   "STRICTLY use ONLY one of the exact entity types",
+                   "[person, organization]", "---Examples---", "Example 1:",
+                   '"entity_name": "Alice"', "---Real Data---",
+                   "Text:\nSome input text.", "Output:"):
+        assert needle in p, needle
+    assert p.index("---Goal---") < p.index("---Steps---") < p.index(
+        "---Examples---") < p.index("---Real Data---")
+
+    g = render_glean_prompt(["person"])
+    assert g.startswith("\nMANY entities and relationships were missed")
+    assert "---Remember Steps---" in g
+    assert 'Answer ONLY by "YES" OR "NO"' in GLEAN_DECIDE_CONTINUE_PROMPT
+
+
+def test_keyword_prompt_includes_history():
+    p = render_keyword_prompt(
+        "what systems filed reports?",
+        history="user: earlier question\nassistant: earlier answer",
+        examples=[{"query": "q1", "high_level_keywords": ["H"],
+                   "low_level_keywords": ["l"]}],
+    )
+    assert "Conversation History:\nuser: earlier question" in p
+    assert "Current Query: what systems filed reports?" in p
+    assert '"high_level_keywords": ["H"]' in p
+
+
+def test_chat_seam_matches_transcript_rules():
+    """Reference-golden control flow through the Chat seam: identical
+    mention rounds to the TranscriptRules playback."""
+    via_transcript = TranscriptRules(
+        MOCK_RESPONSE, entity_types=["PERSON", "ORGANIZATION"],
+        max_glean_count=2,
+    ).extract_rounds("d", "c", "Test content")
+    via_chat = ChatRules(
+        transcript_chat(MOCK_RESPONSE),
+        entity_types=["PERSON", "ORGANIZATION"],
+        max_glean_count=2,
+    ).extract_rounds("d", "c", "Test content")
+    assert via_chat == via_transcript
+    # decide answer is the JSON payload (not "yes") → exactly 2 rounds
+    assert len(via_chat) == 2
+
+
+def test_chat_loop_decide_yes_continues():
+    calls = []
+
+    def chat(messages):
+        calls.append(list(messages))
+        last = messages[-1]
+        if last == GLEAN_DECIDE_CONTINUE_PROMPT:
+            return ' "YES" '  # quote/space/case-insensitive (insert.go:438)
+        return MOCK_RESPONSE
+
+    rounds = ChatRules(chat, max_glean_count=2).extract_rounds("d", "c", "x")
+    # insert.go:418-421 breaks only when gleanCount EXCEEDS the max:
+    # base + glean1 (yes) + glean2 (yes) + glean3 (counter 3 > 2) = 4 rounds
+    assert len(rounds) == 4
+    # history grows as user/assistant alternation: extract, response,
+    # glean, response, ... (rag.go:17-19 even=user odd=assistant)
+    assert len(calls[-1]) % 2 == 1 or calls[-1][-1] == GLEAN_DECIDE_CONTINUE_PROMPT
+
+
+def test_chat_history_alternation():
+    """Every chat call sends an odd-length message list ending in a user
+    turn (even indices user, odd assistant — rag.go:17-19)."""
+    seen = []
+
+    def chat(messages):
+        seen.append(len(messages))
+        if messages[-1] == GLEAN_DECIDE_CONTINUE_PROMPT:
+            return "no"
+        return MOCK_RESPONSE
+
+    ChatRules(chat, max_glean_count=3).extract_rounds("d", "c", "x")
+    assert all(n % 2 == 1 for n in seen)
+
+
+def test_extractor_pool_accepts_chat_rules(ray_session):
+    """ChatRules deploys through the same actor-pool Extractor stage."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.canonicalize import canonicalize
+    from go_light_rag_ray.stages.extractor import Extractor
+
+    chunks = ray.data.from_arrow(pa.table({
+        "doc_id": ["test-doc-1"],
+        "chunk_id": ["test-doc-1-chunk-0"],
+        "order_index": pa.array([0], pa.int32()),
+        "content": ["Test content"],
+    }))
+    rules = ChatRules(
+        transcript_chat(MOCK_RESPONSE),
+        entity_types=["PERSON", "ORGANIZATION"],
+        max_glean_count=2,
+    )
+    mentions = chunks.map_batches(
+        Extractor, fn_constructor_kwargs={"rules": rules},
+        batch_format="pyarrow", concurrency=1,
+    )
+    rows = canonicalize(mentions, salt_buckets=4).take_all()
+    nodes = {r["entity_id"]: r for r in rows if r["kind"] == "node"}
+    edges = [r for r in rows if r["kind"] == "edge"]
+    assert set(nodes) == {"ENTITY1", "ENTITY2"}
+    assert nodes["ENTITY1"]["entity_type"] == "PERSON"
+    assert len(edges) == 1 and edges[0]["weight"] == 2.0  # two rounds, additive
+
+
+def test_keyword_extract_uses_history():
+    from go_light_rag_ray.pipelines.query import keyword_extract, render_history
+
+    # entity word only in history, relationship word only in query
+    high, low = keyword_extract(
+        "how does merge work?",
+        render_history([{"role": "user", "message": "tell me about spark"}]))
+    assert "SPARK" in low        # from history
+    assert "MERGE" in high       # from query
+    # no history → history-only words absent
+    high2, low2 = keyword_extract("how does merge work?")
+    assert "SPARK" not in low2
+
+
+def test_keyword_extract_chat_seam():
+    from go_light_rag_ray.pipelines.query import keyword_extract_chat
+
+    def chat(messages):
+        assert "Conversation History:" in messages[0]
+        assert "Current Query: q" in messages[0]
+        return '{"high_level_keywords": ["THEME"], "low_level_keywords": ["spark"]}'
+
+    high, low = keyword_extract_chat(chat, "q", history="role: user, content: h")
+    assert high == ["THEME"] and low == ["spark"]
