@@ -230,7 +230,21 @@ class HandlerChunker:
     def _chunks_for(self, kind: str, content: str):
         cfg = self.config
         if kind == "markdown":
+            # the faithful MarkdownAst port (char-sized sections, paragraph
+            # → sentence → word descent, protected code/tables, char
+            # overlap) — reference handler/markdown.go:27-1071
+            from .mdchunk import chunk_markdown_ast
+
+            return chunk_markdown_ast(content, tokenizer_name=cfg.tokenizer)
+        if kind == "markdown_sections":
+            # token-budgeted section merger (the engine-native variant)
             return chunk_markdown(content, cfg.max_tokens, cfg.tokenizer)
+        if kind == "go":
+            # strict Go parsing (reference handler/go.go errors on invalid
+            # source); parse failures surface, they do not silently degrade
+            from .gochunk import chunk_go
+
+            return chunk_go(content, cfg.tokenizer)
         if kind == "code":
             return chunk_code(content, cfg.tokenizer)
         if kind == "semantic":
