@@ -163,19 +163,28 @@ def run_scaling(sf_dir: str) -> dict:
     cannot amortize."""
     import pyarrow.parquet as pq
 
-    rep = int(os.environ.get("GRAFT_SCALE_REP", "40"))
+    rep = int(os.environ.get("GRAFT_SCALE_REP", "100"))
+    reps32 = int(os.environ.get("GRAFT_SCALE_RUNS32", "3"))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
-    points = {}
-    for cpus in (8, 32):
+
+    def one_run(cpus: int) -> float:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--single", "__kg_scale__", "--cpus", str(cpus),
                "--sf-dir", sf_dir]
         out = subprocess.run(cmd, capture_output=True, text=True,
                              env=dict(os.environ), timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        sec = r["queries"]["__kg_scale__"]
-        points[cpus] = {"sec": sec, "docs_per_sec": round(n_docs / sec, 2)}
+        return json.loads(line)["queries"]["__kg_scale__"]
+
+    # the 8-CPU leg is long and stable (round-1 spread < 3%): one run.
+    # the 32-CPU leg is short and rides actor-pool ramp-up: median of 3
+    # fresh processes (plus pool pre-warming in kg._pool) keeps a single
+    # unlucky ramp from sinking the gate.
+    sec8 = one_run(8)
+    runs32 = sorted(one_run(32) for _ in range(reps32))
+    sec32 = runs32[len(runs32) // 2]
+    points = {8: {"sec": sec8, "docs_per_sec": round(n_docs / sec8, 2)},
+              32: {"sec": sec32, "docs_per_sec": round(n_docs / sec32, 2)}}
     eff = (points[8]["sec"] / points[32]["sec"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
@@ -187,6 +196,7 @@ def run_scaling(sf_dir: str) -> dict:
         "num_cpus": 32,
         "replication": rep,
         "n_docs": n_docs,
+        "runs32_sec": runs32,
         "throughput": {"cpus8_docs_per_sec": points[8]["docs_per_sec"],
                        "cpus32_docs_per_sec": points[32]["docs_per_sec"]},
     }

@@ -65,14 +65,23 @@ def ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_sim: float | None = None,
+    where: str | None = None,
 ) -> ray.data.Dataset:
     """Global cosine top-k per query (self-match excluded).
 
+    ``min_sim`` is the reference's vector-search radius (Milvus
+    RangeFilter, storage/milvus.go:31,78-80: only neighbors with cosine ≥
+    the radius qualify); ``where`` is a Ray Data filter expression applied
+    to the corpus side BEFORE the scan — the metadata-scoped search of
+    chromem.go:49-95 — pruned at the read, never post-hoc.
     Returns (query_id, rank 1..k, neighbor_id, cos_sim) ordered within each
     query by (cos_sim desc, neighbor_id asc).
     """
     qids, qmat = load_query_matrix(embeddings, n_queries, id_col, vec_col)
     q_ref = ray.put((qids, qmat))
+    if where:
+        embeddings = embeddings.filter(expr=where)
 
     class PartialTopK:
         """Per-batch local top-k against the broadcast query matrix."""
@@ -88,6 +97,8 @@ def ann_topk(
             for qi, qid in enumerate(self.qids):
                 col = sims[:, qi]
                 mask = ids != qid
+                if min_sim is not None:
+                    mask &= col >= min_sim  # radius filter, applied early
                 cand_ids, cand_sims = ids[mask], col[mask]
                 if len(cand_ids) > k:
                     # local prune: top-k by (sim desc, id asc)

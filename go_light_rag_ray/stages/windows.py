@@ -105,19 +105,28 @@ def hopping_window_agg(
 
 
 def sessionize(
-    events: ray.data.Dataset, gap_s: int = 1800
+    events: ray.data.Dataset, gap_s: int = 1800, salt_bucket_s: int = 0
 ) -> ray.data.Dataset:
     """Gap-based sessions per user: a new session starts when the time
     since the previous event exceeds ``gap_s``.  Returns
-    (user_id, session_index, n_events, start_us, end_us)."""
+    (user_id, session_index, n_events, start_us, end_us).
+
+    ``salt_bucket_s`` > 0 is the whale-user path: events partition by
+    (user, time-bucket) so no single group holds a whale's entire history;
+    per-bucket session SUMMARIES (tiny) then merge per user in a second
+    groupby, fusing sessions whose cross-bucket gap ≤ ``gap_s``.  The gap
+    rule is associative over time-ordered segments, so the salted output
+    is IDENTICAL to the unsalted one (tested), with the heavy pass bounded
+    by bucket size.  Pick ``salt_bucket_s`` ≫ ``gap_s`` (e.g. a day)."""
     gap_us = gap_s * US
 
-    def sessions(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        ts = np.sort(_epoch_us(group.column("ts")))
+    def sessions_of(ts: np.ndarray):
         breaks = np.nonzero(np.diff(ts) > gap_us)[0]
         starts = np.concatenate([[0], breaks + 1])
         ends = np.concatenate([breaks, [len(ts) - 1]])
+        return starts, ends
+
+    def emit(uid: int, starts, ends, ts) -> pa.Table:
         n = len(starts)
         return pa.Table.from_pydict(
             {"user_id": pa.array([uid] * n, pa.int64()),
@@ -127,16 +136,79 @@ def sessionize(
              "end_us": pa.array(ts[ends], pa.int64())}
         )
 
+    if not salt_bucket_s:
+        def sessions(group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            ts = np.sort(_epoch_us(group.column("ts")))
+            starts, ends = sessions_of(ts)
+            return emit(uid, starts, ends, ts)
+
+        return (
+            events.select_columns(["user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pyarrow")
+        )
+
+    b_us = salt_bucket_s * US
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        return pa.Table.from_pydict(
+            {"user_id": b.column("user_id").combine_chunks(),
+             "ts_us": pa.array(ts, pa.int64()),
+             "bucket": pa.array(ts // b_us, pa.int64())}
+        )
+
+    def bucket_sessions(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = np.sort(group.column("ts_us").to_numpy())
+        starts, ends = sessions_of(ts)
+        n = len(starts)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array([uid] * n, pa.int64()),
+             "n_events": pa.array(ends - starts + 1, pa.int64()),
+             "start_us": pa.array(ts[starts], pa.int64()),
+             "end_us": pa.array(ts[ends], pa.int64())}
+        )
+
+    def merge_user(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        order = np.argsort(group.column("start_us").to_numpy())
+        s = group.column("start_us").to_numpy()[order]
+        e = group.column("end_us").to_numpy()[order]
+        c = group.column("n_events").to_numpy()[order]
+        out_s, out_e, out_c = [s[0]], [e[0]], [int(c[0])]
+        for i in range(1, len(s)):
+            if s[i] - out_e[-1] <= gap_us:
+                out_e[-1] = max(out_e[-1], int(e[i]))
+                out_c[-1] += int(c[i])
+            else:
+                out_s.append(int(s[i]))
+                out_e.append(int(e[i]))
+                out_c.append(int(c[i]))
+        n = len(out_s)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array([uid] * n, pa.int64()),
+             "session_index": pa.array(np.arange(n), pa.int32()),
+             "n_events": pa.array(out_c, pa.int64()),
+             "start_us": pa.array(out_s, pa.int64()),
+             "end_us": pa.array(out_e, pa.int64())}
+        )
+
     return (
         events.select_columns(["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(bucket_sessions, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_groups(merge_user, batch_format="pyarrow")
     )
 
 
 def asof_join_latest(
     events: ray.data.Dataset,
     mark_type: str = "error",
+    salt_bucket_s: int = 0,
 ) -> ray.data.Dataset:
     """Point-in-time self as-of join: for every event, the id of the user's
     most recent ``mark_type`` event at-or-before it (NULL if none).
@@ -144,7 +216,17 @@ def asof_join_latest(
     Distributed pattern: partition by user, per-group time-sorted sweep
     carrying the running latest mark — never a cross join.  Ties on equal
     timestamps break toward the mark with the larger event_id (latest id).
-    Returns (event_id, user_id, mark_event_id nullable)."""
+    Returns (event_id, user_id, mark_event_id nullable).
+
+    ``salt_bucket_s`` > 0 is the whale-user path: the sweep partitions by
+    (user, time-bucket); rows resolved inside their bucket ship straight
+    to the output, and only the UNRESOLVED head of each bucket (events
+    before the bucket's first mark) re-groups per user together with tiny
+    per-bucket last-mark summaries, where a prefix-carry fixes them.  The
+    second group's size is bounded by marks' sparsity, not the whale's
+    volume; output is identical to the unsalted path (tested)."""
+    if salt_bucket_s:
+        return _asof_join_salted(events, mark_type, salt_bucket_s)
 
     def sweep(group: pa.Table) -> pa.Table:
         uid = group.column("user_id")[0].as_py()
@@ -172,3 +254,108 @@ def asof_join_latest(
         .groupby("user_id")
         .map_groups(sweep, batch_format="pyarrow")
     )
+
+
+def _asof_join_salted(
+    events: ray.data.Dataset, mark_type: str, salt_bucket_s: int
+) -> ray.data.Dataset:
+    b_us = salt_bucket_s * US
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        return pa.Table.from_pydict(
+            {"event_id": b.column("event_id").combine_chunks(),
+             "user_id": b.column("user_id").combine_chunks(),
+             "ts_us": pa.array(ts, pa.int64()),
+             "bucket": pa.array(ts // b_us, pa.int64()),
+             "event_type": b.column("event_type").combine_chunks()}
+        )
+
+    def bucket_sweep(group: pa.Table) -> pa.Table:
+        """Rows resolved within the bucket (kind=0, mark ≥ 0), unresolved
+        rows (kind=0, mark=-1), plus ≤1 summary row (kind=1) carrying the
+        bucket's LAST mark for the per-user prefix carry."""
+        uid = group.column("user_id")[0].as_py()
+        bucket = group.column("bucket")[0].as_py()
+        ts = group.column("ts_us").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        etype = np.array(group.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts))
+        eid, etype = eid[order], etype[order]
+        latest = -1
+        out = np.empty(len(eid), dtype=np.int64)
+        for i in range(len(eid)):
+            if etype[i] == mark_type:
+                latest = eid[i]
+            out[i] = latest
+        rows = {
+            "kind": [0] * len(eid), "event_id": eid.tolist(),
+            "user_id": [uid] * len(eid), "bucket": [bucket] * len(eid),
+            "mark_event_id": out.tolist(),
+        }
+        if latest >= 0:
+            rows["kind"].append(1)
+            rows["event_id"].append(int(latest))
+            rows["user_id"].append(uid)
+            rows["bucket"].append(bucket)
+            rows["mark_event_id"].append(int(latest))
+        return pa.Table.from_pydict(
+            {"kind": pa.array(rows["kind"], pa.int8()),
+             "event_id": pa.array(rows["event_id"], pa.int64()),
+             "user_id": pa.array(rows["user_id"], pa.int64()),
+             "bucket": pa.array(rows["bucket"], pa.int64()),
+             "mark_event_id": pa.array(rows["mark_event_id"], pa.int64())}
+        )
+
+    swept = (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(bucket_sweep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        marks = b.column("mark_event_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"event_id": b.column("event_id").combine_chunks(),
+             "user_id": b.column("user_id").combine_chunks(),
+             "mark_event_id": pa.array(
+                 [None if v < 0 else int(v) for v in marks], pa.int64())}
+        )
+
+    resolved = swept.filter(
+        expr="kind == 0 and mark_event_id >= 0"
+    ).map_batches(finalize, batch_format="pyarrow")
+
+    def carry_fix(group: pa.Table) -> pa.Table:
+        """Per user, over unresolved rows + summaries only: the latest
+        mark of any EARLIER bucket resolves each unresolved row."""
+        kinds = group.column("kind").to_numpy(zero_copy_only=False)
+        buckets = group.column("bucket").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id")[0].as_py()
+        summaries = sorted(
+            (int(buckets[i]), int(eids[i]))
+            for i in np.nonzero(kinds == 1)[0]
+        )
+        sum_buckets = [b for b, _ in summaries]
+        out_e, out_m = [], []
+        import bisect
+
+        for i in np.nonzero(kinds == 0)[0]:
+            j = bisect.bisect_left(sum_buckets, int(buckets[i]))
+            out_e.append(int(eids[i]))
+            out_m.append(summaries[j - 1][1] if j > 0 else None)
+        return pa.Table.from_pydict(
+            {"event_id": pa.array(out_e, pa.int64()),
+             "user_id": pa.array([uid] * len(out_e), pa.int64()),
+             "mark_event_id": pa.array(out_m, pa.int64())}
+        )
+
+    fixed = (
+        swept.filter(expr="kind == 1 or mark_event_id < 0")
+        .groupby("user_id")
+        .map_groups(carry_fix, batch_format="pyarrow")
+    )
+    return resolved.union(fixed)

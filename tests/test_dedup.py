@@ -189,3 +189,37 @@ def test_cluster_duplicates_paths_agree():
                 for r in cluster_duplicates(docs, pairs,
                                             max_driver_pairs=0).take_all()}
     assert via_driver == via_dist
+
+
+def test_hot_bucket_guard_caps_pathological_shingle():
+    """Skew stress: one stop-shingle shared by EVERY doc would emit O(n²)
+    pairs; the production max_group default drops that bucket while real
+    near-dup pairs (sharing many rare shingles) survive."""
+    from go_light_rag_ray.stages.dedup import (
+        PRODUCTION_MAX_GROUP,
+        ngram_jaccard_pairs,
+    )
+
+    n = 60
+    stop = "the quick brown"  # 3-shingle present in every doc
+    texts = []
+    for i in range(n):
+        texts.append(f"{stop} unique{i} a{i} b{i} c{i} d{i} e{i}")
+    # docs 0 and 1 are near-identical (doc 1 = doc 0 + one trailing word)
+    texts[1] = texts[0] + " f0"
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(n)), "text": texts}))
+
+    assert PRODUCTION_MAX_GROUP > 0  # guard on by default
+    capped = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3,
+                                 max_group=10).take_all()
+    capped_pairs = {(r["a"], r["b"]) for r in capped}
+    assert (0, 1) in capped_pairs          # real near-dup survives
+    # the stop-shingle alone can no longer connect unrelated docs: without
+    # the cap every doc pair shares ≥1 shingle; with it, only genuinely
+    # similar pairs reach the threshold
+    assert all(a == 0 and b == 1 for a, b in capped_pairs)
+
+    exact = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3,
+                                max_group=0).take_all()
+    assert {(r["a"], r["b"]) for r in exact} >= capped_pairs

@@ -79,3 +79,33 @@ def test_ann_topk_ivf_cell_restriction():
     # the planted near-identical pair lands in the same cell → rank 1
     assert any(r["query_id"] == 0 and r["neighbor_id"] == 1 and r["rank"] == 1
                for r in rows)
+
+
+def test_ann_min_sim_radius(ray_session):
+    """min_sim is the reference's vector-search radius (milvus.go:31):
+    neighbors below the cosine threshold are excluded even inside top-k."""
+    from go_light_rag_ray.stages.similarity import ann_topk
+
+    ds, _ = _embeddings()
+    full = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+            for r in ann_topk(ds, n_queries=2, k=5).take_all()}
+    radius = 0.5
+    rows = ann_topk(ds, n_queries=2, k=5, min_sim=radius).take_all()
+    assert rows, "radius filter removed everything"
+    for r in rows:
+        assert r["cos_sim"] >= radius
+        assert full[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+    assert any(v < radius for v in full.values())  # filter actually bites
+
+
+def test_ann_metadata_where_filter(ray_session):
+    """where= scopes the corpus before the scan (chromem.go:49-95
+    metadata-scoped search)."""
+    from go_light_rag_ray.stages.similarity import ann_topk
+
+    ds, _ = _embeddings()
+    rows = ann_topk(ds, n_queries=2, k=10, where="vec_id < 20").take_all()
+    assert rows
+    assert all(r["neighbor_id"] < 20 for r in rows)
+    unscoped = ann_topk(ds, n_queries=2, k=10).take_all()
+    assert any(r["neighbor_id"] >= 20 for r in unscoped)  # scope bites

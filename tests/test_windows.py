@@ -81,3 +81,58 @@ def test_asof_join_latest_mark():
     rows = {r["event_id"]: r["mark_event_id"]
             for r in asof_join_latest(ev, mark_type="error").take_all()}
     assert rows == {0: None, 1: 1, 2: 1, 3: 3, 4: 3, 5: None}
+
+
+def _whale_events(ray_session):
+    """Two users; user 1 is a 'whale' with events spanning many buckets,
+    sessions crossing bucket boundaries, and sparse error marks."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    ts, uid, eid, etype = [], [], [], []
+    base = 1_700_000_000_000_000
+    k = 0
+    for u, n in ((1, 400), (2, 40)):
+        t = base
+        for i in range(n):
+            # gaps: mostly small, occasionally > 30 min (session break),
+            # clustered near 3600s bucket boundaries too
+            t += int(rng.choice([60, 300, 2400, 3900]) * 1e6)
+            ts.append(t)
+            uid.append(u)
+            eid.append(k)
+            etype.append("error" if rng.rand() < 0.07 else "view")
+            k += 1
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(etype, pa.string()),
+    }))
+
+
+def test_sessionize_whale_salting_identical(ray_session):
+    from go_light_rag_ray.stages.windows import sessionize
+
+    ev = _whale_events(ray_session)
+    plain = sorted(
+        (r["user_id"], r["session_index"], r["n_events"], r["start_us"],
+         r["end_us"]) for r in sessionize(ev, gap_s=1800).take_all())
+    salted = sorted(
+        (r["user_id"], r["session_index"], r["n_events"], r["start_us"],
+         r["end_us"]) for r in sessionize(ev, gap_s=1800,
+                                          salt_bucket_s=3600).take_all())
+    assert plain == salted
+
+
+def test_asof_whale_salting_identical(ray_session):
+    from go_light_rag_ray.stages.windows import asof_join_latest
+
+    ev = _whale_events(ray_session)
+    plain = sorted(
+        (r["event_id"], r["user_id"], r["mark_event_id"])
+        for r in asof_join_latest(ev).take_all())
+    salted = sorted(
+        (r["event_id"], r["user_id"], r["mark_event_id"])
+        for r in asof_join_latest(ev, salt_bucket_s=3600).take_all())
+    assert plain == salted
