@@ -424,6 +424,43 @@ def q_asof_join(sf_dir: str) -> ray.data.Dataset:
     return asof_join_latest(_raw_events(sf_dir), mark_type="error")
 
 
+def q_sessions_salted(sf_dir: str) -> ray.data.Dataset:
+    """Whale-user path: per-(user, day-bucket) sweep + per-user summary
+    merge — value-oracled against the SAME sessions SQL (the salted output
+    is identical to the unsalted one by construction)."""
+    from go_light_rag_ray.stages.windows import sessionize
+
+    return sessionize(_raw_events(sf_dir), gap_s=1800, salt_bucket_s=86400)
+
+
+def q_asof_salted(sf_dir: str) -> ray.data.Dataset:
+    """Whale-user as-of path: bucket sweep + prefix-carry fix; same oracle
+    SQL as the unsalted join."""
+    from go_light_rag_ray.stages.windows import asof_join_latest
+
+    return asof_join_latest(_raw_events(sf_dir), mark_type="error",
+                            salt_bucket_s=86400)
+
+
+def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
+    """Vector search with the reference's cosine radius filter
+    (milvus.go:31 RangeFilter): only neighbors with cos ≥ 0.2 rank."""
+    from go_light_rag_ray.stages.similarity import ann_topk
+
+    return ann_topk(_raw_embeddings(sf_dir), n_queries=8, k=5, min_sim=0.2)
+
+
+def q_dedup_clusters_dist(sf_dir: str) -> ray.data.Dataset:
+    """The distributed min-label-propagation clustering path (forced via
+    max_driver_pairs=0) — value-oracled against the same recursive-CTE
+    connected-components SQL as the driver union-find path."""
+    from go_light_rag_ray.stages.dedup import cluster_duplicates, minhash_lsh_pairs
+
+    docs = _raw_docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3, max_group=0)
+    return cluster_duplicates(docs, pairs, max_driver_pairs=0)
+
+
 def q_entity_ann(sf_dir: str) -> ray.data.Dataset:
     """Entity vector search over the canonical graph (reference J7 entity
     collection).  Rows-only check (hash-projection vectors not SQL)."""
@@ -996,6 +1033,23 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
+_ANN_RADIUS_SQL = r"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  )::INTEGER AS rank
+  FROM scored WHERE cos_sim >= 0.2
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
 _EMB_BUCKET4_EXPR = (
     "("
     + " + ".join(
@@ -1299,6 +1353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": q_window_hopping,
         "sessions": q_sessions,
         "asof_join": q_asof_join,
+        "sessions_salted": q_sessions_salted,
+        "asof_salted": q_asof_salted,
+        "ann_radius": q_ann_radius,
+        "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
     }
@@ -1335,6 +1393,10 @@ def oracle_sql() -> dict[str, str]:
         "window_hopping": _WINDOW_HOPPING_SQL,
         "sessions": _SESSIONS_SQL,
         "asof_join": _ASOF_JOIN_SQL,
+        "sessions_salted": _SESSIONS_SQL,
+        "asof_salted": _ASOF_JOIN_SQL,
+        "ann_radius": _ANN_RADIUS_SQL,
+        "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
         "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,
         "ctx_local_sources": _CTX_LOCAL_SOURCES_SQL,

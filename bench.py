@@ -79,7 +79,7 @@ def _pipelines(sf_dir: str) -> dict:
         from go_light_rag_ray.pipelines.kg import Handler, kg_pipeline
         from go_light_rag_ray.sources import io as table_io
 
-        rep = int(os.environ.get("GRAFT_SCALE_REP", "40"))
+        rep = int(os.environ.get("GRAFT_SCALE_REP", "200"))
 
         def replicate(b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_pylist()
@@ -90,9 +90,15 @@ def _pipelines(sf_dir: str) -> dict:
                 out_t.extend(texts)
             return pa.table({"doc_id": out_i, "text": out_t})
 
+        # repartition the (tiny) seed BEFORE replication: replicated doc
+        # blocks are far below the 128 MB block target, so without this
+        # the whole corpus coalesces into ~16 blocks and the chunk/extract
+        # pools run a handful of huge straggler tasks (measured: 80-146 s
+        # swings at 32 CPUs).  256 seed blocks → ≥256 fine-grained tasks
+        # through every downstream stage.
         docs = table_io.read_documents(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).map_batches(replicate, batch_format="pyarrow")
+        ).repartition(256).map_batches(replicate, batch_format="pyarrow")
         docs = docs.map_batches(
             table_io.flat_documents_as_interleaved, batch_format="pyarrow"
         )
@@ -158,16 +164,22 @@ def run_scaling(sf_dir: str) -> dict:
     proxy for the N-vs-4N-node criterion, per BASELINE.json).
 
     The input is the sf corpus replicated ``$GRAFT_SCALE_REP``× (default
-    40) with distinct doc ids — identical for both runs — so per-CPU
+    200) with distinct doc ids — identical for both runs — so per-CPU
     compute dominates the fixed pipeline overhead that a 2 MB toy input
     cannot amortize."""
     import pyarrow.parquet as pq
 
-    rep = int(os.environ.get("GRAFT_SCALE_REP", "100"))
+    rep = int(os.environ.get("GRAFT_SCALE_REP", "200"))
     reps32 = int(os.environ.get("GRAFT_SCALE_RUNS32", "3"))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
 
     def one_run(cpus: int) -> float:
+        # successive legs measured 81 → 107 → 124 s without this: leftover
+        # raylet/object-store state from the previous session slows the
+        # next one.  Hard-stop Ray before every leg so each starts clean.
+        subprocess.run(["ray", "stop", "--force"], capture_output=True,
+                       timeout=120)
+        time.sleep(2)
         cmd = [sys.executable, os.path.abspath(__file__),
                "--single", "__kg_scale__", "--cpus", str(cpus),
                "--sf-dir", sf_dir]
