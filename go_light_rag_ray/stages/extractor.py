@@ -170,6 +170,11 @@ class WordCooccurrenceRules(ExtractionRules):
     every *adjacent* pair of distinct relationship-vocab words is a
     CO_OCCURS relationship (weight 1.0).  Glean round: pairs at distance 2
     (NEAR, weight 0.5).  Exactly mirrored by SQL in __ray_entry__.oracle_sql.
+
+    Carries a fully vectorized ``extract_batch`` fast path (Arrow split +
+    numpy masks over the flattened word stream) that the ``Extractor``
+    dispatches to — the per-row ``extract_rounds`` remains the semantic
+    definition and the property-test reference.
     """
 
     entity_types = WORD_ALLOWED_TYPES
@@ -177,6 +182,11 @@ class WordCooccurrenceRules(ExtractionRules):
 
     def __init__(self) -> None:
         self._word_re = regex.compile(r"\S+")
+
+    def extract_batch(self, batch: pa.Table) -> pa.Table:
+        from .extract_vec import word_cooccurrence_batch
+
+        return word_cooccurrence_batch(batch, glean=self.glean_count > 0)
 
     def extract_rounds(self, doc_id, chunk_id, content):
         words = self._word_re.findall(content)
@@ -307,6 +317,12 @@ class Extractor:
         return []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        fast = getattr(self.rules, "extract_batch", None)
+        if fast is not None:
+            # vectorized kernel: already normalized + allowlisted by
+            # construction (gazetteer types ⊂ allowed); equivalence to the
+            # per-row path is property-tested and oracle-checked
+            return fast(batch)
         cols: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}
         doc_ids = batch.column("doc_id").to_pylist()
         chunk_ids = batch.column("chunk_id").to_pylist()

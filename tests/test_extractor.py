@@ -85,3 +85,57 @@ def test_extractor_glean_count_zero():
     out = Extractor(rules="pattern", glean_count=0)(batch)
     rels = [r for r in out.to_pylist() if r["kind"] == "relationship"]
     assert rels == []  # FOUNDED only findable by gleaning
+
+
+def test_vectorized_word_rules_match_per_row_path():
+    """The Arrow/numpy extract_batch kernel must be row-identical to the
+    per-row extract_rounds engine over adversarial word streams (empty
+    docs, leading/trailing/multiple whitespace, repeated words, vocab at
+    boundaries)."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.extractor import (
+        Extractor,
+        MENTIONS_SCHEMA,
+        WordCooccurrenceRules,
+    )
+
+    contents = [
+        "spark customer vector",
+        "",
+        "   spark   merge  spark ",
+        "noise words only here",
+        "query join window hash merge scan",
+        "table table stream",          # equal-adjacent excluded
+        "spark",                        # single word, no pairs
+        "merge scan merge scan merge",  # rel-only vocab (placeholders)
+        "\t spark\nquery  ",
+    ]
+    batch = pa.table({
+        "doc_id": [f"doc-{i:09d}" for i in range(len(contents))],
+        "chunk_id": [f"doc-{i:09d}-chunk-0" for i in range(len(contents))],
+        "order_index": pa.array([0] * len(contents), pa.int32()),
+        "content": contents,
+    })
+
+    fast = Extractor(rules="word_cooccurrence")(batch)
+
+    slow_rules = WordCooccurrenceRules()
+    slow_ex = Extractor(rules=slow_rules)
+    # bypass dispatch: force the per-row engine
+    delattr_name = "extract_batch"
+    class NoFast(WordCooccurrenceRules):
+        extract_batch = None
+    slow_ex.rules = slow_rules
+    orig = WordCooccurrenceRules.extract_batch
+    try:
+        del WordCooccurrenceRules.extract_batch
+        slow = Extractor(rules="word_cooccurrence")(batch)
+    finally:
+        WordCooccurrenceRules.extract_batch = orig
+
+    key = lambda r: (r["chunk_id"], r["mention_index"])
+    fast_rows = sorted(fast.to_pylist(), key=key)
+    slow_rows = sorted(slow.to_pylist(), key=key)
+    assert fast_rows == slow_rows
+    assert fast.schema.equals(MENTIONS_SCHEMA)
