@@ -450,6 +450,15 @@ def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
     return ann_topk(_raw_embeddings(sf_dir), n_queries=8, k=5, min_sim=0.2)
 
 
+def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-trained unigram LM scoring: train (one small shuffle) →
+    broadcast model → vectorized per-doc scoring.  The LM-quality member
+    of the text-analysis family; integer-derived ratio → bit-exact SQL."""
+    from go_light_rag_ray.stages.lm import unigram_score
+
+    return unigram_score(_raw_docs(sf_dir))
+
+
 def q_dedup_clusters_dist(sf_dir: str) -> ray.data.Dataset:
     """The distributed min-label-propagation clustering path (forced via
     max_driver_pairs=0) — value-oracled against the same recursive-CTE
@@ -1033,6 +1042,20 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
+_TEXT_UNIGRAM_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+model AS (SELECT w, count(*) AS c FROM words GROUP BY w)
+SELECT words.doc_id,
+       count(*) AS n_tokens,
+       sum(model.c)::BIGINT AS sum_freq,
+       0::BIGINT AS oov_count,
+       round(sum(model.c)::DOUBLE / count(*), 6) AS mean_token_freq
+FROM words JOIN model ON words.w = model.w
+GROUP BY words.doc_id
+"""
+
 _ANN_RADIUS_SQL = r"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
 scored AS (
@@ -1356,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_salted": q_sessions_salted,
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
+        "text_unigram": q_text_unigram,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
@@ -1396,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions_salted": _SESSIONS_SQL,
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
+        "text_unigram": _TEXT_UNIGRAM_SQL,
         "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
         "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,

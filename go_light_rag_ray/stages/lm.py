@@ -1,0 +1,140 @@
+"""Corpus-trained unigram language-model scoring (train → broadcast → score).
+
+The missing member of the text-quality family (textstats.py scores are all
+per-document): KenLM-style perplexity filtering needs a model TRAINED ON
+THE CORPUS then applied to every document.  Hermetically (no KenLM in this
+container) the model is the exact unigram frequency table, and the score is
+the document's mean token corpus-frequency — the monotone core of unigram
+log-likelihood without transcendentals, so the DuckDB oracle can reproduce
+it bit-exactly (integer sums, one double division, 6-dp round).
+
+Distributed shape (the 100 TB pattern):
+
+1. TRAIN — per-batch Arrow hash-count partials (the combiner), ONE small
+   ``groupby(word).sum`` shuffle → the model table.  ``top_vocab`` > 0
+   keeps only the most frequent words (ties break lexicographically) so
+   the broadcast stays bounded at web scale — a production LM's vocab cap;
+   0 = exact (oracle mode).  Out-of-vocab tokens score 0.
+2. BROADCAST — the model ships once via ``ray.put``; every scorer actor
+   rebuilds (vocab array, counts array) in ``__init__``.
+3. SCORE — per batch: ``utf8_split_whitespace`` → flat word stream,
+   ``index_in`` against the vocab, ``np.bincount`` segment sums per doc.
+   No joins, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+import ray.data.aggregate as agg
+
+__all__ = ["word_freq_model", "unigram_score"]
+
+
+def _flat_words(batch: pa.Table, text_col: str):
+    words = pc.utf8_split_whitespace(
+        pc.cast(batch.column(text_col), pa.string())).combine_chunks()
+    flat_all = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens).astype(np.int64)
+    par_all = np.repeat(np.arange(batch.num_rows), lens)
+    keep = np.nonzero(
+        pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False))[0]
+    return flat_all.take(pa.array(keep)), par_all[keep]
+
+
+def word_freq_model(
+    docs: ray.data.Dataset, text_col: str = "text", top_vocab: int = 0,
+) -> pa.Table:
+    """Train the unigram model: (word, c) counts over the corpus.
+
+    Partial counts inside ``map_batches`` (≤1 row per distinct word per
+    batch) keep the shuffle at vocabulary size, not token count.  The
+    result is MATERIALIZED (it is the model — the deliberately small side).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_words(b, text_col)
+        t = pa.table({"word": flat}).group_by("word").aggregate(
+            [("word", "count")])
+        return pa.table({"word": t.column("word"),
+                         "c": pc.cast(t.column("word_count"), pa.int64())})
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(agg.Sum("c", alias_name="c"))
+    )
+    rows = counts.take_all()
+    model = pa.table({
+        "word": pa.array([r["word"] for r in rows], pa.string()),
+        "c": pa.array([r["c"] for r in rows], pa.int64()),
+    })
+    if top_vocab and model.num_rows > top_vocab:
+        model = model.sort_by([("c", "descending"), ("word", "ascending")])
+        model = model.slice(0, top_vocab)
+    return model.sort_by("word")
+
+
+class UnigramScorer:
+    """Actor-pool stage: documents → corpus-frequency scores.
+
+    Per-actor state: the broadcast model rebuilt once from the object
+    store.  Returns (doc_id, n_tokens, sum_freq, oov_count,
+    mean_token_freq) with mean = round(sum_freq / n_tokens, 6) — an
+    integer-derived ratio, bit-exact vs the SQL oracle."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        model = ray.get(model_ref)
+        self.vocab = model.column("word").combine_chunks()
+        self.counts = model.column("c").to_numpy()
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        flat, par = _flat_words(b, self.text_col)
+        idx = pc.index_in(flat, self.vocab).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(idx) if idx.dtype.kind == "f" else idx >= 0
+        freqs = np.zeros(len(par), dtype=np.int64)
+        if known.any():
+            freqs[known] = self.counts[idx[known].astype(np.int64)]
+        n = b.num_rows
+        n_tokens = np.bincount(par, minlength=n).astype(np.int64)
+        sum_freq = np.bincount(par, weights=freqs, minlength=n).astype(np.int64)
+        oov = np.bincount(par[~known], minlength=n).astype(np.int64)
+        safe = np.maximum(n_tokens, 1)
+        mean = np.round(sum_freq.astype(np.float64) / safe, 6)
+        mean[n_tokens == 0] = 0.0
+        return pa.Table.from_pydict({
+            "doc_id": b.column(self.id_col),
+            "n_tokens": pa.array(n_tokens),
+            "sum_freq": pa.array(sum_freq),
+            "oov_count": pa.array(oov),
+            "mean_token_freq": pa.array(mean),
+        })
+
+
+def unigram_score(
+    docs: ray.data.Dataset,
+    model: pa.Table | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 0,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Two-pass pipeline: train (unless a ``model`` is supplied) then score
+    every document against the broadcast model."""
+    if model is None:
+        model = word_freq_model(docs, text_col, top_vocab)
+    model_ref = ray.put(model)
+    return docs.map_batches(
+        UnigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -81,3 +81,37 @@ def test_tfidf_top_terms():
     d2 = sorted(by_doc[2], key=lambda r: r["rank"])
     assert d2[0]["word"] == "other"        # tf1/df1 beats common tf1/df3
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_unigram_lm_scoring(ray_session):
+    """Train → broadcast → score: corpus frequencies, OOV handling, and
+    top_vocab capping."""
+    import numpy as np
+
+    from go_light_rag_ray.stages.lm import unigram_score, word_freq_model
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat", "the the dog", ""],
+    }))
+    model = word_freq_model(docs)
+    counts = dict(zip(model.column("word").to_pylist(),
+                      model.column("c").to_pylist()))
+    assert counts == {"the": 3, "cat": 1, "sat": 1, "dog": 1}
+
+    rows = {r["doc_id"]: r for r in unigram_score(docs, model).take_all()}
+    # doc 1: the(3)+cat(1)+sat(1)=5 over 3 tokens
+    assert rows[1]["n_tokens"] == 3 and rows[1]["sum_freq"] == 5
+    assert rows[1]["mean_token_freq"] == round(5 / 3, 6)
+    # doc 2: 3+3+1=7
+    assert rows[2]["sum_freq"] == 7
+    # empty doc scores zero, no division blowup
+    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_token_freq"] == 0.0
+    assert all(r["oov_count"] == 0 for r in rows.values())
+
+    # capped vocab: only "the" survives top_vocab=1; other tokens are OOV
+    capped = word_freq_model(docs, top_vocab=1)
+    assert capped.column("word").to_pylist() == ["the"]
+    rows_c = {r["doc_id"]: r
+              for r in unigram_score(docs, capped).take_all()}
+    assert rows_c[1]["oov_count"] == 2 and rows_c[1]["sum_freq"] == 3
