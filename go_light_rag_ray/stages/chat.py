@@ -292,6 +292,78 @@ class ChatRules(ExtractionRules):
         return rounds
 
 
+# semanticChunkingPrompt (prompt.go:707-730), abridged to the load-bearing
+# instruction + output contract (the examples section is advisory)
+SEMANTIC_CHUNKING_PROMPT = """---Goal---
+Analyze the given text and divide it into semantically coherent sections based on thematic shifts, logical structure, or natural section boundaries.
+
+---Instructions---
+1. Carefully read and understand the entire text.
+2. Identify natural semantic boundaries where the topic, focus, or theme shifts.
+3. Divide the text into non-overlapping sections at these boundaries.
+4. For each section, provide:
+   - section_summary: A brief summary of the section's content (2-3 sentences)
+   - start_position: The position in the text where this section begins (use character index, starting from 0)
+   - end_position: The position in the text where this section ends (use character index)
+
+5. Format your output as a VALID JSON object with the following structure:
+{
+  "sections": [
+    {
+      "section_summary": string,
+      "start_position": number,
+      "end_position": number
+    }
+  ]
+}
+
+6. The JSON output MUST be valid JSON with no explanation text before or after it. Do not include any markdown formatting like backticks, and do not include any text outside the JSON structure.
+
+Text:
+{content}
+"""
+
+
+def chat_sectioner(chat_fn: ChatFn):
+    """Semantic-chunking LLM seam (reference handler/semantic.go:112-163):
+    render the sectioning prompt, one chat turn, scrub, parse
+    ``{"sections": [{start_position, end_position}, …]}`` with the
+    brace-window JSON rescue, clamp positions to the text (semantic.go:
+    151-158), and return [(start, end)] spans.  Raises ``ValueError`` on
+    unparseable/empty output — ``chunk_semantic`` then falls back to the
+    Default window, exactly as the reference does."""
+    import json
+
+    def sectioner(piece: str) -> list[tuple[int, int]]:
+        prompt = SEMANTIC_CHUNKING_PROMPT.replace("{content}", piece)
+        resp = remove_think_tags(remove_markdown_backticks(
+            self_chat(prompt)))
+        try:
+            obj = json.loads(resp)
+        except json.JSONDecodeError:
+            start, end = resp.find("{"), resp.rfind("}")
+            if not (start >= 0 and end > start):
+                raise ValueError("no JSON object in sectioner response")
+            obj = json.loads(resp[start:end + 1])
+        sections = obj.get("sections") or []
+        if not sections:
+            raise ValueError("LLM did not identify any semantic sections")
+        out: list[tuple[int, int]] = []
+        for s in sections:
+            a = max(0, int(s.get("start_position", 0)))
+            b = min(len(piece), int(s.get("end_position", 0)))
+            if a < b:
+                out.append((a, b))
+        if not out:
+            raise ValueError("no valid semantic sections")
+        return out
+
+    def self_chat(prompt: str) -> str:
+        return chat_fn([prompt])
+
+    return sectioner
+
+
 def transcript_chat(
     base_response: str,
     glean_responses: Sequence[str] | None = None,

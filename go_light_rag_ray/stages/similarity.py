@@ -180,23 +180,22 @@ def ann_topk_lsh(
     return _final_topk(partial, k)
 
 
-def ann_topk_ivf(
+def train_kmeans_centroids(
     embeddings: ray.data.Dataset,
-    n_queries: int = 8,
-    k: int = 5,
     n_centroids: int = 8,
+    iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> ray.data.Dataset:
-    """IVF-style approximate top-k: a coarse quantizer of ``n_centroids``
-    deterministic centroids (the first ``n_centroids`` vectors, unit-
-    normalized — a data-dependent, SQL-replicable stand-in for trained
-    k-means centers) partitions the corpus; each query scans only its own
-    centroid's inverted list (nprobe=1).  The scan per query drops
-    ~n_centroids-fold, trading recall across cell boundaries.
-    Same output schema as ``ann_topk``; tie-breaks identical.
-    """
-    qids, qmat = load_query_matrix(embeddings, n_queries, id_col, vec_col)
+) -> np.ndarray:
+    """Deterministic distributed spherical k-means (Lloyd's, cosine
+    assignment): seeded from the first ``n_centroids`` unit vectors, then
+    ``iters`` rounds of one streaming pass each — per-block partial sums
+    (k × dim floats per block, never the data) collected and reduced in a
+    DETERMINISTIC order (sorted by cell then block min-id, so float
+    summation order never depends on task arrival).  Empty cells keep
+    their previous centroid.  This is the trained coarse quantizer for
+    ``ann_topk_ivf``'s scale path; the first-N seed alone remains the
+    SQL-replicable oracle mode."""
     crows = (
         embeddings.filter(expr=f"{id_col} < {n_centroids}")
         .select_columns([id_col, vec_col])
@@ -204,6 +203,80 @@ def ann_topk_ivf(
     )
     crows.sort(key=lambda r: r[id_col])
     cmat = _unit(np.asarray([r[vec_col] for r in crows], dtype=np.float64))
+
+    for _ in range(max(0, iters)):
+        c_ref = ray.put(cmat)
+
+        def partial(b: pa.Table) -> pa.Table:
+            cm = ray.get(c_ref)
+            ids = b.column(id_col).to_numpy()
+            unit = _unit(_as_matrix(b.column(vec_col)))
+            cells = np.argmax(np.round(unit @ cm.T, ROUND_DP), axis=1)
+            rows = {"cell": [], "n": [], "min_id": [], "vec_sum": []}
+            for c in range(len(cm)):
+                m = cells == c
+                if not m.any():
+                    continue
+                rows["cell"].append(c)
+                rows["n"].append(int(m.sum()))
+                rows["min_id"].append(int(ids[m].min()))
+                rows["vec_sum"].append(unit[m].sum(axis=0).tolist())
+            return pa.Table.from_pydict({
+                "cell": pa.array(rows["cell"], pa.int32()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "min_id": pa.array(rows["min_id"], pa.int64()),
+                "vec_sum": pa.array(rows["vec_sum"],
+                                    pa.list_(pa.float64())),
+            })
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pyarrow").take_all()
+        parts.sort(key=lambda r: (r["cell"], r["min_id"]))
+        sums = np.zeros_like(cmat)
+        counts = np.zeros(len(cmat), dtype=np.int64)
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["vec_sum"])
+            counts[r["cell"]] += r["n"]
+        filled = counts > 0
+        new = cmat.copy()
+        new[filled] = _unit(sums[filled] / counts[filled, None])
+        cmat = new
+    return cmat
+
+
+def ann_topk_ivf(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> ray.data.Dataset:
+    """IVF-style approximate top-k: a coarse quantizer of ``n_centroids``
+    centroids partitions the corpus; each query scans only its own
+    centroid's inverted list (nprobe=1).  The scan per query drops
+    ~n_centroids-fold, trading recall across cell boundaries.
+
+    ``kmeans_iters=0`` (oracle mode): centroids are the first
+    ``n_centroids`` vectors, unit-normalized — deterministic and
+    SQL-replicable.  ``kmeans_iters>0`` (scale path): the same seed
+    refined by distributed spherical k-means (``train_kmeans_centroids``)
+    — better-balanced cells, higher recall, still deterministic.
+    Same output schema as ``ann_topk``; tie-breaks identical.
+    """
+    qids, qmat = load_query_matrix(embeddings, n_queries, id_col, vec_col)
+    if kmeans_iters > 0:
+        cmat = train_kmeans_centroids(embeddings, n_centroids, kmeans_iters,
+                                      id_col, vec_col)
+    else:
+        crows = (
+            embeddings.filter(expr=f"{id_col} < {n_centroids}")
+            .select_columns([id_col, vec_col])
+            .take_all()
+        )
+        crows.sort(key=lambda r: r[id_col])
+        cmat = _unit(np.asarray([r[vec_col] for r in crows], dtype=np.float64))
 
     def cell_of(unit_rows: np.ndarray) -> np.ndarray:
         """argmax cosine centroid; ties break to the lowest centroid index

@@ -167,3 +167,53 @@ def test_keyword_extract_chat_seam():
 
     high, low = keyword_extract_chat(chat, "q", history="role: user, content: h")
     assert high == ["THEME"] and low == ["spark"]
+
+
+def test_chat_sectioner_drives_semantic_chunker():
+    """The semantic chunker's LLM seam (semantic.go:112-163): a chat fn
+    returns sections JSON; invalid positions clamp; garbage falls back to
+    the Default window inside chunk_semantic."""
+    import json
+
+    from go_light_rag_ray.stages.chat import chat_sectioner
+    from go_light_rag_ray.stages.handlers import chunk_semantic
+
+    text = ("alpha " * 300 + "\n\n" + "beta " * 300).strip()
+
+    def chat(messages):
+        assert "semantically coherent sections" in messages[0]
+        half = len(text) // 2
+        return json.dumps({"sections": [
+            {"section_summary": "first", "start_position": -5,
+             "end_position": half},
+            {"section_summary": "second", "start_position": half,
+             "end_position": len(text) + 99},
+            {"section_summary": "bogus", "start_position": 50,
+             "end_position": 10},
+        ]})
+
+    chunks = chunk_semantic(text, max_tokens=400, overlap_tokens=0,
+                            threshold_tokens=100,
+                            sectioner=chat_sectioner(chat))
+    assert len(chunks) >= 2
+    joined = " ".join(c for c, _, _ in chunks)
+    assert "alpha" in joined and "beta" in joined
+
+    def bad_chat(messages):
+        return "certainly! here are no sections at all"
+
+    fallback = chunk_semantic(text, max_tokens=400, overlap_tokens=0,
+                              threshold_tokens=100,
+                              sectioner=chat_sectioner(bad_chat))
+    assert fallback  # default-window fallback, not an exception
+
+
+def test_chat_sectioner_brace_rescue():
+    from go_light_rag_ray.stages.chat import chat_sectioner
+
+    def chat(messages):
+        return ('Sure! ```json\n{"sections": [{"section_summary": "s", '
+                '"start_position": 0, "end_position": 5}]}\n``` hope it helps')
+
+    spans = chat_sectioner(chat)("hello world")
+    assert spans == [(0, 5)]

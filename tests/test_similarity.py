@@ -109,3 +109,44 @@ def test_ann_metadata_where_filter(ray_session):
     assert all(r["neighbor_id"] < 20 for r in rows)
     unscoped = ann_topk(ds, n_queries=2, k=10).take_all()
     assert any(r["neighbor_id"] >= 20 for r in unscoped)  # scope bites
+
+
+def test_kmeans_ivf_deterministic_and_recall(ray_session):
+    """Trained centroids are deterministic run-to-run and lift IVF recall
+    on clustered data vs the first-N seed."""
+    from go_light_rag_ray.stages.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+        train_kmeans_centroids,
+    )
+
+    # 4 tight clusters; the first-8 seed vectors all come from cluster 0,
+    # so untrained IVF collapses cells while k-means separates them
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 4
+    mat = np.concatenate([centers[i % 4] + rng.normal(scale=0.1, size=16)
+                          for i in range(120)]).reshape(120, 16)
+    mat[:8] = centers[0] + rng.normal(scale=0.1, size=(8, 16))  # seed skew
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(120)),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float64())),
+    })).repartition(4)
+
+    c1 = train_kmeans_centroids(ds, n_centroids=4, iters=4)
+    c2 = train_kmeans_centroids(ds, n_centroids=4, iters=4)
+    assert np.array_equal(c1, c2)  # deterministic reduction order
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(ds, n_queries=4, k=5).take_all()}
+
+    def recall(rows):
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(got & exact) / len(exact)
+
+    r_seed = recall(ann_topk_ivf(ds, n_queries=4, k=5, n_centroids=4,
+                                 kmeans_iters=0).take_all())
+    r_trained = recall(ann_topk_ivf(ds, n_queries=4, k=5, n_centroids=4,
+                                    kmeans_iters=4).take_all())
+    assert r_trained >= r_seed
+    assert r_trained >= 0.9
