@@ -19,6 +19,7 @@ import hashlib
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # BPE-ish pre-tokenization: word runs vs single non-word-non-space chars
@@ -148,21 +149,29 @@ def tfidf_top_terms(
     import ray.data.aggregate  # noqa: F401  (keeps parity with module deps)
 
     def explode(b: pa.Table) -> pa.Table:
-        doc_ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        out_d, out_w, out_tf = [], [], []
-        for did, t in zip(doc_ids, texts):
-            counts: dict[str, int] = {}
-            for w in (t or "").split():
-                counts[w] = counts.get(w, 0) + 1
-            for w, c in counts.items():
-                out_d.append(did)
-                out_w.append(w)
-                out_tf.append(c)
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(out_d, b.schema.field("doc_id").type),
-             "word": pa.array(out_w, pa.string()),
-             "tf": pa.array(out_tf, pa.int64())}
+        """Vectorized (doc, word, tf): whitespace split + flatten + one
+        Arrow hash-count — no Python loop over the token stream."""
+        import numpy as np
+
+        words = pc.utf8_split_whitespace(
+            pc.cast(b.column("text"), pa.string())).combine_chunks()
+        flat_all = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens).astype(np.int64)
+        par_all = np.repeat(np.arange(b.num_rows), lens)
+        keep = np.nonzero(
+            pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False))[0]
+        did = b.column("doc_id").combine_chunks()
+        counted = (
+            pa.table({"doc_id": did.take(pa.array(par_all[keep])),
+                      "word": flat_all.take(pa.array(keep))})
+            .group_by(["doc_id", "word"])
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {"doc_id": counted.column("doc_id"),
+             "word": counted.column("word"),
+             "tf": pc.cast(counted.column("word_count"), pa.int64())}
         )
 
     tf_rows = docs.map_batches(explode, batch_format="pyarrow")
