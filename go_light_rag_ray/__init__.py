@@ -38,6 +38,10 @@ from .pipelines.kg import (  # noqa: E402
 )
 from .pipelines.query import query, query_context  # noqa: E402
 from .pipelines.curate import curate_corpus  # noqa: E402
+from .sources.dirwalk import (  # noqa: E402
+    read_directory_documents,
+    save_hash_store,
+)
 from .stages.dedup import (  # noqa: E402
     cluster_duplicates,
     exact_dedup,
@@ -56,7 +60,7 @@ __all__ = [
     "build_graph", "chunk_documents", "cluster_duplicates", "curate_corpus",
     "embedding_dup_pairs", "exact_dedup", "extract_mentions", "hash_sample",
     "ingest_prechunked", "kg_pipeline", "kg_pipeline_incremental",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "process_staged", "query",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "process_staged", "query", "read_directory_documents", "save_hash_store",
     "query_context", "read_graph", "run_kg", "simhash_fingerprints",
     "split_assign", "stage_chunks", "write_graph",
 ]
