@@ -23,6 +23,10 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="go_light_rag_ray")
     ap.add_argument("--input", required=True, help="documents table (parquet dir/file or lance)")
+    ap.add_argument("--dir-source", action="store_true",
+                    help="--input is a raw source TREE: walk + .gitignore + "
+                         "extension-routed chunking (go/markdown/default), "
+                         "unchanged files skipped via the ckpt hash store")
     ap.add_argument("--ckpt", required=True, help="checkpoint dir (manifests + staged mentions)")
     ap.add_argument("--out", required=True, help="output graph dir (nodes/, edges/, manifest)")
     ap.add_argument("--shards", type=int, default=16)
@@ -94,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
                         "keywords": r.get("keywords", []),
                         "source_ids": r.get("source_ids", []),
                         "mention_count": r.get("mention_count", 0),
+                        # preserve the type-vote tally when the prior
+                        # snapshot has it (exact incremental re-entry)
+                        "type_names": r.get("type_names") or [],
+                        "type_votes": r.get("type_votes") or [],
                     })
                 return pa.Table.from_pylist(rows, schema=GRAPH_SCHEMA)
             return f
@@ -107,6 +115,42 @@ def main(argv: list[str] | None = None) -> int:
             mentions, prior, salt_buckets=handler.salt_buckets,
             batch_size=handler.mention_batch_size, merge_cap=handler.merge_cap,
         )
+    elif args.dir_source:
+        import os
+
+        from .sources.dirwalk import read_directory_documents, save_hash_store
+        from .stages.chunker import ChunkerConfig
+        from .stages.handlers import HandlerChunker
+
+        os.makedirs(args.ckpt, exist_ok=True)
+        hash_store = os.path.join(args.ckpt, "file_hashes.json")
+        docs = read_directory_documents(args.input, hash_store=hash_store)
+        docs = docs.materialize()
+        if docs.count() == 0:
+            # every file unchanged — nothing to do (the reference logs
+            # "File unchanged, skipping" per file and inserts nothing)
+            print(json.dumps({"lineage": {"input": args.input,
+                                          "ckpt": args.ckpt},
+                              "counters": {"nodes": 0, "edges": 0},
+                              "skipped": "all files unchanged"}))
+            ray.shutdown()
+            return 0
+        chunks = docs.map_batches(
+            HandlerChunker,
+            fn_constructor_kwargs={"config": ChunkerConfig(
+                max_tokens=handler.chunk_max_tokens,
+                overlap_tokens=handler.chunk_overlap_tokens,
+                tokenizer=handler.tokenizer,
+                content_mode="text",
+                doc_id_format="{}",
+            )},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        mentions = extract_mentions(chunks, handler)
+        graph = build_graph(mentions, handler)
+        graph = graph.materialize()  # before the hash store advances
+        save_hash_store(docs, hash_store)
     else:
         graph = run_kg(args.input, args.ckpt, handler, n_shards=args.shards,
                        flat_adapter=args.flat_adapter)
