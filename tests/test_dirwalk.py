@@ -109,3 +109,48 @@ def test_directory_to_kg_end_to_end(tmp_path, ray_session):
     go_chunks = by_doc["src_main.go"]
     assert len(go_chunks) == 2
     assert go_chunks[1]["content"].startswith("package example\n\nfunc A()")
+
+
+def test_graph_exports(tmp_path, ray_session):
+    """Edge-list CSV parts and GraphML render of a canonical graph."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    from go_light_rag_ray.sources.export import (
+        export_edge_list,
+        export_graphml,
+    )
+    from go_light_rag_ray.stages.canonicalize import GRAPH_SCHEMA
+
+    rows = [
+        {"kind": "node", "entity_id": "SPARK", "entity_type": "SYSTEM",
+         "src": "", "tgt": "", "weight": 0.0,
+         "descriptions": ["a <desc> & more"], "keywords": [],
+         "source_ids": ["c0"], "mention_count": 2},
+        {"kind": "node", "entity_id": "TABLE", "entity_type": "DATA",
+         "src": "", "tgt": "", "weight": 0.0, "descriptions": ["d"],
+         "keywords": [], "source_ids": ["c0"], "mention_count": 1},
+        {"kind": "edge", "entity_id": "", "entity_type": "",
+         "src": "SPARK", "tgt": "TABLE", "weight": 2.0,
+         "descriptions": ["e"], "keywords": ["CO_OCCURS", "ADJACENT"],
+         "source_ids": ["c0"], "mention_count": 2},
+    ]
+    graph = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=GRAPH_SCHEMA))
+
+    csv_dir = tmp_path / "edges_csv"
+    export_edge_list(graph, str(csv_dir))
+    parts = glob.glob(str(csv_dir / "*"))
+    assert parts
+    content = "".join(open(p).read() for p in parts)
+    assert '"SPARK","CO_OCCURS","TABLE",2,2' in content
+
+    gml = tmp_path / "graph.graphml"
+    n = export_graphml(graph, str(gml))
+    assert n == 3
+    root = ET.parse(gml).getroot()  # well-formed XML incl. escaped chars
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    g = root.find(f"{ns}graph")
+    node_ids = [e.get("id") for e in g.findall(f"{ns}node")]
+    assert node_ids == ["SPARK", "TABLE"]
+    edge = g.find(f"{ns}edge")
+    assert edge.get("source") == "SPARK" and edge.get("target") == "TABLE"
