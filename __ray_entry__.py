@@ -450,6 +450,17 @@ def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
     return ann_topk(_raw_embeddings(sf_dir), n_queries=8, k=5, min_sim=0.2)
 
 
+def q_decontam(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: docs sharing ≥1 3-shingle with the
+    "benchmark" slice (doc_id < 20) are flagged with exact overlap stats.
+    Broadcast small side + is_in probe — never a corpus shuffle."""
+    from go_light_rag_ray.stages.decontam import decontaminate
+
+    corpus = _raw_docs(sf_dir)
+    eval_docs = corpus.filter(expr="doc_id < 20")
+    return decontaminate(corpus, eval_docs, shingle_k=3, min_matches=1)
+
+
 def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     """Corpus-trained unigram LM scoring: train (one small shuffle) →
     broadcast model → vectorized per-doc scoring.  The LM-quality member
@@ -1042,6 +1053,21 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
+_DECONTAM_SQL = _SHINGLES_CTE + r"""
+, eval_sh AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 20),
+stats AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS matched_shingles
+  FROM shingles sh LEFT JOIN eval_sh e ON sh.s = e.s
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, matched_shingles,
+       round(matched_shingles::DOUBLE / n_shingles, 6) AS contamination
+FROM stats WHERE matched_shingles >= 1
+"""
+
 _TEXT_UNIGRAM_SQL = r"""
 WITH words AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
@@ -1380,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
+        "decontam": q_decontam,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
@@ -1421,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
+        "decontam": _DECONTAM_SQL,
         "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
         "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,

@@ -1,0 +1,115 @@
+"""Benchmark decontamination: flag corpus documents overlapping an eval set.
+
+Training-data pipelines must detect test-set contamination before
+training: any document sharing enough n-gram shingles with a held-out
+benchmark is flagged (the standard n-gram-overlap decontamination of
+large-corpus training runs).  Ray-Data shape:
+
+* the EVAL side is small by construction (benchmarks are thousands of
+  rows, the corpus is billions): its distinct shingle set is built once,
+  broadcast via ``ray.put``, and probed per batch — never a join, never a
+  shuffle of the corpus;
+* the probe is one ``is_in`` Arrow kernel over the corpus's flattened
+  shingle stream + ``bincount`` per document — no Python loop in the
+  corpus path;
+* output is one row per corpus doc: matched-shingle count, total
+  shingles, and the contamination ratio (an integer-derived ratio, so the
+  DuckDB oracle matches bit-exactly).
+
+``min_matches`` is the flag threshold (≥1 shared shingle already marks
+exact quote overlap at the chosen ``shingle_k``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .dedup import _shingles
+
+__all__ = ["eval_shingle_set", "decontaminate"]
+
+
+def eval_shingle_set(
+    eval_docs: ray.data.Dataset, shingle_k: int = 3, text_col: str = "text",
+) -> pa.Array:
+    """Distinct k-word shingles of the (small) eval side, sorted.
+
+    Collected to the driver by design — the benchmark set is the
+    deliberately small side of the asymmetric comparison."""
+    shingles: set[str] = set()
+    for batch in eval_docs.select_columns([text_col]).iter_batches(
+            batch_format="pyarrow"):
+        for t in batch.column(text_col).to_pylist():
+            shingles.update(_shingles(t or "", shingle_k))
+    return pa.array(sorted(shingles), pa.string())
+
+
+class Decontaminator:
+    """Actor-pool stage: corpus batch → per-doc contamination stats."""
+
+    def __init__(self, shingle_ref, shingle_k: int,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.eval_shingles = ray.get(shingle_ref)
+        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        out_sh: list[str] = []
+        par: list[int] = []
+        totals = np.zeros(b.num_rows, dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _shingles(t or "", self.shingle_k)
+            totals[i] = len(sh)
+            out_sh.extend(sh)
+            par.extend([i] * len(sh))
+        par_arr = np.asarray(par, dtype=np.int64)
+        hit = pc.is_in(pa.array(out_sh, pa.string()),
+                       value_set=self.eval_shingles).to_numpy(
+            zero_copy_only=False).astype(bool)
+        matched = np.bincount(par_arr[hit], minlength=b.num_rows) \
+            .astype(np.int64) if len(par_arr) else np.zeros(
+            b.num_rows, dtype=np.int64)
+        safe = np.maximum(totals, 1)
+        ratio = np.round(matched.astype(np.float64) / safe, 6)
+        ratio[totals == 0] = 0.0
+        return pa.Table.from_pydict({
+            "doc_id": b.column(self.id_col),
+            "n_shingles": pa.array(totals),
+            "matched_shingles": pa.array(matched),
+            "contamination": pa.array(ratio),
+        })
+
+
+def decontaminate(
+    corpus: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    min_matches: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 4),
+    flag_only: bool = True,
+) -> ray.data.Dataset:
+    """Corpus × eval-set n-gram overlap.
+
+    Returns contaminated docs (``matched_shingles ≥ min_matches``) when
+    ``flag_only``, else every doc with its stats (the clean side is the
+    complement — filter downstream)."""
+    shingle_ref = ray.put(eval_shingle_set(eval_docs, shingle_k, text_col))
+    scored = corpus.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs={"shingle_ref": shingle_ref,
+                               "shingle_k": shingle_k,
+                               "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if flag_only:
+        scored = scored.filter(expr=f"matched_shingles >= {min_matches}")
+    return scored

@@ -223,3 +223,33 @@ def test_hot_bucket_guard_caps_pathological_shingle():
     exact = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3,
                                 max_group=0).take_all()
     assert {(r["a"], r["b"]) for r in exact} >= capped_pairs
+
+
+def test_decontamination_flags_overlap():
+    """Corpus docs quoting the eval set get flagged; clean docs don't; the
+    contamination ratio is matched/total shingles."""
+    from go_light_rag_ray.stages.decontam import decontaminate
+
+    eval_docs = ray.data.from_arrow(pa.table({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "intro words then the quick brown fox appears verbatim",  # quote
+            "completely unrelated clean text with other words",        # clean
+            "the quick brown fox jumps over the lazy dog",             # full copy
+        ],
+    }))
+    rows = {r["doc_id"]: r
+            for r in decontaminate(corpus, eval_docs, shingle_k=3).take_all()}
+    assert set(rows) == {0, 2}
+    assert rows[2]["matched_shingles"] == rows[2]["n_shingles"]  # full copy
+    assert rows[2]["contamination"] == 1.0
+    assert 0 < rows[0]["contamination"] < 1.0
+
+    # higher threshold drops the partial quote, keeps the copy
+    strict = {r["doc_id"] for r in decontaminate(
+        corpus, eval_docs, shingle_k=3, min_matches=5).take_all()}
+    assert strict == {2}
