@@ -200,3 +200,54 @@ def test_incremental_merge_is_associative(rows, cut, batch):
         merged[(kind, k1, k2)] = finalize_group(
             partials.filter(mask)).to_pylist()[0]
     assert merged == one_shot
+
+
+# ---------------------------------------------------------------------------
+# vectorized extraction ≡ per-row rule engine
+# ---------------------------------------------------------------------------
+
+_VOCAB_WORDS = ["spark", "customer", "vector", "table", "stream", "batch",
+                "query", "join", "window", "hash", "merge", "scan",
+                "noise", "filler", "x", ""]
+
+
+@st.composite
+def word_docs(draw):
+    n_docs = draw(st.integers(1, 6))
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(st.sampled_from(_VOCAB_WORDS), max_size=25))
+        sep = draw(st.sampled_from([" ", "  ", " \t ", "\n"]))
+        docs.append(sep.join(words) + draw(st.sampled_from(["", " ", "\n "])))
+    return docs
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=word_docs())
+def test_vectorized_extraction_equals_per_row(docs):
+    """For ANY whitespace-noisy word stream, the Arrow/numpy kernel and the
+    per-row rule engine emit identical mention tables (incl. mention_index
+    sequencing)."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.extractor import (
+        Extractor,
+        WordCooccurrenceRules,
+    )
+
+    batch = pa.table({
+        "doc_id": [f"doc-{i:09d}" for i in range(len(docs))],
+        "chunk_id": [f"doc-{i:09d}-chunk-0" for i in range(len(docs))],
+        "order_index": pa.array([0] * len(docs), pa.int32()),
+        "content": docs,
+    })
+    fast = Extractor(rules="word_cooccurrence")(batch)
+    orig = WordCooccurrenceRules.extract_batch
+    try:
+        del WordCooccurrenceRules.extract_batch
+        slow = Extractor(rules="word_cooccurrence")(batch)
+    finally:
+        WordCooccurrenceRules.extract_batch = orig
+    key = lambda r: (r["chunk_id"], r["mention_index"])
+    assert sorted(fast.to_pylist(), key=key) == sorted(
+        slow.to_pylist(), key=key)
