@@ -450,6 +450,14 @@ def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
     return ann_topk(_raw_embeddings(sf_dir), n_queries=8, k=5, min_sim=0.2)
 
 
+def q_scrub(sf_dir: str) -> ray.data.Dataset:
+    """Policy scrubbing over the corpus: denylist terms masked, PII shapes
+    (email-like, long digit runs) redacted, per-doc replacement counts."""
+    from go_light_rag_ray.stages.scrub import scrub_text
+
+    return scrub_text(_raw_docs(sf_dir), denylist=["customer", "merge"])
+
+
 def q_decontam(sf_dir: str) -> ray.data.Dataset:
     """Benchmark decontamination: docs sharing ≥1 3-shingle with the
     "benchmark" slice (doc_id < 20) are flagged with exact overlap stats.
@@ -1053,6 +1061,30 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
+_SCRUB_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text AS src,
+         replace(replace(text, 'customer', '<masked>'),
+                 'merge', '<masked>') AS term_masked
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(term_masked,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+           '[0-9]{6,}', '<number>', 'g') AS text,
+       ((length(src) - length(replace(src, 'customer', ''))) // 8
+        + (length(src) - length(replace(src, 'merge', ''))) // 5
+        + len(regexp_extract_all(term_masked,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(
+              regexp_replace(term_masked,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<email>', 'g'),
+              '[0-9]{6,}')))::BIGINT
+         AS n_masked
+FROM t
+"""
+
 _DECONTAM_SQL = _SHINGLES_CTE + r"""
 , eval_sh AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 20),
 stats AS (
@@ -1407,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "decontam": q_decontam,
+        "scrub": q_scrub,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
         "chunk_embeddings": q_chunk_embeddings,
@@ -1449,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "decontam": _DECONTAM_SQL,
+        "scrub": _SCRUB_SQL,
         "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,
         "ctx_local_relationships": _CTX_LOCAL_RELATIONSHIPS_SQL,

@@ -115,3 +115,22 @@ def test_unigram_lm_scoring(ray_session):
     rows_c = {r["doc_id"]: r
               for r in unigram_score(docs, capped).take_all()}
     assert rows_c[1]["oov_count"] == 2 and rows_c[1]["sum_freq"] == 3
+
+
+def test_scrub_text_denylist_and_pii(ray_session):
+    from go_light_rag_ray.stages.scrub import scrub_text
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["contact bob@example.com about the merge plan",
+                 "ssn 123456789 and id 42 stay partially",
+                 "clean text with nothing to hide"],
+    }))
+    rows = {r["doc_id"]: r
+            for r in scrub_text(docs, denylist=["merge"]).take_all()}
+    assert rows[1]["text"] == "contact <email> about the <masked> plan"
+    assert rows[1]["n_masked"] == 2
+    assert rows[2]["text"] == "ssn <number> and id 42 stay partially"
+    assert rows[2]["n_masked"] == 1       # 42 is under the 6-digit floor
+    assert rows[3]["text"] == "clean text with nothing to hide"
+    assert rows[3]["n_masked"] == 0
