@@ -1096,7 +1096,8 @@ stats AS (
   GROUP BY sh.doc_id
 )
 SELECT doc_id, n_shingles, matched_shingles,
-       round(matched_shingles::DOUBLE / n_shingles, 6) AS contamination
+       floor(matched_shingles::DOUBLE / n_shingles * 1000000 + 0.5) / 1000000
+         AS contamination
 FROM stats WHERE matched_shingles >= 1
 """
 
@@ -1109,7 +1110,8 @@ SELECT words.doc_id,
        count(*) AS n_tokens,
        sum(model.c)::BIGINT AS sum_freq,
        0::BIGINT AS oov_count,
-       round(sum(model.c)::DOUBLE / count(*), 6) AS mean_token_freq
+       floor(sum(model.c)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000
+         AS mean_token_freq
 FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
 """

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from xml.sax.saxutils import escape
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -33,8 +34,20 @@ def export_edge_list(graph: ray.data.Dataset, out_dir: str) -> None:
     def view(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("kind"), "edge"))
         kws = b.column("keywords").combine_chunks()
-        pred = (pc.list_element(kws, 0) if len(b)
-                else pa.array([], pa.string()))
+        # first element with an empty-list guard: list_element raises on ANY
+        # empty list (chat/LLM-extracted edges may carry no keywords), so
+        # gather values[offsets[i]] manually and blank out empty rows.
+        if len(b) == 0 or len(kws.values) == 0:
+            pred = pa.nulls(len(b), pa.string()).fill_null("")
+        else:
+            lens = pc.fill_null(
+                pc.list_value_length(kws), 0
+            ).to_numpy(zero_copy_only=False)
+            starts = np.asarray(kws.offsets)[:-1]
+            firsts = kws.values.take(
+                pa.array(np.where(lens > 0, starts, 0), pa.int64()))
+            pred = pc.if_else(pa.array(lens > 0), firsts,
+                              pa.scalar("", pa.string()))
         return pa.Table.from_arrays(
             [b.column("src").combine_chunks(), pred,
              b.column("tgt").combine_chunks(),

@@ -76,7 +76,10 @@ class Decontaminator:
             .astype(np.int64) if len(par_arr) else np.zeros(
             b.num_rows, dtype=np.int64)
         safe = np.maximum(totals, 1)
-        ratio = np.round(matched.astype(np.float64) / safe, 6)
+        # tie-stable 6-dp rounding: floor(x*1e6 + 0.5) on BOTH sides — the
+        # same op sequence as the SQL oracle (np.round is half-to-even,
+        # DuckDB round() half-away; exact dyadic ties like 1/128 diverge).
+        ratio = np.floor(matched.astype(np.float64) / safe * 1e6 + 0.5) / 1e6
         ratio[totals == 0] = 0.0
         return pa.Table.from_pydict({
             "doc_id": b.column(self.id_col),

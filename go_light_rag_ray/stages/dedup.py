@@ -28,6 +28,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -52,9 +53,18 @@ __all__ = [
 # pass ``max_group=0`` explicitly to disable it.
 PRODUCTION_MAX_GROUP = 1000
 
+_log = logging.getLogger(__name__)
+
 
 def _resolve_max_group(max_group: int | None) -> int:
     return PRODUCTION_MAX_GROUP if max_group is None else max_group
+
+
+def _log_dropped(what: str, size: int, cap: int) -> None:
+    """The cap silently changes results (dropped buckets emit no pairs and
+    under-count Jaccard) — make every firing visible in the worker log."""
+    _log.warning("%s: dropping hot bucket of %d members (> max_group=%d); "
+                 "pass max_group=0 for the exhaustive result", what, size, cap)
 
 
 def _md5(s: str) -> str:
@@ -233,6 +243,8 @@ def minhash_lsh_pairs(
         ids = np.sort(group.column("doc_id").to_numpy())
         n = len(ids)
         if n < 2 or (max_group and n > max_group):
+            if n >= 2:
+                _log_dropped("minhash_lsh_pairs", n, max_group)
             return pa.Table.from_pydict(
                 {"a": pa.array([], typ), "b": pa.array([], typ)}
             )
@@ -373,6 +385,8 @@ def ngram_jaccard_pairs(
         ids, ns = ids[order], ns[order]
         n = len(ids)
         if n < 2 or (max_group and n > max_group):
+            if n >= 2:
+                _log_dropped("ngram_jaccard_pairs", n, max_group)
             return pa.Table.from_pydict(
                 {"a": pa.array([], typ), "b": pa.array([], typ),
                  "sizes": pa.array([], pa.int64())}
@@ -633,6 +647,8 @@ def embedding_dup_pairs(
         )
         n = len(group)
         if n < 2 or (max_group and n > max_group):
+            if n >= 2:
+                _log_dropped("embedding_dup_pairs", n, max_group)
             return empty
         order = np.argsort(group.column("vec_id").to_numpy())
         ids = group.column("vec_id").to_numpy()[order]

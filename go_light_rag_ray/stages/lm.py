@@ -107,15 +107,19 @@ class UnigramScorer:
         sum_freq = np.bincount(par, weights=freqs, minlength=n).astype(np.int64)
         oov = np.bincount(par[~known], minlength=n).astype(np.int64)
         safe = np.maximum(n_tokens, 1)
-        mean = np.round(sum_freq.astype(np.float64) / safe, 6)
-        mean[n_tokens == 0] = 0.0
-        return pa.Table.from_pydict({
+        # tie-stable 6-dp rounding (floor(x*1e6+0.5), same op sequence as
+        # the SQL oracle — np.round half-to-even diverges on dyadic ties)
+        mean = np.floor(sum_freq.astype(np.float64) / safe * 1e6 + 0.5) / 1e6
+        out = pa.Table.from_pydict({
             "doc_id": b.column(self.id_col),
             "n_tokens": pa.array(n_tokens),
             "sum_freq": pa.array(sum_freq),
             "oov_count": pa.array(oov),
             "mean_token_freq": pa.array(mean),
         })
+        # zero-token (empty/whitespace-only) docs: the SQL oracle's
+        # join+group-by emits no row for them — match that row set.
+        return out.filter(pa.array(n_tokens > 0))
 
 
 def unigram_score(

@@ -134,6 +134,12 @@ def test_graph_exports(tmp_path, ray_session):
          "src": "SPARK", "tgt": "TABLE", "weight": 2.0,
          "descriptions": ["e"], "keywords": ["CO_OCCURS", "ADJACENT"],
          "source_ids": ["c0"], "mention_count": 2},
+        # keyword-less edge (chat/LLM-extracted relationships may carry no
+        # keywords): export must emit an empty pred, not crash
+        {"kind": "edge", "entity_id": "", "entity_type": "",
+         "src": "TABLE", "tgt": "SPARK", "weight": 1.0,
+         "descriptions": ["f"], "keywords": [],
+         "source_ids": ["c0"], "mention_count": 1},
     ]
     graph = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=GRAPH_SCHEMA))
 
@@ -143,10 +149,11 @@ def test_graph_exports(tmp_path, ray_session):
     assert parts
     content = "".join(open(p).read() for p in parts)
     assert '"SPARK","CO_OCCURS","TABLE",2,2' in content
+    assert '"TABLE","","SPARK",1,1' in content
 
     gml = tmp_path / "graph.graphml"
     n = export_graphml(graph, str(gml))
-    assert n == 3
+    assert n == 4
     root = ET.parse(gml).getroot()  # well-formed XML incl. escaped chars
     ns = "{http://graphml.graphdrawing.org/xmlns}"
     g = root.find(f"{ns}graph")

@@ -40,7 +40,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     con = duckdb.connect()
@@ -55,6 +61,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         if name not in oracles:
             # rows-only check: no value canon (list columns don't sort)
             n = len(to_pandas(fn(sf_dir)))
