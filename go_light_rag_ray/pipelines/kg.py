@@ -71,23 +71,12 @@ class Handler:
 
 def _pool(configured, frac: float) -> tuple[int, int]:
     """Autoscaling pool bounds: max = frac × cluster CPUs (≥2), leaving the
-    remaining cores for upstream read/shuffle tasks.
+    remaining cores for upstream read/shuffle tasks; min pre-warms half the
+    pool.  Shared logic lives in ``go_light_rag_ray.pool.auto_pool`` (the
+    ANN/dedup/encode stages size themselves the same way)."""
+    from ..pool import auto_pool
 
-    min pre-warms HALF the pool (bounded below frac/2 of the cluster):
-    measured on the 32-CPU scaling leg, a min of 1 makes wall time swing
-    ~25% with actor ramp-up timing; pre-warming stabilizes it while the
-    sum of pool minimums stays well under the CPU count, so upstream read
-    TASKS never starve (the deadlock mode documented in CLAUDE.md)."""
-    if configured is not None:
-        return configured
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        cpus = 8
-    hi = max(2, int(cpus * frac))
-    return (max(1, hi // 2), hi)
+    return auto_pool(configured, frac)
 
 
 def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..pool import auto_pool
 from .dedup import _shingles
 
 __all__ = ["eval_shingle_set", "decontaminate"]
@@ -96,7 +97,7 @@ def decontaminate(
     min_matches: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     flag_only: bool = True,
 ) -> ray.data.Dataset:
     """Corpus × eval-set n-gram overlap.
@@ -111,7 +112,7 @@ def decontaminate(
                                "shingle_k": shingle_k,
                                "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )
     if flag_only:
         scored = scored.filter(expr=f"matched_shingles >= {min_matches}")

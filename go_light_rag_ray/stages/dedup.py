@@ -189,13 +189,15 @@ class MinHasher:
 
 def minhash_signatures(
     docs: ray.data.Dataset, num_perm: int = 16, shingle_k: int = 3,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
+    from ..pool import auto_pool
+
     return docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )
 
 
@@ -324,13 +326,15 @@ class SimHasher:
 
 def simhash_fingerprints(
     docs: ray.data.Dataset, bits: int = 16,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
+    from ..pool import auto_pool
+
     return docs.map_batches(
         SimHasher,
         fn_constructor_kwargs={"bits": bits},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )
 
 
@@ -445,6 +449,13 @@ def cluster_duplicates(
     import ray
 
     pairs = pairs.select_columns(["a", "b"]).materialize()
+    # candidate pairs usually arrive in as many blocks as the upstream
+    # shuffle had partitions (128 blocks for a few hundred pairs at small
+    # scale) — coalesce to ~64k rows/block so every CC round schedules
+    # O(data) tasks, not O(upstream partitions)
+    target_blocks = max(1, pairs.count() // 65536 + 1)
+    if pairs.num_blocks() > 4 * target_blocks:
+        pairs = pairs.repartition(target_blocks).materialize()
     if pairs.count() <= max_driver_pairs or pairs.count() == 0:
         edge_rows = pairs.take_all()
         parent: dict = {}
@@ -518,7 +529,16 @@ def _cc_min_label(pairs: ray.data.Dataset) -> ray.data.Dataset:
     termination, after O(component diameter) rounds.  Nothing is ever
     collected to the driver; state is re-materialized per round so lineage
     stays one round deep.  Returns ``(node, label)`` for paired nodes only.
+
+    Both the adjacency build and the per-round gather run through the
+    segment-reduce layer (``sortagg.sorted_collect`` /
+    ``sorted_reduce``) — sorted runs + boundary fix, ZERO per-node Python
+    dispatch (the round-2 version's ``map_groups`` per node per round was
+    the slowest pipeline in BENCH_r02).  The gather sorts by
+    ``(node, is_self desc)`` so each node's self row — the unique carrier
+    of its adjacency list and previous label — is the run's first row.
     """
+    from .sortagg import sorted_collect, sorted_reduce
 
     def sym(b: pa.Table) -> pa.Table:
         def arr(col):
@@ -531,21 +551,26 @@ def _cc_min_label(pairs: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow")
+    adj = sorted_collect(edges, ["node"], "nbr", "nbrs", distinct=True)
 
-    def build(group: pa.Table) -> pa.Table:
-        node = group.column("node")[0].as_py()
-        nbrs = sorted(set(group.column("nbr").to_pylist()))
-        typ = group.schema.field("node").type
+    def init_label(b: pa.Table) -> pa.Table:
+        node = b.column("node").combine_chunks()
+        nbrs = b.column("nbrs").combine_chunks()
+        if len(b) == 0:
+            typ = b.schema.field("node").type
+            return pa.Table.from_pydict(
+                {"node": pa.array([], typ), "label": pa.array([], typ),
+                 "nbrs": pa.array([], pa.list_(typ)),
+                 "changed": pa.array([], pa.int64())})
+        # nbrs is ascending and non-empty (every node came from an edge):
+        # initial label = min(node, nbrs[0])
+        first = pc.list_element(nbrs, 0)
+        label = pc.if_else(pc.less(node, first), node, first)
         return pa.Table.from_pydict(
-            {"node": pa.array([node], typ),
-             "label": pa.array([min(node, nbrs[0])], typ),
-             "nbrs": pa.array([nbrs], pa.list_(typ)),
-             "changed": pa.array([0], pa.int64())}
-        )
+            {"node": node, "label": label, "nbrs": nbrs,
+             "changed": pa.array(np.zeros(len(b), dtype=np.int64))})
 
-    state = edges.groupby("node").map_groups(
-        build, batch_format="pyarrow"
-    ).materialize()
+    state = adj.map_batches(init_label, batch_format="pyarrow").materialize()
 
     while True:
         def scatter(b: pa.Table) -> pa.Table:
@@ -571,26 +596,23 @@ def _cc_min_label(pairs: ray.data.Dataset) -> ray.data.Dataset:
             )
             return pa.concat_tables([self_rows, msg_rows])
 
-        def gather(group: pa.Table) -> pa.Table:
-            typ = group.schema.field("node").type
-            is_self = group.column("is_self").to_numpy(zero_copy_only=False)
-            self_i = int(np.nonzero(is_self == 1)[0][0])
-            own = group.column("label")[self_i].as_py()
-            new = pc.min(group.column("label")).as_py()
-            return pa.Table.from_pydict(
-                {"node": pa.array([group.column("node")[0].as_py()], typ),
-                 "label": pa.array([new], typ),
-                 "nbrs": pa.array(
-                     [group.column("nbrs")[self_i].as_py()], pa.list_(typ)),
-                 "changed": pa.array([int(new < own)], pa.int64())}
-            )
-
-        state = (
-            state.map_batches(scatter, batch_format="pyarrow")
-            .groupby("node")
-            .map_groups(gather, batch_format="pyarrow")
-            .materialize()
+        reduced = sorted_reduce(
+            state.map_batches(scatter, batch_format="pyarrow"),
+            ["node"],
+            ops=[("min", "label", "label"), ("first", "label", "_own"),
+                 ("first", "nbrs", "nbrs")],
+            order_col="is_self", order_descending=True,
         )
+
+        def finish(b: pa.Table) -> pa.Table:
+            changed = pc.cast(pc.less(b.column("label"), b.column("_own")),
+                              pa.int64())
+            return pa.Table.from_pydict(
+                {"node": b.column("node"), "label": b.column("label"),
+                 "nbrs": b.column("nbrs"), "changed": changed})
+
+        state = reduced.map_batches(
+            finish, batch_format="pyarrow").materialize()
         if not state.sum("changed"):
             break
 

@@ -44,10 +44,14 @@ EMBEDDINGS_SCHEMA = pa.schema(
 class HashEncoder:
     """Actor-pool encoder: deterministic token-direction sum.
 
-    Per-actor state: the token→direction cache (grows with observed vocab,
-    shared across every batch this actor sees — the analog of pinned model
-    weights).
+    Per-actor state: the token→direction cache (shared across every batch
+    this actor sees — the analog of pinned model weights), capped at
+    ``CACHE_CAP`` entries with clear-on-full eviction so a long-lived actor
+    over web-scale vocabulary stays bounded (same scheme as
+    ``dedup.MinHasher``/``SimHasher``).
     """
+
+    CACHE_CAP = 1 << 20
 
     def __init__(self, dims: int = 64, model_name: str = "hash-proj-v1") -> None:
         self.dims = dims
@@ -61,6 +65,8 @@ class HashEncoder:
             rng = np.random.default_rng(seed)
             d = rng.standard_normal(self.dims)
             d /= np.linalg.norm(d)
+            if len(self._dirs) >= self.CACHE_CAP:
+                self._dirs.clear()
             self._dirs[token] = d
         return d
 
@@ -102,16 +108,18 @@ def encode_chunks(
     chunks: ray.data.Dataset,
     dims: int = 64,
     batch_size: int = 512,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """chunks (chunk_id, content) → embeddings table.  Batched actor pool;
     size batch × concurrency to the worker heap when vectors are large."""
+    from ..pool import auto_pool
+
     return chunks.map_batches(
         HashEncoder,
         fn_constructor_kwargs={"dims": dims},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )
 
 

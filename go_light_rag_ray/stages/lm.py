@@ -31,6 +31,8 @@ import ray
 import ray.data
 import ray.data.aggregate as agg
 
+from ..pool import auto_pool
+
 __all__ = ["word_freq_model", "unigram_score"]
 
 
@@ -128,7 +130,7 @@ def unigram_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_vocab: int = 0,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Two-pass pipeline: train (unless a ``model`` is supplied) then score
     every document against the broadcast model."""
@@ -140,5 +142,5 @@ def unigram_score(
         fn_constructor_kwargs={"model_ref": model_ref, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )

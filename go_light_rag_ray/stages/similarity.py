@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..pool import auto_pool
+
 ROUND_DP = 6
 
 
@@ -114,7 +116,7 @@ def ann_topk(
             )
 
     partial = embeddings.map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=(1, 4)
+        PartialTopK, batch_format="pyarrow", concurrency=auto_pool()
     )
     return _final_topk(partial, k)
 
@@ -175,7 +177,7 @@ def ann_topk_lsh(
             )
 
     partial = embeddings.map_batches(
-        BucketTopK, batch_format="pyarrow", concurrency=(1, 4)
+        BucketTopK, batch_format="pyarrow", concurrency=auto_pool()
     )
     return _final_topk(partial, k)
 
@@ -312,7 +314,7 @@ def ann_topk_ivf(
             )
 
     partial = embeddings.map_batches(
-        CellTopK, batch_format="pyarrow", concurrency=(1, 4)
+        CellTopK, batch_format="pyarrow", concurrency=auto_pool()
     )
     return _final_topk(partial, k)
 
@@ -387,19 +389,17 @@ def ann_self_topk_lsh(
 
 
 def _final_topk(partial: ray.data.Dataset, k: int) -> ray.data.Dataset:
-    """Merge per-batch partial top-k lists into global ranks 1..k."""
+    """Merge per-batch partial top-k lists into global ranks 1..k.
 
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        nids = group.column("neighbor_id").to_numpy()
-        sims = group.column("cos_sim").to_numpy()
-        order = np.lexsort((nids, -sims))[:k]
-        n = len(order)
-        return pa.Table.from_pydict(
-            {"query_id": pa.array([qid] * n, pa.int64()),
-             "rank": pa.array(np.arange(1, n + 1), pa.int32()),
-             "neighbor_id": pa.array(nids[order], pa.int64()),
-             "cos_sim": pa.array(sims[order], pa.float64())}
-        )
+    A segment top-k (``sortagg.sorted_topk``): each corpus row is scored in
+    exactly one batch, so (query_id, cos_sim, neighbor_id) totally orders
+    the candidates and the sorted-run head is the exact global rank — no
+    per-query Python dispatch."""
+    from .sortagg import sorted_topk
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    ranked = sorted_topk(
+        partial, ["query_id"], order_by=["cos_sim", "neighbor_id"], k=k,
+        descending=[True, False], rank_name="rank",
+    )
+    return ranked.select_columns(["query_id", "rank", "neighbor_id",
+                                  "cos_sim"])

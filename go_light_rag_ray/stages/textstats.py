@@ -176,33 +176,30 @@ def tfidf_top_terms(
 
     tf_rows = docs.map_batches(explode, batch_format="pyarrow")
 
-    def attach_df(group: pa.Table) -> pa.Table:
-        return group.append_column(
-            "df", pa.nulls(len(group), pa.int64()).fill_null(len(group))
-        )
+    # df-attach and per-doc rank both run through the segment-reduce layer
+    # (sorted runs + boundary fix) — no per-group Python dispatch at
+    # web-scale vocab / corpus cardinality (the round-2 map_groups pair
+    # paid ~10µs per word group and per doc group).
+    from .sortagg import sorted_attach_count, sorted_topk
 
-    with_df = tf_rows.groupby("word").map_groups(attach_df, batch_format="pyarrow")
+    with_df = sorted_attach_count(tf_rows, ["word"], "df")
 
-    def topk(group: pa.Table) -> pa.Table:
-        did = group.column("doc_id")[0]
-        words = group.column("word").to_pylist()
-        tf = group.column("tf").to_pylist()
-        df = group.column("df").to_pylist()
-        scored = sorted(
-            ((t / d, w, t, d) for w, t, d in zip(words, tf, df)),
-            key=lambda x: (-x[0], x[1]),
-        )[:k]
-        n = len(scored)
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array([did.as_py()] * n, group.schema.field("doc_id").type),
-             "rank": pa.array(range(1, n + 1), pa.int32()),
-             "word": pa.array([s[1] for s in scored], pa.string()),
-             "tf": pa.array([s[2] for s in scored], pa.int64()),
-             "df": pa.array([s[3] for s in scored], pa.int64()),
-             "score": pa.array([s[0] for s in scored], pa.float64())}
-        )
+    def score_col(b: pa.Table) -> pa.Table:
+        import numpy as np
 
-    return with_df.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+        tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = b.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("score", pa.array(tf / df, pa.float64()))
+
+    scored = with_df.map_batches(score_col, batch_format="pyarrow")
+    # (doc_id, word) is unique, so (score desc, word asc) totally orders
+    # each doc's terms — the same tie-break as the SQL oracle's row_number
+    ranked = sorted_topk(
+        scored, ["doc_id"], order_by=["score", "word"], k=k,
+        descending=[True, False], rank_name="rank",
+    )
+    return ranked.select_columns(["doc_id", "rank", "word", "tf", "df",
+                                  "score"])
 
 
 def fingerprints(docs: ray.data.Dataset, shingle_k: int = FINGERPRINT_SHINGLE_K) -> ray.data.Dataset:

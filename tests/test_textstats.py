@@ -105,8 +105,9 @@ def test_unigram_lm_scoring(ray_session):
     assert rows[1]["mean_token_freq"] == round(5 / 3, 6)
     # doc 2: 3+3+1=7
     assert rows[2]["sum_freq"] == 7
-    # empty doc scores zero, no division blowup
-    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_token_freq"] == 0.0
+    # zero-token docs emit NO row (the SQL oracle's join+group-by drops
+    # them; the scorer matches that row set exactly)
+    assert 3 not in rows
     assert all(r["oov_count"] == 0 for r in rows.values())
 
     # capped vocab: only "the" survives top_vocab=1; other tokens are OOV
