@@ -147,9 +147,10 @@ def test_cluster_duplicates_no_pairs_identity():
 
 
 def test_cluster_duplicates_distributed_label_propagation():
-    """max_driver_pairs=0 forces the min-label-propagation path: a chain
-    component spread over several blocks (multi-round convergence) plus an
-    isolated pair and singletons, string ids, no driver union-find."""
+    """max_driver_pairs=0 + cc_local_threshold=0 forces the round-loop
+    min-label-propagation path: a chain component spread over several blocks
+    (multi-round convergence) plus an isolated pair and singletons, string
+    ids, no driver union-find, no single-block collapse."""
     from go_light_rag_ray.stages.dedup import cluster_duplicates
 
     ids = [f"d{i:02d}" for i in range(12)]
@@ -162,6 +163,26 @@ def test_cluster_duplicates_distributed_label_propagation():
         "b": [b for _, b in chain] + ["d10"],
     })
     pairs = ray.data.from_arrow(pa.table(pairs_tbl.to_pydict())).repartition(4)
+    rows = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_duplicates(docs, pairs, max_driver_pairs=0,
+                                        cc_local_threshold=0).take_all()}
+    want = {f"d{i:02d}": "d00" for i in range(8)}
+    want.update({"d08": "d08", "d09": "d09", "d10": "d09", "d11": "d11"})
+    assert rows == want
+
+
+def test_cluster_duplicates_single_task_cc_path():
+    """The adaptive single-block union-find path (pairs ≤ local threshold,
+    driver path disabled) matches the round loop's output exactly."""
+    from go_light_rag_ray.stages.dedup import cluster_duplicates
+
+    ids = [f"d{i:02d}" for i in range(12)]
+    docs = ray.data.from_arrow(pa.table({"doc_id": ids}))
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(7)]
+    pairs = ray.data.from_arrow(pa.table({
+        "a": [a for a, _ in chain] + ["d09"],
+        "b": [b for _, b in chain] + ["d10"],
+    })).repartition(4)
     rows = {r["doc_id"]: r["cluster_id"]
             for r in cluster_duplicates(docs, pairs,
                                         max_driver_pairs=0).take_all()}
@@ -185,10 +206,13 @@ def test_cluster_duplicates_paths_agree():
         {"a": [x for x, _ in keep], "b": [y for _, y in keep]})).repartition(3)
     via_driver = {r["doc_id"]: r["cluster_id"]
                   for r in cluster_duplicates(docs, pairs).take_all()}
-    via_dist = {r["doc_id"]: r["cluster_id"]
-                for r in cluster_duplicates(docs, pairs,
-                                            max_driver_pairs=0).take_all()}
-    assert via_driver == via_dist
+    via_local = {r["doc_id"]: r["cluster_id"]
+                 for r in cluster_duplicates(docs, pairs,
+                                             max_driver_pairs=0).take_all()}
+    via_loop = {r["doc_id"]: r["cluster_id"]
+                for r in cluster_duplicates(docs, pairs, max_driver_pairs=0,
+                                            cc_local_threshold=0).take_all()}
+    assert via_driver == via_local == via_loop
 
 
 def test_hot_bucket_guard_caps_pathological_shingle():
