@@ -1,7 +1,9 @@
 """Benchmark harness (driver contract).
 
 Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) and prints ONE JSON line::
+``/root/testdata/sf0.1``) and prints ONE JSON line (the flagship
+``kg_full`` entry is the median of 3 in-session runs, spread in
+``kg_full_runs_sec``)::
 
     {"metric": "e2e_seconds", "value": N, "unit": "sec",
      "queries": {"kg_full": sec, ...}, "sf": 0.1, "num_cpus": N,
@@ -127,7 +129,19 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     else:
         pipes = {k: v for k, v in pipes.items() if not k.startswith("__")}
     timings, rows = {}, {}
+    kg_full_runs: list[float] = []
     for name, fn in pipes.items():
+        if name == "kg_full" and only is None:
+            # the headline docs_per_sec derives from this number and moved
+            # ±12% between rounds on a noisy host — median of 3 in-session
+            # runs (spread reported in kg_full_runs_sec) makes round-over-
+            # round comparison meaningful, like the 32-CPU scaling leg
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows[name] = _consume(fn())
+                kg_full_runs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = sorted(kg_full_runs)[1]
+            continue
         t0 = time.perf_counter()
         rows[name] = _consume(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -149,6 +163,8 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         "num_cpus": num_cpus,
         "rows": rows,
     }
+    if kg_full_runs:
+        result["kg_full_runs_sec"] = kg_full_runs
     if n_docs and "kg_full" in timings and timings["kg_full"] > 0:
         result["docs_per_sec"] = round(n_docs / timings["kg_full"], 2)
         if "kg_triples" in rows and timings.get("kg_triples"):

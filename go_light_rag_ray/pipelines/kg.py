@@ -311,15 +311,21 @@ def write_graph(
     partition directories idempotently.  Returns the manifest dict.
     """
     import json
-    import zlib
 
     import pyarrow as pa
 
     def bucketize(key_cols):
         def f(b: pa.Table) -> pa.Table:
-            keys = ["|".join(vals) for vals in
-                    zip(*(b.column(c).to_pylist() for c in key_cols))]
-            buckets = [zlib.crc32(k.encode()) % num_buckets for k in keys]
+            import numpy as np
+            import pyarrow.compute as pc
+
+            from ..hashutil import crc32_vec
+
+            joined = (b.column(key_cols[0]) if len(key_cols) == 1 else
+                      pc.binary_join_element_wise(
+                          *(pc.cast(b.column(c), pa.string())
+                            for c in key_cols), "|"))
+            buckets = (crc32_vec(joined) % num_buckets).astype(np.int32)
             return b.append_column("bucket", pa.array(buckets, pa.int32()))
         return f
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pyarrow as pa
 
 from .. import GRAPH_FIELD_SEPARATOR
@@ -184,9 +185,12 @@ def _empty_list_col(n: int, value_type: pa.DataType) -> pa.ListArray:
 
 
 def _salt_col(k1, k2, occ_mins, salt_buckets: int) -> pa.Array:
-    """crc32(k1|k2|occ_min) % buckets; the join is an Arrow kernel, only
-    the crc itself loops (no vectorized hash in pyarrow.compute)."""
+    """crc32(k1|k2|occ_min) % buckets — the join is an Arrow kernel and the
+    crc a table-driven numpy recurrence (``hashutil.crc32_vec``, bit-equal
+    to zlib.crc32, so salt assignment is unchanged)."""
     import pyarrow.compute as pc
+
+    from ..hashutil import crc32_vec
 
     m = max(1, salt_buckets)
     if not isinstance(occ_mins, (pa.Array, pa.ChunkedArray)):
@@ -195,11 +199,7 @@ def _salt_col(k1, k2, occ_mins, salt_buckets: int) -> pa.Array:
         pc.cast(k1, pa.string()), pc.cast(k2, pa.string()),
         pc.cast(occ_mins, pa.string()), "|",
     )
-    return pa.array(
-        [zlib.crc32(s) % m for s in
-         pc.cast(joined, pa.binary()).to_pylist()],
-        pa.int32(),
-    )
+    return pa.array((crc32_vec(joined) % m).astype(np.int32), pa.int32())
 
 
 def _partial_rows(kind: str, k1: pa.Array, k2, *, salt_buckets: int,

@@ -42,6 +42,20 @@ def _cents(value_col: pa.ChunkedArray) -> np.ndarray:
     return np.floor(value_col.to_numpy() * 100 + 0.5).astype(np.int64)
 
 
+def _carry_latest(eid: np.ndarray, is_mark: np.ndarray) -> np.ndarray:
+    """Forward-carry of the most recent mark's event id over a sweep-ordered
+    group: the id at position i of the last mark at-or-before i, -1 before
+    any mark.  ``np.maximum.accumulate`` over mark POSITIONS (monotone in
+    sweep order — mark ids themselves need not be) then one gather; no
+    per-event Python loop."""
+    n = len(eid)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    pos = np.where(is_mark, np.arange(n), -1)
+    carry = np.maximum.accumulate(pos)
+    return np.where(carry >= 0, eid[np.maximum(carry, 0)], -1).astype(np.int64)
+
+
 def tumbling_window_agg(
     events: ray.data.Dataset, window_s: int = 3600
 ) -> ray.data.Dataset:
@@ -232,20 +246,16 @@ def asof_join_latest(
         uid = group.column("user_id")[0].as_py()
         ts = _epoch_us(group.column("ts"))
         eid = group.column("event_id").to_numpy()
-        etype = np.array(group.column("event_type").to_pylist())
+        is_mark = pc.equal(
+            group.column("event_type"), mark_type
+        ).to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts))
-        ts, eid, etype = ts[order], eid[order], etype[order]
-        latest = -1
-        out = np.empty(len(eid), dtype=np.int64)
-        for i in range(len(eid)):
-            if etype[i] == mark_type:
-                latest = eid[i]
-            out[i] = latest
+        eid, is_mark = eid[order], is_mark[order]
+        out = _carry_latest(eid, is_mark)
         res = pa.Table.from_pydict(
             {"event_id": pa.array(eid, pa.int64()),
              "user_id": pa.array([uid] * len(eid), pa.int64()),
-             "mark_event_id": pa.array(
-                 [None if v < 0 else int(v) for v in out], pa.int64())}
+             "mark_event_id": pa.array(out, pa.int64(), mask=out < 0)}
         )
         return res
 
@@ -279,15 +289,13 @@ def _asof_join_salted(
         bucket = group.column("bucket")[0].as_py()
         ts = group.column("ts_us").to_numpy()
         eid = group.column("event_id").to_numpy()
-        etype = np.array(group.column("event_type").to_pylist())
+        is_mark = pc.equal(
+            group.column("event_type"), mark_type
+        ).to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts))
-        eid, etype = eid[order], etype[order]
-        latest = -1
-        out = np.empty(len(eid), dtype=np.int64)
-        for i in range(len(eid)):
-            if etype[i] == mark_type:
-                latest = eid[i]
-            out[i] = latest
+        eid, is_mark = eid[order], is_mark[order]
+        out = _carry_latest(eid, is_mark)
+        latest = int(out[-1]) if len(out) else -1
         rows = {
             "kind": [0] * len(eid), "event_id": eid.tolist(),
             "user_id": [uid] * len(eid), "bucket": [bucket] * len(eid),
@@ -320,8 +328,7 @@ def _asof_join_salted(
         return pa.Table.from_pydict(
             {"event_id": b.column("event_id").combine_chunks(),
              "user_id": b.column("user_id").combine_chunks(),
-             "mark_event_id": pa.array(
-                 [None if v < 0 else int(v) for v in marks], pa.int64())}
+             "mark_event_id": pa.array(marks, pa.int64(), mask=marks < 0)}
         )
 
     resolved = swept.filter(
@@ -335,22 +342,19 @@ def _asof_join_salted(
         buckets = group.column("bucket").to_numpy(zero_copy_only=False)
         eids = group.column("event_id").to_numpy(zero_copy_only=False)
         uid = group.column("user_id")[0].as_py()
-        summaries = sorted(
-            (int(buckets[i]), int(eids[i]))
-            for i in np.nonzero(kinds == 1)[0]
-        )
-        sum_buckets = [b for b, _ in summaries]
-        out_e, out_m = [], []
-        import bisect
-
-        for i in np.nonzero(kinds == 0)[0]:
-            j = bisect.bisect_left(sum_buckets, int(buckets[i]))
-            out_e.append(int(eids[i]))
-            out_m.append(summaries[j - 1][1] if j > 0 else None)
+        sum_idx = np.nonzero(kinds == 1)[0]
+        sum_order = np.argsort(buckets[sum_idx], kind="stable")
+        sum_buckets = buckets[sum_idx][sum_order]
+        sum_eids = eids[sum_idx][sum_order]
+        row_idx = np.nonzero(kinds == 0)[0]
+        # last summary from a strictly earlier bucket (vectorized bisect)
+        j = np.searchsorted(sum_buckets, buckets[row_idx], side="left")
+        marks = np.where(
+            j > 0, sum_eids[np.maximum(j - 1, 0)], -1).astype(np.int64)
         return pa.Table.from_pydict(
-            {"event_id": pa.array(out_e, pa.int64()),
-             "user_id": pa.array([uid] * len(out_e), pa.int64()),
-             "mark_event_id": pa.array(out_m, pa.int64())}
+            {"event_id": pa.array(eids[row_idx].astype(np.int64), pa.int64()),
+             "user_id": pa.array([uid] * len(row_idx), pa.int64()),
+             "mark_event_id": pa.array(marks, pa.int64(), mask=marks < 0)}
         )
 
     fixed = (
