@@ -33,6 +33,7 @@ from ..stages.chunker import Chunker, ChunkerConfig
 from ..stages.extractor import Extractor
 from ..stages.summarize import (
     DEFAULT_MAX_SUMMARIES_TOKEN_LENGTH,
+    ChatSummarizer,
     DescriptionSummarizer,
 )
 from ..state import manifest as mf
@@ -48,6 +49,9 @@ class Handler:
     rules: str = "pattern"                # extraction rule set
     glean_count: int = 1
     max_summaries_token_length: int = DEFAULT_MAX_SUMMARIES_TOKEN_LENGTH
+    # Chat(messages) -> str seam for LLM summaries (reference T4,
+    # insert.go:692-723); None keeps the deterministic summarizer
+    summarize_chat_fn: object | None = None
     salt_buckets: int = 8
     # first-K-by-occurrence cap on accumulated desc/keyword/source lists
     # during canonicalization (0 = exact; see canonicalize.merge_cap) —
@@ -113,17 +117,22 @@ def build_graph(mentions: ray.data.Dataset, handler: Handler) -> ray.data.Datase
         batch_size=handler.mention_batch_size,
         merge_cap=handler.merge_cap,
     )
-    if handler.max_summaries_token_length > 0:
-        graph = graph.map_batches(
-            DescriptionSummarizer,
-            fn_constructor_kwargs={
-                "max_tokens": handler.max_summaries_token_length,
-                "tokenizer": handler.tokenizer,
-            },
-            batch_format="pyarrow",
-            concurrency=(1, 2),
-        )
-    return graph
+    return _summarize_stage(graph, handler)
+
+
+def _summarize_stage(graph: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    if handler.max_summaries_token_length <= 0:
+        return graph
+    kwargs = {"max_tokens": handler.max_summaries_token_length,
+              "tokenizer": handler.tokenizer}
+    cls = DescriptionSummarizer
+    if handler.summarize_chat_fn is not None:
+        cls = ChatSummarizer
+        kwargs["chat_fn"] = handler.summarize_chat_fn
+    return graph.map_batches(
+        cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
 
 
 def kg_pipeline(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
@@ -150,17 +159,7 @@ def kg_pipeline_incremental(
         batch_size=handler.mention_batch_size,
         merge_cap=handler.merge_cap,
     )
-    if handler.max_summaries_token_length > 0:
-        graph = graph.map_batches(
-            DescriptionSummarizer,
-            fn_constructor_kwargs={
-                "max_tokens": handler.max_summaries_token_length,
-                "tokenizer": handler.tokenizer,
-            },
-            batch_format="pyarrow",
-            concurrency=(1, 2),
-        )
-    return graph
+    return _summarize_stage(graph, handler)
 
 
 def nodes_view(graph: ray.data.Dataset) -> ray.data.Dataset:

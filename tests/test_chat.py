@@ -217,3 +217,78 @@ def test_chat_sectioner_brace_rescue():
 
     spans = chat_sectioner(chat)("hello world")
     assert spans == [(0, 5)]
+
+
+def test_chat_summarizer_seam():
+    """T4 through the Chat seam (reference insert.go:692-723): overflow rows
+    get ONE rendered summarize-descriptions prompt and become [summary];
+    short rows never touch the model; a failing chat_fn falls back to the
+    deterministic summary."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.summarize import (
+        ChatSummarizer,
+        summarize_descriptions,
+    )
+    from go_light_rag_ray.tokenizer import get_tokenizer
+
+    long_descs = [f"description number {i} with several words" for i in range(20)]
+    short_descs = ["tiny"]
+    batch = pa.table({
+        "kind": ["node", "edge"],
+        "entity_id": ["ALPHA", None],
+        "src": [None, "A"],
+        "tgt": [None, "B"],
+        "descriptions": [short_descs, long_descs],
+    })
+
+    seen_prompts = []
+
+    def chat(messages):
+        seen_prompts.append(messages[-1])
+        return "A coherent merged summary."
+
+    out = ChatSummarizer(chat_fn=chat, max_tokens=30)(batch)
+    got = out.column("descriptions").to_pylist()
+    assert got[0] == short_descs                      # under budget: untouched
+    assert got[1] == ["A coherent merged summary."]   # overflow: one summary
+    assert len(seen_prompts) == 1
+    # the rendered prompt carries the reference template's data section:
+    # composite SRC-TGT key, bracketed ", "-joined list, language line
+    p = seen_prompts[0]
+    assert "Entities: A-B" in p
+    assert "Description List: [" + ", ".join(long_descs) + "]" in p
+    assert "Use English as the language." in p
+
+    def bad_chat(messages):
+        raise RuntimeError("model down")
+
+    fb = ChatSummarizer(chat_fn=bad_chat, max_tokens=30)(batch)
+    assert fb.column("descriptions").to_pylist()[1] == summarize_descriptions(
+        long_descs, get_tokenizer("regex"), 30)
+
+
+def test_chat_summarizer_in_pipeline():
+    """Handler.summarize_chat_fn routes the flagship pipeline's summarize
+    stage through the seam; deterministic mode (None) is unchanged."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.pipelines.kg import Handler, kg_pipeline
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": ["d1"],
+        "text": ["spark query vector " * 40],  # gazetteer words
+    }))
+
+    def chat(messages):
+        return "seam summary"
+
+    handler = Handler(tokenizer="regex", rules="word_cooccurrence",
+                      content_mode="text", max_summaries_token_length=5,
+                      summarize_chat_fn=chat,
+                      chunker_concurrency=(1, 1), extractor_concurrency=(1, 1))
+    rows = kg_pipeline(docs, handler).take_all()
+    assert rows
+    overflowed = [r for r in rows if r["descriptions"] == ["seam summary"]]
+    assert overflowed, "expected at least one summarized row"
