@@ -107,7 +107,9 @@ def default_tokenizer() -> RegexTokenizer:
 
 def get_tokenizer(name: str) -> Tokenizer:
     """``regex`` | ``whitespace`` | ``bpe:<tokenizer.json>`` |
-    ``bpe:<vocab.json>:<merges.txt>`` (real BPE, see ``bpe.py``; paths must
+    ``bpe:<vocab.json>:<merges.txt>[:<byte_map>]`` (real BPE, see ``bpe.py``;
+    byte_map ∈ {charmap, gpt2} — GPT-2-format vocab/merges files are written
+    in the bytes_to_unicode alphabet, so pass ``gpt2`` for those; paths must
     be readable on every worker node — ship vendored files, not /tmp)."""
     if name == "regex":
         return RegexTokenizer()
@@ -121,5 +123,8 @@ def get_tokenizer(name: str) -> Tokenizer:
             return BPETokenizer.from_tokenizer_json(paths[0])
         if len(paths) == 2:
             return BPETokenizer.from_files(paths[0], paths[1])
+        if len(paths) == 3 and paths[2] in ("charmap", "gpt2"):
+            return BPETokenizer.from_files(paths[0], paths[1],
+                                           byte_map=paths[2])
         raise ValueError(f"bad bpe tokenizer spec {name!r}")
     raise ValueError(f"unknown tokenizer {name!r}")
