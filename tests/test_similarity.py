@@ -150,3 +150,73 @@ def test_kmeans_ivf_deterministic_and_recall(ray_session):
                                     kmeans_iters=4).take_all())
     assert r_trained >= r_seed
     assert r_trained >= 0.9
+
+
+def test_ivf_nprobe_recovers_cross_cell_neighbor(ray_session):
+    """nprobe is IVF's recall knob: a fixture where the true nearest
+    neighbor is quantized into ANOTHER cell — nprobe=1 provably misses it,
+    nprobe=2 finds it, and recall@1 is monotone in nprobe."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.similarity import ann_topk_ivf
+
+    # centroids = first 2 vectors (oracle mode). id2 is the true NN of the
+    # query (cos .61) but lands in centroid 1's cell; id3 (cos .5) is the
+    # best within the query's own cell.
+    vecs = [[1.0, 0.0],    # id0: query + centroid 0
+            [0.0, 1.0],    # id1: centroid 1
+            [0.62, 0.8],   # id2: true NN, assigned cell 1
+            [0.5, -0.87]]  # id3: decoy in cell 0
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    }))
+
+    def top1(nprobe):
+        rows = ann_topk_ivf(ds, n_queries=1, k=1, n_centroids=2,
+                            nprobe=nprobe).take_all()
+        return {r["query_id"]: r["neighbor_id"] for r in rows}[0]
+
+    assert top1(1) == 3          # single-cell scan misses the true NN
+    assert top1(2) == 2          # probing the 2nd-nearest cell finds it
+
+
+def test_lsh_multiprobe_recovers_cross_hyperplane_neighbor(ray_session):
+    """Multi-probe LSH: the true NN sits just across the query's
+    least-confident hyperplane; nprobe=1 misses, nprobe=2 flips that bit
+    first and finds it."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.similarity import ann_topk_lsh
+
+    vecs = [[0.05, 1.0],   # id0: query, bucket 1 (coord0 > 0)
+            [-0.05, 1.0],  # id1: true NN (cos ~.995), bucket 0
+            [1.0, 0.5]]    # id2: decoy in bucket 1 (cos ~.49)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    }))
+
+    def top1(nprobe):
+        rows = ann_topk_lsh(ds, n_queries=1, k=1, sign_bits=1,
+                            nprobe=nprobe).take_all()
+        return {r["query_id"]: r["neighbor_id"] for r in rows}[0]
+
+    assert top1(1) == 2
+    assert top1(2) == 1
+
+
+def test_multiprobe_bucket_sequence_deterministic():
+    from go_light_rag_ray.stages.similarity import (
+        bucket_of,
+        multiprobe_buckets,
+    )
+
+    v = [0.9, -0.01, 0.4, -0.7]
+    base = bucket_of(v, 4)
+    probes = multiprobe_buckets(v, 4, 3)
+    assert probes[0] == base
+    # flip order by ascending |coord|: bit1 (.01) then bit2 (.4)
+    assert probes[1] == base ^ (1 << 1)
+    assert probes[2] == base ^ (1 << 2)
+    assert list(multiprobe_buckets(v, 4, 1)) == [base]
