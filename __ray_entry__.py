@@ -558,6 +558,48 @@ def q_chunks_by_handler(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_chunks_router_default(sf_dir: str) -> ray.data.Dataset:
+    """Value-oracled view of the handler router (reference S3): the SAME
+    mixed-kind routed chunking as ``chunks_by_handler`` (whitespace
+    tokenizer so the window math is SQL), with the output filtered to the
+    default-handler slice (doc_id % 3 == 0) — the one router branch whose
+    chunker IS SQL-expressible.  The router dispatch itself runs over the
+    full mixed corpus, so a routing bug (wrong kind → wrong chunker)
+    changes this result and fails the hash."""
+    import numpy as np
+
+    from go_light_rag_ray.stages.chunker import ChunkerConfig
+    from go_light_rag_ray.stages.handlers import HandlerChunker
+
+    kinds = pa.array(["default", "markdown", "code"], pa.string())
+
+    def add_kind(b: pa.Table) -> pa.Table:
+        idx = pa.array(
+            b.column("doc_id").combine_chunks().to_numpy() % 3, pa.int64()
+        )
+        return b.append_column("doc_kind", pc.take(kinds, idx))
+
+    docs = _raw_docs(sf_dir).map_batches(add_kind, batch_format="pyarrow")
+    cfg = ChunkerConfig(max_tokens=32, overlap_tokens=4,
+                        tokenizer="whitespace", content_mode="text",
+                        doc_id_format="doc-{:09d}")
+    chunks = docs.map_batches(
+        HandlerChunker,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_default(b: pa.Table) -> pa.Table:
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(b.column("doc_id"), pa.string()), 4, 13),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return b.take(pa.array(np.flatnonzero(nums % 3 == 0), pa.int64()))
+
+    return chunks.map_batches(keep_default, batch_format="pyarrow")
+
+
 def q_chunk_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Chunk → embedding-encoder actor pool (reference T5/S8).  Rows-only
     check (hash-projection vectors are not SQL)."""
@@ -734,6 +776,27 @@ SELECT did || '-chunk-' || (st // 12)::varchar AS chunk_id,
        (st // 12)::INTEGER AS order_index,
        array_to_string(toks[st+1 : st+16], ' ') AS content,
        least(16, len(toks) - st)::INTEGER AS token_size
+FROM wins
+"""
+
+# the default-handler slice of the routed mixed-corpus chunking
+# (q_chunks_router_default): window 32 / stride 28 over \S+ tokens of
+# doc_id % 3 == 0 docs — identical math to _CHUNKS_SQL at the router's
+# chunk sizes
+_CHUNKS_ROUTER_DEFAULT_SQL = r"""
+WITH docs AS (
+  SELECT printf('doc-%09d', doc_id) AS did,
+         regexp_extract_all(text, '\S+') AS toks
+  FROM documents WHERE doc_id % 3 = 0
+),
+wins AS (
+  SELECT did, toks, unnest(range(0, len(toks), 28)) AS st FROM docs
+)
+SELECT did || '-chunk-' || (st // 28)::varchar AS chunk_id,
+       did AS doc_id,
+       (st // 28)::INTEGER AS order_index,
+       array_to_string(toks[st+1 : st+32], ' ') AS content,
+       least(32, len(toks) - st)::INTEGER AS token_size
 FROM wins
 """
 
@@ -1444,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub": q_scrub,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
+        "chunks_router_default": q_chunks_router_default,
         "chunk_embeddings": q_chunk_embeddings,
     }
 
@@ -1454,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": _EDGES_SQL,
         "kg_triples": _TRIPLES_SQL,
         "chunks": _CHUNKS_SQL,
+        "chunks_router_default": _CHUNKS_ROUTER_DEFAULT_SQL,
         "mentions": _MENTIONS_SQL,
         "kg_degrees": _KG_DEGREES_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
