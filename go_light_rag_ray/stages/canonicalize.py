@@ -550,12 +550,14 @@ def finalize_group(batch: pa.Table, merge_cap: int = 0) -> pa.Table:
 
 
 def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
-                 merge_cap: int = 0):
+                 merge_cap: int = 0, strategy: str = "sorted"):
     """mentions Dataset → combined graph Dataset (kind ∈ {node, edge}).
 
-    Three stages: vectorized combiner (stateless map_batches), salted
-    partial merge (groupby shuffle 1), final merge (groupby shuffle 2 over
-    the already-compressed partials).
+    Three stages: vectorized combiner (stateless map_batches), then the
+    segment merge — one sort on ``(kind, k1, k2, salt)`` followed by a
+    block-level vectorized merge + finalize (``strategy="sorted"``, the
+    default) or the legacy two-shuffle ``groupby().map_groups`` path
+    (``strategy="groupby"``, kept for row-for-row equivalence tests).
 
     ``merge_cap`` bounds every accumulated list to its first-``cap``
     entries by occurrence at every stage (associative, deterministic);
@@ -568,20 +570,334 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    return _merge_and_finalize(partials, salt_buckets, merge_cap)
+    return _merge_and_finalize(partials, salt_buckets, merge_cap, strategy)
 
 
-def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int):
+_KEY_COLS = ["kind", "k1", "k2"]
+
+
+def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int,
+                        strategy: str = "sorted"):
     """Stages B + C over a partials Dataset (shared by the fresh and the
-    incremental path)."""
-    if salt_buckets > 1:
-        partials = partials.groupby(["kind", "k1", "k2", "salt"]).map_groups(
-            lambda g: merge_partials_group(g, merge_cap),
-            batch_format="pyarrow",
+    incremental path).
+
+    ``sorted`` (default): ONE range-partitioning sort on ``(kind, k1, k2,
+    salt)`` — salt stays in the sort key so a hot key's partials spread
+    over ``salt_buckets`` range boundaries exactly as they spread over
+    groupby reducers before — then each block merges ALL of its complete
+    key runs with whole-table Arrow hash-aggregates (one kernel dispatch
+    per column per BLOCK, not per group) and finalizes them in a narrow
+    vectorized pass.  Only the first/last run of each block (the runs that
+    can straddle a block split) route through a single small consolidation
+    task (the ``sortagg`` boundary-fix pattern).  Replaces two sort-based
+    groupby exchanges + ~4 ms/group of per-group Arrow table construction
+    with one exchange + per-block kernels.
+
+    ``groupby``: the legacy per-group path (two shuffles); retained as the
+    semantics reference for equivalence tests.
+    """
+    if strategy == "groupby":
+        if salt_buckets > 1:
+            partials = partials.groupby(
+                ["kind", "k1", "k2", "salt"]).map_groups(
+                lambda g: merge_partials_group(g, merge_cap),
+                batch_format="pyarrow",
+            )
+        return partials.groupby(_KEY_COLS).map_groups(
+            lambda g: finalize_group(g, merge_cap), batch_format="pyarrow"
         )
-    return partials.groupby(["kind", "k1", "k2"]).map_groups(
-        lambda g: finalize_group(g, merge_cap), batch_format="pyarrow"
+
+    merged = (
+        partials.sort([*_KEY_COLS, "salt"])
+        .map_batches(lambda b: _merge_block_sorted(b, merge_cap),
+                     batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
+    graph = (
+        merged.filter(expr="_final == 1")
+        .drop_columns(["_final"])
+        .map_batches(_finalize_table, batch_format="pyarrow")
+    )
+
+    # boundary runs are ≤2 per block by construction — consolidate into ONE
+    # narrow task (a groupby here costs a whole extra exchange), re-merge
+    # with the same vectorized run-reduce over a locally-sorted batch, and
+    # finalize.  NOTE the same bound sortagg documents: every hot key that
+    # straddles blocks pays its final combine in this task — identical to
+    # the legacy stage-C group for that key, minus the per-key parallelism
+    # across DIFFERENT hot keys (acceptable: rows here are pre-compressed
+    # per-block partials, ≤ 2 × blocks).
+    def fix(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_graph_table()
+        b = b.sort_by([(k, "ascending") for k in _KEY_COLS])
+        starts, ends = _block_runs(b, _KEY_COLS)
+        return _finalize_table(_merge_sorted_runs(b, starts, ends, merge_cap))
+
+    boundary = (
+        merged.filter(expr="_final == 0")
+        .drop_columns(["_final"])
+        .repartition(1)
+        .map_batches(fix, batch_format="pyarrow", batch_size=None)
+    )
+    return graph.union(boundary)
+
+
+# ---------------------------------------------------------------------------
+# sorted segment-merge kernels (vectorized stages B + C)
+# ---------------------------------------------------------------------------
+
+_OCC_FIELDS = ("descs", "kws", "srcids", "ph_descs", "ph_srcids")
+
+
+def _block_runs(b: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    from .sortagg import _runs
+
+    return _runs(b, keys)
+
+
+def _empty_graph_table() -> pa.Table:
+    return pa.Table.from_pydict(
+        {n: pa.array([], GRAPH_SCHEMA.field(n).type)
+         for n in GRAPH_SCHEMA.names}, schema=GRAPH_SCHEMA)
+
+
+def _run_offsets(run_ids: np.ndarray, nruns: int) -> pa.Array:
+    """Sorted element→run ids → list offsets (one list per run, empties
+    included)."""
+    counts = np.bincount(run_ids, minlength=nruns)
+    return pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32),
+                    pa.int32())
+
+
+def _merge_occ_runs(col, row_run: np.ndarray, nruns: int,
+                    cap: int) -> pa.ListArray:
+    """Segment-merge one list<struct{occ,text}> column: per (run, text) keep
+    the min occ, order each run's entries by occ (occs are unique per
+    (key, field, text) by construction), apply the first-``cap`` cap."""
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    if len(flat) == 0:
+        return _empty_occ_col(nruns)
+    par = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    agg = (
+        pa.table({"r": pa.array(row_run[par], pa.int64()),
+                  "text": pc.struct_field(flat, "text"),
+                  "occ": pc.struct_field(flat, "occ")})
+        .group_by(["r", "text"])
+        .aggregate([("occ", "min")])
+        .sort_by([("r", "ascending"), ("occ_min", "ascending")])
+    )
+    r = agg.column("r").to_numpy(zero_copy_only=False)
+    occ = agg.column("occ_min").combine_chunks()
+    text = agg.column("text").combine_chunks()
+    if cap:
+        new = np.concatenate(([True], r[1:] != r[:-1]))
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(r)) - starts[np.cumsum(new) - 1]
+        keep = pos < cap
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        r = r[keep]
+        occ = occ.take(idx)
+        text = text.take(idx)
+    flat_out = pc.make_struct(occ, text, field_names=["occ", "text"])
+    return pa.ListArray.from_arrays(_run_offsets(r, nruns), flat_out)
+
+
+def _merge_types_runs(types_col, counts_col, row_run: np.ndarray,
+                      nruns: int) -> tuple[pa.ListArray, pa.ListArray]:
+    """Segment-merge the parallel (types, type_counts) lists: per (run,
+    type) sum of votes, entries ordered by type name (the finalize tally
+    re-orders by (-votes, name), so intra-partial order is cosmetic)."""
+    import pyarrow.compute as pc
+
+    types_col = types_col.combine_chunks()
+    t = pc.list_flatten(types_col)
+    if len(t) == 0:
+        return (_empty_list_col(nruns, pa.string()),
+                _empty_list_col(nruns, pa.int64()))
+    par = pc.list_parent_indices(types_col).to_numpy(zero_copy_only=False)
+    agg = (
+        pa.table({"r": pa.array(row_run[par], pa.int64()), "t": t,
+                  "c": pc.list_flatten(counts_col.combine_chunks())})
+        .group_by(["r", "t"])
+        .aggregate([("c", "sum")])
+        .sort_by([("r", "ascending"), ("t", "ascending")])
+    )
+    offsets = _run_offsets(agg.column("r").to_numpy(zero_copy_only=False),
+                           nruns)
+    return (pa.ListArray.from_arrays(offsets, agg.column("t").combine_chunks()),
+            pa.ListArray.from_arrays(
+                offsets,
+                pc.cast(agg.column("c_sum").combine_chunks(), pa.int64())))
+
+
+def _merge_sorted_runs(b: pa.Table, starts: np.ndarray, ends: np.ndarray,
+                       merge_cap: int) -> pa.Table:
+    """Merge every key run of a (kind, k1, k2)-sorted partials block into
+    one PARTIALS_SCHEMA row — all runs at once, no per-group dispatch."""
+    nruns = len(starts)
+    row_run = np.repeat(np.arange(nruns, dtype=np.int64), ends - starts)
+    starts_idx = pa.array(starts, pa.int64())
+    types, type_counts = _merge_types_runs(
+        b.column("types"), b.column("type_counts"), row_run, nruns)
+    cols = {
+        "kind": b.column("kind").combine_chunks().take(starts_idx),
+        "k1": b.column("k1").combine_chunks().take(starts_idx),
+        "k2": b.column("k2").combine_chunks().take(starts_idx),
+        # salt has done its job (it was part of the range-partition key);
+        # carry the first value so the schema round-trips
+        "salt": b.column("salt").combine_chunks().take(starts_idx),
+        "types": types,
+        "type_counts": type_counts,
+        # weights are dyadic rationals (0.5/1.0 mention weights), so the
+        # reduceat order is bit-irrelevant — same invariant the oracle SQL
+        # relies on
+        "weight": pa.array(
+            np.add.reduceat(
+                b.column("weight").to_numpy(zero_copy_only=False), starts),
+            pa.float64()),
+        "mention_count": pa.array(
+            np.add.reduceat(
+                b.column("mention_count").to_numpy(zero_copy_only=False),
+                starts).astype(np.int64),
+            pa.int64()),
+    }
+    for f in _OCC_FIELDS:
+        cols[f] = _merge_occ_runs(b.column(f), row_run, nruns, merge_cap)
+    return pa.Table.from_pydict(cols).cast(PARTIALS_SCHEMA)
+
+
+def _merge_block_sorted(b: pa.Table, merge_cap: int) -> pa.Table:
+    """Stage B+C map task: merge all complete runs of a sorted block;
+    ``_final`` = 0 marks the first/last run (possible straddlers)."""
+    if b.num_rows == 0:
+        cols = {n: pa.array([], PARTIALS_SCHEMA.field(n).type)
+                for n in PARTIALS_SCHEMA.names}
+        cols["_final"] = pa.array([], pa.int8())
+        return pa.Table.from_pydict(cols)
+    starts, ends = _block_runs(b, _KEY_COLS)
+    out = _merge_sorted_runs(b, starts, ends, merge_cap)
+    interior = np.ones(len(starts), dtype=bool)
+    interior[0] = False
+    interior[-1] = False
+    return out.append_column(
+        "_final", pa.array(interior.astype(np.int8), pa.int8()))
+
+
+def _texts_col(col) -> pa.ListArray:
+    """list<struct{occ,text}> (already occ-ordered + capped by the merge) →
+    list<string> of the texts, structure preserved."""
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks()
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32())
+    return pa.ListArray.from_arrays(
+        offsets, pc.struct_field(pc.list_flatten(col), "text"))
+
+
+def _const_str(value: str, n: int):
+    return pa.array(np.full(n, value, dtype=object), pa.string())
+
+
+def _finalize_table(m: pa.Table) -> pa.Table:
+    """Merged partials (ONE row per key) → GRAPH_SCHEMA rows, vectorized.
+
+    Semantics identical to ``finalize_group`` (the per-group reference
+    implementation, kept for tests): nodes with real mentions take the
+    type-vote argmax under a (-votes, name) order and their entity-side
+    lists; zero-mention nodes become UNKNOWN placeholders built from the
+    ``ph_*`` lists (J3); edges carry summed weight + desc/kw/src lists.
+    List ordering (by occurrence key) and the merge cap were already
+    applied by the segment merge.
+    """
+    import pyarrow.compute as pc
+
+    if m.num_rows == 0:
+        return _empty_graph_table()
+    kind = m.column("kind")
+    mc = m.column("mention_count")
+    out: list[pa.Table] = []
+
+    edges = m.filter(pc.equal(kind, "edge"))
+    if edges.num_rows:
+        n = edges.num_rows
+        out.append(pa.Table.from_pydict({
+            "kind": _const_str("edge", n),
+            "entity_id": _const_str("", n),
+            "entity_type": _const_str("", n),
+            "src": edges.column("k1"),
+            "tgt": edges.column("k2"),
+            "weight": edges.column("weight"),
+            "descriptions": _texts_col(edges.column("descs")),
+            "keywords": _texts_col(edges.column("kws")),
+            "source_ids": _texts_col(edges.column("srcids")),
+            "mention_count": edges.column("mention_count"),
+            "type_names": _empty_list_col(n, pa.string()),
+            "type_votes": _empty_list_col(n, pa.int64()),
+        }).cast(GRAPH_SCHEMA))
+
+    real = m.filter(pc.and_(pc.equal(kind, "node"), pc.greater(mc, 0)))
+    if real.num_rows:
+        n = real.num_rows
+        types_col = real.column("types").combine_chunks()
+        tally = (
+            pa.table({
+                "r": pc.list_parent_indices(types_col),
+                "t": pc.list_flatten(types_col),
+                "v": pc.list_flatten(
+                    real.column("type_counts").combine_chunks()),
+            })
+            .sort_by([("r", "ascending"), ("v", "descending"),
+                      ("t", "ascending")])
+        )
+        offsets = _run_offsets(
+            tally.column("r").to_numpy(zero_copy_only=False), n)
+        names = tally.column("t").combine_chunks()
+        # every real node has ≥1 type vote, so each run is non-empty and
+        # offsets[:-1] indexes its argmax (first entry under (-v, t) order)
+        winner_idx = pa.array(
+            np.asarray(offsets)[:-1].astype(np.int64), pa.int64())
+        out.append(pa.Table.from_pydict({
+            "kind": _const_str("node", n),
+            "entity_id": real.column("k1"),
+            "entity_type": names.take(winner_idx),
+            "src": _const_str("", n),
+            "tgt": _const_str("", n),
+            "weight": pa.array(np.zeros(n), pa.float64()),
+            "descriptions": _texts_col(real.column("descs")),
+            "keywords": _empty_list_col(n, pa.string()),
+            "source_ids": _texts_col(real.column("srcids")),
+            "mention_count": real.column("mention_count"),
+            "type_names": pa.ListArray.from_arrays(offsets, names),
+            "type_votes": pa.ListArray.from_arrays(
+                offsets,
+                pc.cast(tally.column("v").combine_chunks(), pa.int64())),
+        }).cast(GRAPH_SCHEMA))
+
+    ph = m.filter(pc.and_(pc.equal(kind, "node"), pc.less_equal(mc, 0)))
+    if ph.num_rows:
+        n = ph.num_rows
+        out.append(pa.Table.from_pydict({
+            "kind": _const_str("node", n),
+            "entity_id": ph.column("k1"),
+            "entity_type": _const_str("UNKNOWN", n),
+            "src": _const_str("", n),
+            "tgt": _const_str("", n),
+            "weight": pa.array(np.zeros(n), pa.float64()),
+            "descriptions": _texts_col(ph.column("ph_descs")),
+            "keywords": _empty_list_col(n, pa.string()),
+            "source_ids": _texts_col(ph.column("ph_srcids")),
+            "mention_count": ph.column("mention_count"),
+            "type_names": _empty_list_col(n, pa.string()),
+            "type_votes": _empty_list_col(n, pa.int64()),
+        }).cast(GRAPH_SCHEMA))
+
+    return (pa.concat_tables(out) if out else _empty_graph_table())
 
 
 # occ prefix that sorts before any real occurrence key (real keys start
@@ -650,7 +966,8 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
 
 
 def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,
-                             batch_size: int = 8192, merge_cap: int = 0):
+                             batch_size: int = 8192, merge_cap: int = 0,
+                             strategy: str = "sorted"):
     """Incremental insert: new mentions merged with a prior graph snapshot
     in ONE shuffle — the reference's point-lookup upsert loop becomes a
     union of partials (new combiner output ∪ snapshot partials) flowing
@@ -666,7 +983,7 @@ def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,
         batch_format="pyarrow",
     )
     return _merge_and_finalize(new_partials.union(prior_partials),
-                               salt_buckets, merge_cap)
+                               salt_buckets, merge_cap, strategy)
 
 
 def sep_join(values: list[str]) -> str:

@@ -153,3 +153,61 @@ def test_combine_is_partial_aggregation():
     from collections import Counter
 
     assert max(Counter(keys).values()) <= 3
+
+
+def _skewed_rows():
+    """Hot-key fixture: one entity dominating (straddles salt buckets and
+    sorted-block boundaries), plus a tail of singleton keys."""
+    rows = []
+    mi = 0
+    for d in range(12):
+        doc = f"doc{d:03d}"
+        for j in range(10):
+            rows.append(ent(doc, f"{doc}-c{j // 4}", j, mi, "HOT",
+                            ["PERSON", "ORGANIZATION"][j % 2],
+                            f"hot desc {d}-{j}"))
+            mi += 1
+        rows.append(ent(doc, f"{doc}-c9", 20, mi, f"COLD{d}", "THING",
+                        f"cold desc {d}"))
+        mi += 1
+        rows.append(rel(doc, f"{doc}-c9", 21, mi, "HOT", f"COLD{d}",
+                        f"edge desc {d}", [f"kw{d % 3}", "shared"],
+                        0.5 if d % 2 else 1.0))
+        mi += 1
+        rows.append(rel(doc, f"{doc}-c9", 22, mi, "HOT", "GHOST",
+                        f"ghost desc {d}", [], 1.0))
+        mi += 1
+    return rows
+
+
+@pytest.mark.parametrize("salts,cap", [(1, 0), (8, 0), (8, 3), (64, 2)])
+def test_sorted_strategy_equals_groupby(salts, cap):
+    """The sorted segment-merge path (default) is row-for-row identical to
+    the legacy two-shuffle groupby path, including under skew + merge_cap."""
+    tbl = _mentions(_skewed_rows())
+
+    def run(strategy):
+        out = canonicalize(ray.data.from_arrow(tbl), salt_buckets=salts,
+                           merge_cap=cap, strategy=strategy).take_all()
+        return sorted(out, key=lambda r: (r["kind"], r["entity_id"],
+                                          r["src"], r["tgt"]))
+
+    assert run("sorted") == run("groupby")
+
+
+def test_sorted_strategy_equals_groupby_incremental():
+    from go_light_rag_ray.stages.canonicalize import canonicalize_incremental
+
+    rows = _skewed_rows()
+    split = len(rows) // 2
+    p1, p2 = _mentions(rows[:split]), _mentions(rows[split:])
+
+    def run(strategy):
+        prior = canonicalize(ray.data.from_arrow(p1),
+                             strategy=strategy).materialize()
+        out = canonicalize_incremental(ray.data.from_arrow(p2), prior,
+                                       strategy=strategy).take_all()
+        return sorted(out, key=lambda r: (r["kind"], r["entity_id"],
+                                          r["src"], r["tgt"]))
+
+    assert run("sorted") == run("groupby")
