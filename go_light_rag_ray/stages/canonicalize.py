@@ -911,58 +911,145 @@ def _prior_occ(i: int) -> str:
     return f"{_PRIOR_OCC_PREFIX}{i:010d}"
 
 
+def _prior_occ_entries(col) -> pa.ListArray:
+    """list<string> → list<struct{occ,text}> where each element's occ is
+    ``_prior_occ(position)`` — vectorized (offsets arithmetic + one string
+    join; no Python loop over the prior graph)."""
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks()
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return _empty_occ_col(len(lens))
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32())
+    pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    occ = pc.binary_join_element_wise(
+        _const_str(_PRIOR_OCC_PREFIX, total),
+        pc.utf8_lpad(pc.cast(pa.array(pos), pa.string()), 10, "0"), "")
+    flat = pc.make_struct(occ, pc.list_flatten(col),
+                          field_names=["occ", "text"])
+    return pa.ListArray.from_arrays(offsets, flat)
+
+
+def _occ_min_prior(desc_col) -> pa.Array:
+    """Per-row salt seed: the min occ a prior row's content will carry —
+    ``_prior_occ(0)`` when it has descriptions, else the empty floor
+    (matches ``_states_to_table``'s ``any_occ`` over descs + ph_descs)."""
+    import pyarrow.compute as pc
+
+    return pc.if_else(pc.greater(pc.list_value_length(desc_col), 0),
+                      pa.scalar(_prior_occ(0)), pa.scalar("\x7f"))
+
+
 def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
     """Prior graph snapshot rows → partial rows, re-entering the shuffle.
 
     Incremental-insert semantics vs the reference (insert.go:499-623):
     weight is additive on top of the stored edge weight; stored
-    descriptions/keywords/source_ids come first in merge order; the stored
-    per-type vote tally (``type_names``/``type_votes``) re-enters the mode
-    vote EXACTLY (the reference votes the winner once per upsert call —
-    ours is the associative choice so that canonicalize(part1) ⊕ part2 ==
-    canonicalize(part1 ∪ part2) for ordered splits, including entities
-    whose mentions carry mixed types).  UNKNOWN placeholders
-    re-enter as placeholder (ph_*) partials, so they upgrade in place when
-    real mentions for the name later arrive.
+    descriptions/keywords/source_ids come first in merge order (their occ
+    keys are ``\\x00prior\\x00``-prefixed, sorting before every real
+    occurrence); the stored per-type vote tally (``type_names``/
+    ``type_votes``) re-enters the mode vote EXACTLY (the reference votes
+    the winner once per upsert call — ours is the associative choice so
+    that canonicalize(part1) ⊕ part2 == canonicalize(part1 ∪ part2) for
+    ordered splits, including entities whose mentions carry mixed types).
+    UNKNOWN placeholders re-enter as placeholder (ph_*) partials, so they
+    upgrade in place when real mentions for the name later arrive.
+
+    Fully vectorized: snapshots are one row per key by construction, so
+    each prior row maps to exactly one partial row (the downstream merge
+    folds any cross-block duplicates) — at web scale the whole prior graph
+    flows through here, so no per-row Python.
     """
-    states: dict[tuple[str, str, str], _State] = {}
-    n = batch.num_rows
-    col = {name: (batch.column(name).to_pylist()
-                  if name in batch.column_names else [[]] * n)
-           for name in
-           ("kind", "entity_id", "entity_type", "src", "tgt", "weight",
-            "descriptions", "keywords", "source_ids", "mention_count",
-            "type_names", "type_votes")}
-    for i in range(n):
-        kind = col["kind"][i]
-        if kind == "node":
-            key = ("node", col["entity_id"][i], "")
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return _states_to_table({}, salt_buckets)
+    kind = batch.column("kind").combine_chunks()
+    is_node = pc.equal(kind, "node")
+    mc = batch.column("mention_count")
+    has_tally = "type_names" in batch.column_names
+    is_ph = pc.and_(
+        pc.and_(is_node,
+                pc.equal(batch.column("entity_type"), "UNKNOWN")),
+        pc.equal(mc, 0))
+    parts: list[pa.Table] = []
+
+    real = batch.filter(pc.and_(is_node, pc.invert(is_ph)))
+    if real.num_rows:
+        n = real.num_rows
+        if has_tally:
+            names = real.column("type_names").combine_chunks()
+            votes = real.column("type_votes").combine_chunks()
+            legacy = pc.equal(pc.list_value_length(names), 0)
+            if pc.any(legacy).as_py():
+                # legacy snapshot rows without tally columns: winner ×
+                # max(1, mention_count) as a single-entry tally
+                one = pa.array(np.arange(n + 1, dtype=np.int32), pa.int32())
+                names = pc.if_else(
+                    legacy,
+                    pa.ListArray.from_arrays(
+                        one, real.column("entity_type").combine_chunks()),
+                    names)
+                votes = pc.if_else(
+                    legacy,
+                    pa.ListArray.from_arrays(
+                        one, pc.cast(pc.max_element_wise(
+                            real.column("mention_count").combine_chunks(),
+                            1), pa.int64())),
+                    votes)
         else:
-            key = ("edge", col["src"][i], col["tgt"][i])
-        st = states.setdefault(key, _State())
-        mc = col["mention_count"][i]
-        placeholder = kind == "node" and col["entity_type"][i] == "UNKNOWN" and mc == 0
-        st.mention_count += mc
-        st.weight += col["weight"][i]
-        if kind == "node" and not placeholder:
-            names, votes = col["type_names"][i], col["type_votes"][i]
-            if names:
-                # exact re-entry of the stored vote tally
-                for t, c in zip(names, votes):
-                    st.types[t] = st.types.get(t, 0) + c
-            else:
-                # legacy snapshot without tally columns: winner × count
-                t = col["entity_type"][i]
-                st.types[t] = st.types.get(t, 0) + max(1, mc)
-        descs_d = st.ph_descs if placeholder else st.descs
-        srcs_d = st.ph_srcids if placeholder else st.srcids
-        for j, d in enumerate(col["descriptions"][i]):
-            _acc(descs_d, d, _prior_occ(j))
-        for j, s in enumerate(col["source_ids"][i]):
-            _acc(srcs_d, s, _prior_occ(j))
-        for j, kw in enumerate(col["keywords"][i]):
-            _acc(st.kws, kw, _prior_occ(j))
-    return _states_to_table(states, salt_buckets)
+            one = pa.array(np.arange(n + 1, dtype=np.int32), pa.int32())
+            names = pa.ListArray.from_arrays(
+                one, real.column("entity_type").combine_chunks())
+            votes = pa.ListArray.from_arrays(
+                one, pc.cast(pc.max_element_wise(
+                    real.column("mention_count").combine_chunks(), 1),
+                    pa.int64()))
+        parts.append(_partial_rows(
+            "node", real.column("entity_id").combine_chunks(), None,
+            salt_buckets=salt_buckets,
+            occ_min=_occ_min_prior(real.column("descriptions")),
+            types=names, type_counts=votes,
+            weight=real.column("weight").combine_chunks(),
+            mention_count=real.column("mention_count").combine_chunks(),
+            descs=_prior_occ_entries(real.column("descriptions")),
+            kws=_prior_occ_entries(real.column("keywords")),
+            srcids=_prior_occ_entries(real.column("source_ids")),
+        ))
+
+    ph = batch.filter(is_ph)
+    if ph.num_rows:
+        parts.append(_partial_rows(
+            "node", ph.column("entity_id").combine_chunks(), None,
+            salt_buckets=salt_buckets,
+            occ_min=_occ_min_prior(ph.column("descriptions")),
+            weight=ph.column("weight").combine_chunks(),
+            mention_count=ph.column("mention_count").combine_chunks(),
+            kws=_prior_occ_entries(ph.column("keywords")),
+            ph_descs=_prior_occ_entries(ph.column("descriptions")),
+            ph_srcids=_prior_occ_entries(ph.column("source_ids")),
+        ))
+
+    edges = batch.filter(pc.invert(is_node))
+    if edges.num_rows:
+        parts.append(_partial_rows(
+            "edge", edges.column("src").combine_chunks(),
+            edges.column("tgt").combine_chunks(),
+            salt_buckets=salt_buckets,
+            occ_min=_occ_min_prior(edges.column("descriptions")),
+            weight=edges.column("weight").combine_chunks(),
+            mention_count=edges.column("mention_count").combine_chunks(),
+            descs=_prior_occ_entries(edges.column("descriptions")),
+            kws=_prior_occ_entries(edges.column("keywords")),
+            srcids=_prior_occ_entries(edges.column("source_ids")),
+        ))
+
+    return (pa.concat_tables(parts) if parts
+            else _states_to_table({}, salt_buckets))
 
 
 def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,

@@ -141,3 +141,49 @@ def test_mixed_type_vote_reenters_exactly(ray_session):
     t_inc = next(r["entity_type"] for r in inc if r["entity_id"] == "X")
     assert t_full == "BETA"
     assert t_inc == t_full
+
+
+def test_legacy_snapshot_without_tally_columns(ray_session):
+    """Pre-tally snapshots (no type_names/type_votes) re-enter the vote as
+    winner × max(1, mention_count) — the graph_to_partials legacy branch."""
+    full = generate_documents(60)
+    part1, part2 = full.slice(0, 40), full.slice(40)
+    prior = kg_pipeline(ray.data.from_arrow(part1), HANDLER).materialize()
+    # simulate a legacy snapshot: strip the tally columns entirely
+    legacy_tbl = pa.Table.from_pylist(
+        [{k: v for k, v in r.items()
+          if k not in ("type_names", "type_votes")}
+         for r in prior.take_all()])
+    legacy = ray.data.from_arrow(legacy_tbl)
+
+    with_tally = _rows(kg_pipeline_incremental(
+        ray.data.from_arrow(part2), prior, HANDLER))
+    from_legacy = _rows(kg_pipeline_incremental(
+        ray.data.from_arrow(part2), legacy, HANDLER))
+
+    assert len(with_tally) == len(from_legacy)
+    for a, b in zip(with_tally, from_legacy):
+        # legacy rows lose the minority votes, so the tally columns and
+        # (for mixed-type entities) the elected type may differ; everything
+        # accumulated (lists, weights, counts) must be identical
+        for col in ("kind", "entity_id", "src", "tgt", "weight",
+                    "descriptions", "keywords", "source_ids",
+                    "mention_count"):
+            assert a[col] == b[col], (col, a, b)
+
+
+def test_legacy_mixed_with_tally_rows(ray_session):
+    """A snapshot where only SOME rows are legacy (empty tally lists)
+    exercises the per-row if_else fallback."""
+    full = generate_documents(45)
+    p1, p2 = full.slice(0, 30), full.slice(30)
+    prior_rows = kg_pipeline(ray.data.from_arrow(p1), HANDLER).take_all()
+    for i, r in enumerate(prior_rows):
+        if i % 2 == 0 and r["kind"] == "node":
+            r["type_names"], r["type_votes"] = [], []
+    mixed = ray.data.from_arrow(
+        pa.Table.from_pylist(prior_rows).cast(GRAPH_SCHEMA))
+    out = _rows(kg_pipeline_incremental(
+        ray.data.from_arrow(p2), mixed, HANDLER))
+    assert out  # merge runs end-to-end; every node elects a type
+    assert all(r["entity_type"] for r in out if r["kind"] == "node")
