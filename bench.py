@@ -92,15 +92,24 @@ def _pipelines(sf_dir: str) -> dict:
                 out_t.extend(texts)
             return pa.table({"doc_id": out_i, "text": out_t})
 
-        # repartition the (tiny) seed BEFORE replication: replicated doc
-        # blocks are far below the 128 MB block target, so without this
-        # the whole corpus coalesces into ~16 blocks and the chunk/extract
-        # pools run a handful of huge straggler tasks (measured: 80-146 s
-        # swings at 32 CPUs).  256 seed blocks → ≥256 fine-grained tasks
-        # through every downstream stage.
-        docs = table_io.read_documents(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).repartition(256).map_batches(replicate, batch_format="pyarrow")
+        # Granularity traps, both measured at 32 CPUs:
+        # (1) replicated doc blocks are far below the 128 MB block target,
+        #     so the corpus coalesces into ~16 blocks without the seed
+        #     repartition (80-146 s swings from straggler tasks);
+        # (2) operator FUSION bundles the chunker's batch_size against the
+        #     5000-row SEED (each seed row = 200 replicated docs of work),
+        #     so replicate→chunk→extract ran as 19 tasks of 10-42 s
+        #     regardless of the seed block count.  The repartition AFTER
+        #     replication re-bases task granularity on post-replication
+        #     rows: 1024 blocks → ≥1024 chunk/extract tasks (~0.8 s each).
+        docs = (
+            table_io.read_documents(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .repartition(256)
+            .map_batches(replicate, batch_format="pyarrow", batch_size=20)
+            .repartition(1024)
+        )
         docs = docs.map_batches(
             table_io.flat_documents_as_interleaved, batch_format="pyarrow"
         )

@@ -576,6 +576,19 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
 _KEY_COLS = ["kind", "k1", "k2"]
 
 
+def _sort_width() -> int:
+    """Target partition count for the canonicalize sort: 4× cluster CPUs
+    (scales with cluster size; bounds the sort's N² shuffle-object count)."""
+    try:
+        import ray
+
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+    except Exception:
+        cpus = 8
+    return max(4, 4 * cpus)
+
+
 def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int,
                         strategy: str = "sorted"):
     """Stages B + C over a partials Dataset (shared by the fresh and the
@@ -607,6 +620,17 @@ def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int,
             lambda g: finalize_group(g, merge_cap), batch_format="pyarrow"
         )
 
+    # Ray's sort exchanges blocks quadratically in partition count (each of
+    # N map partitions splits into N ranges → N² shuffle objects at ~1 ms
+    # apiece).  Combiner output rides the upstream task granularity, which
+    # can be very fine (measured: 420 partial blocks of ~500 rows → 176k
+    # shuffle objects → a 178 s sort for 221k rows).  Coalesce the
+    # pre-compressed partials to a cluster-sized width first — one linear
+    # pass over data the sort was about to move anyway.
+    partials = partials.materialize()
+    width = _sort_width()
+    if partials.num_blocks() > width:
+        partials = partials.repartition(width)
     merged = (
         partials.sort([*_KEY_COLS, "salt"])
         .map_batches(lambda b: _merge_block_sorted(b, merge_cap),
