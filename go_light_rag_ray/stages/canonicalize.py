@@ -576,9 +576,15 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
 _KEY_COLS = ["kind", "k1", "k2"]
 
 
-def _sort_width() -> int:
-    """Target partition count for the canonicalize sort: 4× cluster CPUs
-    (scales with cluster size; bounds the sort's N² shuffle-object count)."""
+def _sort_width(total_bytes: int = 0) -> int:
+    """Target partition count for the canonicalize sort.
+
+    Floor: 4× cluster CPUs (parallelism scales with cluster size while the
+    sort's N² shuffle-object count stays bounded — N map partitions each
+    split into N ranges, ~1 ms per object; 420 fine-grained partial blocks
+    cost 176k objects / 178 s for 221k rows before this coalesce).
+    Ceiling guard: never coalesce below ~64 MB per block, so web-scale
+    partials keep block sizes the object store can move."""
     try:
         import ray
 
@@ -586,7 +592,7 @@ def _sort_width() -> int:
                 if ray.is_initialized() else 8)
     except Exception:
         cpus = 8
-    return max(4, 4 * cpus)
+    return max(4, 4 * cpus, int(total_bytes // (64 << 20)))
 
 
 def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int,
@@ -628,7 +634,7 @@ def _merge_and_finalize(partials, salt_buckets: int, merge_cap: int,
     # pre-compressed partials to a cluster-sized width first — one linear
     # pass over data the sort was about to move anyway.
     partials = partials.materialize()
-    width = _sort_width()
+    width = _sort_width(partials.size_bytes() or 0)
     if partials.num_blocks() > width:
         partials = partials.repartition(width)
     merged = (

@@ -22,6 +22,14 @@ The family (this is the engine's segment-reduce layer):
 
 ``carry`` columns must be constant within a key (they ride along on the
 run's first row; the boundary aggregate uses Max, which equals the constant).
+
+Partitioning caveat: Ray's sort ships N² shuffle objects (N map partitions
+× N ranges, ~1 ms apiece), so a caller holding an extremely fine-grained
+dataset (blocks ≫ cluster CPUs) should coalesce it to a cluster-sized
+width before calling in here — see ``canonicalize._sort_width`` for the
+measured pattern (420 blocks → 176k objects → 178 s for 221k rows).  The
+operators here don't coalesce internally because their callers' inputs are
+normally read- or shuffle-produced blocks already near the block target.
 """
 
 from __future__ import annotations
