@@ -478,6 +478,37 @@ def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     return unigram_score(_raw_docs(sf_dir))
 
 
+def q_text_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style per-doc repetition signals (dup/top word and bigram
+    fractions) — the within-document member of the quality family.
+    Stateless narrow map, fuses with the read."""
+    from go_light_rag_ray.stages.repetition import repetition_signals
+
+    return repetition_signals(_raw_docs(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 10-per-language sample: md5-ranked per-group head via
+    the segment-limit operator (one sort, no per-group Python)."""
+    from go_light_rag_ray.stages.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = stratified_sample(docs, group_col="lang", n_per_group=10)
+    return out.select_columns(["doc_id", "lang", "sample_rank"])
+
+
+def q_event_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-event-type value quantiles (p25/p50/p75/p90): one keyed
+    shuffle, vectorized sort+pick per group, picked-element semantics so
+    floats match the SQL oracle bit-exactly."""
+    from go_light_rag_ray.stages.quantiles import group_quantiles
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return group_quantiles(events, key_col="event_type", value_col="value")
+
+
 def q_dedup_clusters_dist(sf_dir: str) -> ray.data.Dataset:
     """The distributed min-label-propagation clustering path (forced via
     max_driver_pairs=0) — value-oracled against the same recursive-CTE
@@ -1179,6 +1210,69 @@ FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
 """
 
+_TEXT_REPETITION_SQL = r"""
+WITH lw AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
+words AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM lw),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+wstat AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words,
+         count(*)::BIGINT AS n_distinct_words, max(c)::BIGINT AS top_word_count
+  FROM wc GROUP BY doc_id
+),
+bi AS (
+  SELECT a.doc_id, a.w || chr(31) || b.w AS bg
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+bstat AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         count(*)::BIGINT AS n_distinct_bigrams, max(c)::BIGINT AS top_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_count,
+       COALESCE(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(b.n_distinct_bigrams, 0)::BIGINT AS n_distinct_bigrams,
+       COALESCE(b.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+       floor((w.n_words - w.n_distinct_words)::DOUBLE / w.n_words
+             * 1000000 + 0.5) / 1000000 AS dup_word_frac,
+       floor(w.top_word_count::DOUBLE / w.n_words * 1000000 + 0.5) / 1000000
+         AS top_word_frac,
+       floor(COALESCE(b.n_bigrams - b.n_distinct_bigrams, 0)::DOUBLE
+             / greatest(COALESCE(b.n_bigrams, 0), 1) * 1000000 + 0.5) / 1000000
+         AS dup_bigram_frac,
+       floor(COALESCE(b.top_bigram_count, 0)::DOUBLE
+             / greatest(COALESCE(b.n_bigrams, 0), 1) * 1000000 + 0.5) / 1000000
+         AS top_bigram_frac
+FROM wstat w LEFT JOIN bstat b USING (doc_id)
+"""
+
+_STRATIFIED_SAMPLE_SQL = r"""
+WITH h AS (
+  SELECT doc_id, lang,
+         substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id)::INTEGER
+           AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 10
+"""
+
+_EVENT_QUANTILES_SQL = r"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type, q.q, ranked.value AS quantile_value, cnt::BIGINT AS n
+FROM ranked, (VALUES (0.25), (0.5), (0.75), (0.9)) AS q(q)
+WHERE rn = greatest(1, ceil(q.q * cnt))::BIGINT
+"""
+
 _ANN_RADIUS_SQL = r"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
 scored AS (
@@ -1503,6 +1597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
+        "text_repetition": q_text_repetition,
+        "stratified_sample": q_stratified_sample,
+        "event_quantiles": q_event_quantiles,
         "decontam": q_decontam,
         "scrub": q_scrub,
         "dedup_clusters_dist": q_dedup_clusters_dist,
@@ -1548,6 +1645,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
+        "text_repetition": _TEXT_REPETITION_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "event_quantiles": _EVENT_QUANTILES_SQL,
         "decontam": _DECONTAM_SQL,
         "scrub": _SCRUB_SQL,
         "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,

@@ -118,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.dir_source:
         import os
 
+        from .pool import auto_pool
         from .sources.dirwalk import read_directory_documents, save_hash_store
         from .stages.chunker import ChunkerConfig
         from .stages.handlers import HandlerChunker
@@ -145,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
                 doc_id_format="{}",
             )},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=auto_pool(),
         )
         mentions = extract_mentions(chunks, handler)
         graph = build_graph(mentions, handler)

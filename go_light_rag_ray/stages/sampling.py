@@ -52,6 +52,37 @@ def split_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    rank_name: str = "sample_rank",
+) -> ray.data.Dataset:
+    """Deterministic N-per-group sample: each group's first ``n_per_group``
+    rows under (md5(salt+id), id) order, with a 1-based ``rank_name``.
+
+    The per-group choice is a pure function of the row ids — reproducible
+    across runs, cluster sizes and block layouts, and exactly replicable in
+    SQL (`row_number() OVER (PARTITION BY g ORDER BY substr(md5(..),1,8),
+    id)`).  The per-group head runs through ``sortagg.sorted_topk`` (one
+    sort, vectorized segment limit), so group cardinality can be
+    web-scale — no per-group Python, no driver-side collection.
+    """
+    from .sortagg import sorted_topk
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hx = [hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8] for i in ids]
+        return b.append_column("_strat_h", pa.array(hx, pa.string()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = sorted_topk(hashed, keys=[group_col], order_by=["_strat_h", id_col],
+                      k=n_per_group, rank_name=rank_name)
+    return out.drop_columns(["_strat_h"])
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     fraction: float,

@@ -1,0 +1,97 @@
+"""Repetition signals, stratified sampling, per-key quantiles."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from go_light_rag_ray.stages.quantiles import group_quantiles
+from go_light_rag_ray.stages.repetition import repetition_signals
+from go_light_rag_ray.stages.sampling import stratified_sample
+
+
+def _by_id(rows, key="doc_id"):
+    return {r[key]: r for r in rows}
+
+
+def test_repetition_signals_hand_computed(ray_session):
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a a a a",          # one word repeated 4x
+            "a b a b",          # bigrams: ab, ba, ab → top bigram 2/3
+            "w x y z",          # all distinct
+            "   ",              # whitespace-only → no row
+        ],
+    }))
+    out = _by_id(repetition_signals(docs).take_all())
+    assert set(out) == {0, 1, 2}
+
+    r0 = out[0]
+    assert r0["n_words"] == 4 and r0["n_distinct_words"] == 1
+    assert r0["top_word_count"] == 4
+    assert r0["dup_word_frac"] == 0.75 and r0["top_word_frac"] == 1.0
+    assert r0["n_bigrams"] == 3 and r0["n_distinct_bigrams"] == 1
+    assert r0["dup_bigram_frac"] == round(2 / 3, 6) + 1e-6 * 0  # 0.666667
+    assert abs(r0["dup_bigram_frac"] - 0.666667) < 1e-12
+
+    r1 = out[1]
+    assert r1["n_words"] == 4 and r1["n_distinct_words"] == 2
+    assert r1["n_bigrams"] == 3 and r1["n_distinct_bigrams"] == 2
+    assert r1["top_bigram_count"] == 2
+
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
+    assert r2["top_word_frac"] == 0.25
+
+
+def test_repetition_no_cross_doc_bigrams(ray_session):
+    # the last word of doc i and first of doc i+1 must NOT form a bigram
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": ["p q", "q p"]}))
+    out = _by_id(repetition_signals(docs).take_all())
+    assert out[0]["n_bigrams"] == 1 and out[0]["n_distinct_bigrams"] == 1
+    assert out[1]["n_bigrams"] == 1
+
+
+def test_stratified_sample_deterministic_and_capped(ray_session):
+    t = pa.table({
+        "doc_id": list(range(100)),
+        "grp": [("g%d" % (i % 3)) for i in range(100)],
+    })
+    ds = ray.data.from_arrow(t)
+    rows = stratified_sample(ds, "grp", 5, id_col="doc_id").take_all()
+    per = {}
+    for r in rows:
+        per.setdefault(r["grp"], []).append((r["sample_rank"], r["doc_id"]))
+    assert set(per) == {"g0", "g1", "g2"}
+    for g, picks in per.items():
+        assert len(picks) == 5
+        assert sorted(p[0] for p in picks) == [1, 2, 3, 4, 5]
+    # stable under a different physical layout
+    again = stratified_sample(ds.repartition(11), "grp", 5).take_all()
+    assert sorted((r["grp"], r["sample_rank"], r["doc_id"]) for r in rows) == \
+        sorted((r["grp"], r["sample_rank"], r["doc_id"]) for r in again)
+
+
+def test_stratified_sample_small_group_returns_all(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3], "grp": ["a", "a", "b"]}))
+    rows = stratified_sample(ds, "grp", 10).take_all()
+    assert len(rows) == 3
+
+
+def test_group_quantiles_matches_numpy_rank_pick(ray_session):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=1000)
+    keys = rng.choice(["a", "b", "c"], size=1000)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals}))
+    rows = group_quantiles(ds, "k", "v").take_all()
+    got = {(r["k"], r["q"]): r["quantile_value"] for r in rows}
+    for k in "abc":
+        v = np.sort(vals[keys == k])
+        n = len(v)
+        for q in (0.25, 0.5, 0.75, 0.9):
+            assert got[(k, q)] == v[max(1, math.ceil(q * n)) - 1]
+    assert {r["n"] for r in rows if r["k"] == "a"} == {int((keys == "a").sum())}
