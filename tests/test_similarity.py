@@ -220,3 +220,30 @@ def test_multiprobe_bucket_sequence_deterministic():
     assert probes[1] == base ^ (1 << 1)
     assert probes[2] == base ^ (1 << 2)
     assert list(multiprobe_buckets(v, 4, 1)) == [base]
+
+
+def test_final_topk_strategies_equivalent(ray_session):
+    """The grouped merge and the segment (sorted_topk) merge of partial
+    top-k lists agree row-for-row; the threshold picks grouped for small
+    query sets."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.similarity import (
+        SEGMENT_MIN_GROUPS,
+        _final_topk,
+    )
+
+    partial = ray.data.from_arrow(pa.table({
+        "query_id": [0, 0, 0, 1, 1, 1, 1],
+        "neighbor_id": [5, 6, 7, 5, 8, 9, 10],
+        "cos_sim": [0.9, 0.8, 0.9, 0.5, 0.7, 0.7, 0.1],
+    })).repartition(3)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    grouped = sorted(_final_topk(partial, 2, n_queries=2).take_all(), key=key)
+    segment = sorted(
+        _final_topk(partial, 2, n_queries=SEGMENT_MIN_GROUPS).take_all(),
+        key=key)
+    assert len(grouped) == 4 and grouped == segment
+    # rank-1 for query 0 is the 0.9 tie broken by ascending neighbor id
+    assert grouped[0]["neighbor_id"] == 5

@@ -135,3 +135,21 @@ def test_scrub_text_denylist_and_pii(ray_session):
     assert rows[2]["n_masked"] == 1       # 42 is under the 6-digit floor
     assert rows[3]["text"] == "clean text with nothing to hide"
     assert rows[3]["n_masked"] == 0
+
+
+def test_tfidf_strategies_equivalent(ray_session):
+    """grouped (default) and segment executions produce identical rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.textstats import tfidf_top_terms
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(40)),
+        "text": [f"alpha beta w{i % 7} w{i % 3} gamma w{i}" for i in range(40)],
+    })).repartition(5)
+    key = lambda r: (r["doc_id"], r["rank"])  # noqa: E731
+    a = sorted(tfidf_top_terms(docs, k=3).take_all(), key=key)
+    b = sorted(tfidf_top_terms(docs, k=3, strategy="segment").take_all(),
+               key=key)
+    assert len(a) > 0 and a == b
