@@ -478,6 +478,14 @@ def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     return unigram_score(_raw_docs(sf_dir))
 
 
+def q_text_bigram(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-trained bigram LM scoring — same train → broadcast →
+    vectorized-score shape as text_unigram, over adjacent word pairs."""
+    from go_light_rag_ray.stages.lm import bigram_score
+
+    return bigram_score(_raw_docs(sf_dir))
+
+
 def q_text_repetition(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style per-doc repetition signals (dup/top word and bigram
     fractions) — the within-document member of the quality family.
@@ -1210,6 +1218,24 @@ FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
 """
 
+_TEXT_BIGRAM_SQL = r"""
+WITH lw AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
+words AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM lw),
+bi AS (
+  SELECT a.doc_id, a.w || chr(31) || b.w AS bg
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+model AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg)
+SELECT bi.doc_id,
+       count(*) AS n_bigrams,
+       sum(model.c)::BIGINT AS sum_freq,
+       0::BIGINT AS oov_count,
+       floor(sum(model.c)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000
+         AS mean_bigram_freq
+FROM bi JOIN model USING (bg)
+GROUP BY bi.doc_id
+"""
+
 _TEXT_REPETITION_SQL = r"""
 WITH lw AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
 words AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM lw),
@@ -1597,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
+        "text_bigram": q_text_bigram,
         "text_repetition": q_text_repetition,
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
@@ -1645,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
+        "text_bigram": _TEXT_BIGRAM_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "event_quantiles": _EVENT_QUANTILES_SQL,

@@ -33,7 +33,12 @@ import ray.data.aggregate as agg
 
 from ..pool import auto_pool
 
-__all__ = ["word_freq_model", "unigram_score"]
+__all__ = ["word_freq_model", "unigram_score",
+           "bigram_freq_model", "bigram_score"]
+
+# ASCII unit separator joins (w1, w2) into one collision-free key: it can't
+# appear inside a whitespace-split word.  The SQL oracle uses chr(31).
+_SEP = "\x1f"
 
 
 def _flat_words(batch: pa.Table, text_col: str):
@@ -122,6 +127,114 @@ class UnigramScorer:
         # zero-token (empty/whitespace-only) docs: the SQL oracle's
         # join+group-by emits no row for them — match that row set.
         return out.filter(pa.array(n_tokens > 0))
+
+
+def _flat_bigrams(batch: pa.Table, text_col: str):
+    """Adjacent-pair bigram stream + parallel doc index (doc-boundary
+    masked), as joined strings — same construction as the SQL oracle's
+    ``a.w || chr(31) || b.w``."""
+    flat, par = _flat_words(batch, text_col)
+    if len(par) < 2:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    adj = par[1:] == par[:-1]
+    w1 = flat.slice(0, len(flat) - 1)
+    w2 = flat.slice(1)
+    bigrams = pc.binary_join_element_wise(w1, w2, _SEP).filter(pa.array(adj))
+    return bigrams, par[1:][adj]
+
+
+def bigram_freq_model(
+    docs: ray.data.Dataset, text_col: str = "text", top_vocab: int = 0,
+) -> pa.Table:
+    """Train the bigram model: (bigram, c) counts over the corpus — the
+    same combiner → one-small-shuffle → materialized-model shape as
+    ``word_freq_model`` (the broadcast side stays O(vocab²∩seen), and
+    ``top_vocab`` caps it for web-scale corpora; 0 = exact, oracle mode)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_bigrams(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"bigram": flat}).group_by("bigram").aggregate(
+            [("bigram", "count")])
+        return pa.table({"bigram": t.column("bigram"),
+                         "c": pc.cast(t.column("bigram_count"), pa.int64())})
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(agg.Sum("c", alias_name="c"))
+    )
+    rows = counts.take_all()
+    model = pa.table({
+        "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
+        "c": pa.array([r["c"] for r in rows], pa.int64()),
+    })
+    if top_vocab and model.num_rows > top_vocab:
+        model = model.sort_by([("c", "descending"), ("bigram", "ascending")])
+        model = model.slice(0, top_vocab)
+    return model.sort_by("bigram")
+
+
+class BigramScorer:
+    """Actor-pool stage: documents → corpus bigram-frequency scores.
+
+    (doc_id, n_bigrams, sum_freq, oov_count, mean_bigram_freq); mean is an
+    integer-derived ratio with tie-stable 6-dp rounding.  Docs with < 2
+    words emit no row (the SQL oracle's join+group-by row set)."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        model = ray.get(model_ref)
+        self.vocab = model.column("bigram").combine_chunks()
+        self.counts = model.column("c").to_numpy()
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        flat, par = _flat_bigrams(b, self.text_col)
+        n = b.num_rows
+        idx = pc.index_in(flat, self.vocab).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(idx) if idx.dtype.kind == "f" else idx >= 0
+        freqs = np.zeros(len(par), dtype=np.int64)
+        if known.any():
+            freqs[known] = self.counts[idx[known].astype(np.int64)]
+        n_bi = np.bincount(par, minlength=n).astype(np.int64)
+        sum_freq = np.bincount(par, weights=freqs, minlength=n).astype(np.int64)
+        oov = np.bincount(par[~known], minlength=n).astype(np.int64)
+        safe = np.maximum(n_bi, 1)
+        mean = np.floor(sum_freq.astype(np.float64) / safe * 1e6 + 0.5) / 1e6
+        out = pa.Table.from_pydict({
+            "doc_id": b.column(self.id_col),
+            "n_bigrams": pa.array(n_bi),
+            "sum_freq": pa.array(sum_freq),
+            "oov_count": pa.array(oov),
+            "mean_bigram_freq": pa.array(mean),
+        })
+        return out.filter(pa.array(n_bi > 0))
+
+
+def bigram_score(
+    docs: ray.data.Dataset,
+    model: pa.Table | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 0,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Two-pass bigram-LM scoring: train (unless ``model`` given), then
+    broadcast + score.  The bigram member of the KenLM-shaped family."""
+    if model is None:
+        model = bigram_freq_model(docs, text_col, top_vocab)
+    model_ref = ray.put(model)
+    return docs.map_batches(
+        BigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=auto_pool(concurrency),
+    )
 
 
 def unigram_score(

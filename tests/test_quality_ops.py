@@ -95,3 +95,68 @@ def test_group_quantiles_matches_numpy_rank_pick(ray_session):
         for q in (0.25, 0.5, 0.75, 0.9):
             assert got[(k, q)] == v[max(1, math.ceil(q * n)) - 1]
     assert {r["n"] for r in rows if r["k"] == "a"} == {int((keys == "a").sum())}
+
+
+def test_kll_sketch_rank_error_bound():
+    """Single-stream and 8-way-merged sketches stay within ~1% rank error
+    at capacity 200 (KLL's O(n/k) bound with slack)."""
+    from go_light_rag_ray.stages.kll import KLL, kll_merge_packed, kll_pack
+
+    rng = np.random.default_rng(3)
+    data = rng.exponential(size=100_000)
+    v = np.sort(data)
+
+    s = KLL(200)
+    for chunk in np.array_split(data, 23):
+        s.update(chunk)
+    parts = []
+    for chunk in np.array_split(data, 8):
+        p = KLL(200)
+        p.update(chunk)
+        parts.append(kll_pack(p))
+    merged = kll_merge_packed(parts, 200)
+    assert merged.n == len(data)
+
+    for sk in (s, merged):
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est_rank = np.searchsorted(v, sk.quantile(q))
+            true_rank = max(1, math.ceil(q * len(data)))
+            assert abs(est_rank - true_rank) / len(data) < 0.01
+
+
+def test_group_quantiles_sketch_close_to_exact(ray_session):
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=20_000)
+    keys = rng.choice(["a", "b"], size=20_000)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+    exact = {(r["k"], r["q"]): r for r in
+             group_quantiles(ds, "k", "v").take_all()}
+    sk = {(r["k"], r["q"]): r for r in
+          group_quantiles(ds, "k", "v", strategy="sketch").take_all()}
+    assert set(exact) == set(sk)
+    for key, er in exact.items():
+        sr = sk[key]
+        assert sr["n"] == er["n"]
+        # value-space check: sketch value within the [q-2%, q+2%] exact band
+        kmask = keys == key[0]
+        v = np.sort(vals[kmask])
+        n = len(v)
+        lo = v[max(0, math.ceil((key[1] - 0.02) * n) - 1)]
+        hi = v[min(n - 1, math.ceil((key[1] + 0.02) * n) - 1)]
+        assert lo <= sr["quantile_value"] <= hi
+
+
+def test_bigram_score_hand_computed(ray_session):
+    from go_light_rag_ray.stages.lm import bigram_score
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b", "a b", "solo"],
+    }))
+    # corpus bigrams: doc0: (a,b)(b,a)(a,b); doc1: (a,b) → counts ab=3, ba=1
+    out = _by_id(bigram_score(docs).take_all())
+    assert set(out) == {0, 1}          # "solo" has no bigram → no row
+    assert out[0]["n_bigrams"] == 3 and out[0]["sum_freq"] == 3 + 1 + 3
+    assert out[0]["oov_count"] == 0
+    assert abs(out[0]["mean_bigram_freq"] - 2.333333) < 1e-12
+    assert out[1]["n_bigrams"] == 1 and out[1]["sum_freq"] == 3
