@@ -486,6 +486,15 @@ def q_text_bigram(sf_dir: str) -> ray.data.Dataset:
     return bigram_score(_raw_docs(sf_dir))
 
 
+def q_corpus_top_words(sf_dir: str) -> ray.data.Dataset:
+    """Global top-20 corpus words: combiner partials → vocabulary-sized
+    shuffle → tiny sort+limit.  The exact twin of the Misra-Gries sketch
+    path (stages/heavyhitters.py)."""
+    from go_light_rag_ray.stages.heavyhitters import corpus_top_words
+
+    return corpus_top_words(_raw_docs(sf_dir), k=20)
+
+
 def q_text_repetition(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style per-doc repetition signals (dup/top word and bigram
     fractions) — the within-document member of the quality family.
@@ -1218,6 +1227,19 @@ FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
 """
 
+_CORPUS_TOP_WORDS_SQL = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+counts AS (SELECT w AS word, count(*)::BIGINT AS "count" FROM words GROUP BY w),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY "count" DESC, word ASC)::INTEGER
+    AS rank
+  FROM counts
+)
+SELECT rank, word, "count" FROM ranked WHERE rank <= 20
+"""
+
 _TEXT_BIGRAM_SQL = r"""
 WITH lw AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
 words AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM lw),
@@ -1624,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "text_bigram": q_text_bigram,
+        "corpus_top_words": q_corpus_top_words,
         "text_repetition": q_text_repetition,
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
@@ -1673,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "text_bigram": _TEXT_BIGRAM_SQL,
+        "corpus_top_words": _CORPUS_TOP_WORDS_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "event_quantiles": _EVENT_QUANTILES_SQL,

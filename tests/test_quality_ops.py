@@ -160,3 +160,59 @@ def test_bigram_score_hand_computed(ray_session):
     assert out[0]["oov_count"] == 0
     assert abs(out[0]["mean_bigram_freq"] - 2.333333) < 1e-12
     assert out[1]["n_bigrams"] == 1 and out[1]["sum_freq"] == 3
+
+
+def test_misra_gries_guarantees():
+    """Every term with share > n/(m+1) survives; estimates undercount by
+    at most n/(m+1); merge ≈ single-stream build."""
+    from go_light_rag_ray.stages.heavyhitters import MisraGries
+
+    rng = np.random.default_rng(5)
+    # zipf-ish stream over 2000 terms, 3 planted heavy hitters
+    words = [f"w{int(i)}" for i in rng.zipf(1.5, size=30_000) if i < 2000]
+    words += ["HH1"] * 5000 + ["HH2"] * 3000 + ["HH3"] * 2000
+    rng.shuffle(words)
+    true = {}
+    for w in words:
+        true[w] = true.get(w, 0) + 1
+
+    m = 64
+    s = MisraGries(m)
+    for i in range(0, len(words), 1000):
+        chunk = words[i:i + 1000]
+        s.update(chunk)
+    bound = s.n / (m + 1)
+    for hh in ("HH1", "HH2", "HH3"):
+        assert hh in s.counters
+        assert 0 <= true[hh] - s.counters[hh] <= bound
+
+    # merged sketches obey the same guarantee
+    parts = []
+    for i in range(0, len(words), 5000):
+        p = MisraGries(m)
+        p.update(words[i:i + 5000])
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(words)
+    for hh in ("HH1", "HH2", "HH3"):
+        assert hh in merged.counters
+        assert 0 <= true[hh] - merged.counters[hh] <= merged.n / (m + 1)
+
+
+def test_corpus_top_words_and_mg_agree_on_heavies(ray_session):
+    from go_light_rag_ray.stages.heavyhitters import (
+        corpus_top_words,
+        mg_top_words,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(50)),
+        "text": ["the quick the lazy the fox word%d" % i for i in range(50)],
+    })).repartition(6)
+    exact = corpus_top_words(docs, k=3).take_all()
+    assert [(r["rank"], r["word"], r["count"]) for r in exact] == \
+        [(1, "the", 150), (2, "fox", 50), (3, "lazy", 50)]
+    sketch = mg_top_words(docs, k=2, m=8)
+    assert sketch[0][0] == "the"
