@@ -347,6 +347,25 @@ def q_kg_degrees(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_kg_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-point integer PageRank over the canonical graph
+    (stages/graphalg.pagerank — 3 iterations, scale 10⁶, damping 85/100;
+    every contribution is int64 floor division so the oracle is bit-exact
+    with zero float-order caveats)."""
+    from go_light_rag_ray.stages.graphalg import pagerank
+
+    return pagerank(_graph(sf_dir))
+
+
+def q_kg_components(sf_dir: str) -> ray.data.Dataset:
+    """Undirected connected components of the canonical graph with
+    min-entity-id labels (stages/graphalg.components, delegating to the
+    dedup clustering engine)."""
+    from go_light_rag_ray.stages.graphalg import components
+
+    return components(_graph(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # retrieval path (reference Query, query.go:92-190): local/global context
 # assembly over the canonical graph with fixed keyword sets
@@ -1527,6 +1546,64 @@ FROM all_nodes n
 """
 
 
+# nodes + distinct directed edges of the same canonical graph, shared by the
+# two whole-graph analytics oracles below
+_GRAPH_TOPOLOGY_CTE = _PRELUDE + r"""
+, edges_d AS (SELECT DISTINCT s AS src, o AS tgt FROM relk),
+allnodes AS (
+  SELECT DISTINCT name AS node FROM ents
+  UNION
+  SELECT src FROM edges_d
+  UNION
+  SELECT tgt FROM edges_d
+)"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point integer PageRank (stages/graphalg.pagerank):
+    all-int64 arithmetic — floor-division contributions, integer sums — so
+    the comparison is bit-exact with no float-order caveats at all."""
+    sql = _GRAPH_TOPOLOGY_CTE + r""",
+outd AS (SELECT src, count(*)::BIGINT AS d FROM edges_d GROUP BY src),
+r0 AS (SELECT node, 1000000::BIGINT AS pr FROM allnodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.tgt AS node, sum((85 * r.pr) // (100 * o.d))::BIGINT AS c
+  FROM edges_d e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN outd o ON o.src = e.src
+  GROUP BY e.tgt
+),
+r{i} AS (
+  SELECT n.node, (150000 + COALESCE(c.c, 0))::BIGINT AS pr
+  FROM allnodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+    return sql + f"\nSELECT node AS entity_id, pr AS pagerank FROM r{iters}"
+
+
+_KG_PAGERANK_SQL = _pagerank_sql(3)
+
+# undirected reachability closure → min reachable node = the component's
+# min-id label (stages/graphalg.components semantics; same recursive-CTE
+# shape as the dedup_clusters oracle)
+_KG_COMPONENTS_SQL = _GRAPH_TOPOLOGY_CTE + r""",
+edges2 AS (
+  SELECT src AS s, tgt AS d FROM edges_d
+  UNION ALL SELECT tgt, src FROM edges_d
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT node, node FROM allnodes
+    UNION
+    SELECT r.src, e.d FROM r JOIN edges2 e ON r.dst = e.s
+  )
+  SELECT * FROM r
+)
+SELECT src AS entity_id, min(dst) AS component_id FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL for the retrieval path — built over the same graph the
 # kg_nodes/kg_edges oracles define (nested CTEs on the shared prelude)
@@ -1612,6 +1689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks": q_chunks,
         "mentions": q_mentions,
         "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1668,6 +1747,8 @@ def oracle_sql() -> dict[str, str]:
         "chunks_router_default": _CHUNKS_ROUTER_DEFAULT_SQL,
         "mentions": _MENTIONS_SQL,
         "kg_degrees": _KG_DEGREES_SQL,
+        "kg_pagerank": _KG_PAGERANK_SQL,
+        "kg_components": _KG_COMPONENTS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,

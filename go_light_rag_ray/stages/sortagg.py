@@ -19,6 +19,10 @@ The family (this is the engine's segment-reduce layer):
 - ``sorted_collect``      — per-key sorted (optionally distinct) value list
 - ``sorted_attach_count`` — attach the group size to EVERY row (segment
   broadcast of count; the join-free ``df``-attach shape)
+- ``sorted_attach_first`` — attach the key's first-row value under an
+  order to EVERY row (segment broadcast of a per-key scalar; the
+  join-free "lookup a per-key attribute" shape, e.g. PageRank shipping
+  each node's rank onto its out-edges)
 
 ``carry`` columns must be constant within a key (they ride along on the
 run's first row; the boundary aggregate uses Max, which equals the constant).
@@ -477,6 +481,73 @@ def sorted_attach_count(
         return b.set_column(
             b.column_names.index(count_name), count_name,
             pa.array(counts[run_id].astype(np.int64), pa.int64()))
+
+    boundary = (
+        attached.filter(expr="_final == 0")
+        .repartition(1)
+        .map_batches(fix_batch, batch_format="pyarrow", batch_size=None)
+        .select_columns(out_names)
+    )
+    return finals.union(boundary)
+
+def sorted_attach_first(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+    attach_name: str,
+    order_descending: bool = False,
+) -> ray.data.Dataset:
+    """Attach the key's FIRST row's ``value_col`` (under ``(keys,
+    order_col)`` order) to EVERY row of the key — the segment broadcast of a
+    per-key scalar, i.e. a join-free per-key attribute lookup.  The carrier
+    row must be unique per key under ``order_col`` (e.g. a one-hot marker
+    column); all other rows receive its value.  Interior runs read their
+    run's first row directly; boundary-run rows (first/last run per block)
+    consolidate into one narrow task and re-attach after a local re-sort —
+    same hot-key bound as ``sorted_attach_count``."""
+    sort_keys = [*keys, order_col]
+    sort_desc = [False] * len(keys) + [order_descending]
+
+    def attach_block(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if n == 0:
+            vtype = b.schema.field(value_col).type
+            return (b.append_column(attach_name, pa.array([], vtype))
+                     .append_column("_final", pa.array([], pa.int8())))
+        starts, ends = _runs(b, keys)
+        nruns = len(starts)
+        counts = ends - starts
+        interior = np.ones(nruns, dtype=bool)
+        interior[0] = False
+        interior[-1] = False
+        run_id = np.repeat(np.arange(nruns), counts)
+        first_idx = pa.array(starts[run_id], pa.int64())
+        out = b.append_column(attach_name, b.column(value_col).take(first_idx))
+        return out.append_column(
+            "_final", pa.array(interior[run_id].astype(np.int8), pa.int8()))
+
+    attached = (
+        ds.sort(sort_keys, descending=sort_desc)
+        .map_batches(attach_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    out_names = [c for c in attached.schema().names if c != "_final"]
+    finals = attached.filter(expr="_final == 1").select_columns(out_names)
+
+    spec = [(k, "ascending") for k in keys] + [
+        (order_col, "descending" if order_descending else "ascending")]
+
+    def fix_batch(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        b = b.sort_by(spec)
+        starts, ends = _runs(b, keys)
+        run_id = np.repeat(np.arange(len(starts)), ends - starts)
+        first_idx = pa.array(starts[run_id], pa.int64())
+        return b.set_column(
+            b.column_names.index(attach_name), attach_name,
+            b.column(value_col).take(first_idx))
 
     boundary = (
         attached.filter(expr="_final == 0")

@@ -1,0 +1,114 @@
+"""Graph analytics: integer PageRank + components, both execution paths.
+
+The distributed PageRank path (segment broadcast + segment sum per round)
+must be bit-identical to the single-task local loop, and both must match an
+independent pure-Python reference of the fixed-point recurrence.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from go_light_rag_ray.stages.graphalg import components, pagerank
+from go_light_rag_ray.stages.sortagg import sorted_attach_first
+
+
+def _graph_ds(nodes: list[str], edges: list[tuple[str, str]]) -> ray.data.Dataset:
+    """Minimal canonical-graph-shaped dataset (kind/entity_id/src/tgt)."""
+    n, e = len(nodes), len(edges)
+    return ray.data.from_arrow(pa.table({
+        "kind": ["node"] * n + ["edge"] * e,
+        "entity_id": nodes + [None] * e,
+        "src": [None] * n + [a for a, _ in edges],
+        "tgt": [None] * n + [b for _, b in edges],
+    })).repartition(4)
+
+
+def _reference_pagerank(nodes, edges, iterations=3, scale=10**6, d=85):
+    """Independent dict-based implementation of the same recurrence."""
+    base = (scale * (100 - d)) // 100
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: scale for v in nodes}
+    for _ in range(iterations):
+        new = {v: base for v in nodes}
+        for a, b in edges:
+            new[b] += (d * rank[a]) // (100 * out[a])
+        rank = new
+    return rank
+
+
+NODES = ["A", "B", "C", "D", "E", "F"]
+EDGES = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C")]
+# E, F isolated; D dangling-in only (contributes, receives nothing)
+
+
+def _run_pagerank(**kw):
+    out = pagerank(_graph_ds(NODES, EDGES), **kw).take_all()
+    return {r["entity_id"]: r["pagerank"] for r in out}
+
+
+def test_pagerank_matches_reference(ray_session):
+    want = _reference_pagerank(NODES, EDGES)
+    assert _run_pagerank() == want
+    # sink-loss sanity: isolated nodes sit at base after ≥1 iteration
+    assert want["E"] == 150_000 and want["F"] == 150_000
+    assert want["C"] > want["B"]  # C has the most in-links
+
+
+def test_pagerank_distributed_equals_local(ray_session):
+    local = _run_pagerank()
+    dist = _run_pagerank(local_threshold=0)
+    assert dist == local
+
+
+def test_pagerank_iterations_change_ranks(ray_session):
+    one = _run_pagerank(iterations=1)
+    three = _run_pagerank(iterations=3)
+    assert one != three
+    assert _reference_pagerank(NODES, EDGES, iterations=1) == one
+
+
+@pytest.mark.parametrize("kw", [{}, {"max_driver_pairs": 0,
+                                     "cc_local_threshold": 0}])
+def test_components_both_paths(ray_session, kw):
+    got = {r["entity_id"]: r["component_id"]
+           for r in components(_graph_ds(NODES, EDGES), **kw).take_all()}
+    assert got == {"A": "A", "B": "A", "C": "A", "D": "A",
+                   "E": "E", "F": "F"}
+
+
+def test_sorted_attach_first_matches_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    n = 20_000
+    key = rng.integers(0, 4000, size=n)
+    order = rng.permutation(n)
+    val = rng.integers(0, 1_000_000, size=n)
+    ds = ray.data.from_arrow(pa.table({
+        "k": key, "ord": order, "v": val.astype(np.int64)
+    })).repartition(8)
+    got = (
+        sorted_attach_first(ds, ["k"], "v", "ord", attach_name="first_v")
+        .to_pandas().sort_values(["k", "ord"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"k": key, "ord": order, "v": val.astype(np.int64)})
+    first = df.sort_values(["k", "ord"]).groupby("k")["v"].transform("first")
+    want = df.assign(first_v=first).sort_values(["k", "ord"]).reset_index(drop=True)
+    assert got[["k", "ord", "v", "first_v"]].equals(want[["k", "ord", "v", "first_v"]])
+
+
+def test_sorted_attach_first_descending_marker(ray_session):
+    """The PageRank shape: one marker row per key (is_rank=1 first under
+    desc order) broadcasts its value to every other row of the key."""
+    ds = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 2], "is_rank": [1, 0, 0, 1, 0],
+        "v": [100, 0, 0, 200, 0],
+    })).repartition(3)
+    got = sorted_attach_first(ds, ["k"], "v", "is_rank",
+                              attach_name="kv", order_descending=True)
+    rows = sorted(got.take_all(), key=lambda r: (r["k"], -r["is_rank"]))
+    assert [r["kv"] for r in rows] == [100, 100, 100, 200, 200]
