@@ -545,6 +545,15 @@ def q_event_quantiles(sf_dir: str) -> ray.data.Dataset:
     return group_quantiles(events, key_col="event_type", value_col="value")
 
 
+def q_dedup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Sub-document exact dedup (Lee et al. 2021): maximal duplicated
+    8-gram token spans per document — positional k-grams → segment-counted
+    duplicated occurrences → per-doc interval union."""
+    from go_light_rag_ray.stages.spandedup import duplicate_spans
+
+    return duplicate_spans(_raw_docs(sf_dir), k=8)
+
+
 def q_dedup_clusters_dist(sf_dir: str) -> ray.data.Dataset:
     """The distributed min-label-propagation clustering path (forced via
     max_driver_pairs=0) — value-oracled against the same recursive-CTE
@@ -897,6 +906,33 @@ FROM allm
 # algorithms of stages/dedup.py, textstats.py, similarity.py, multimodal.py
 # bit-for-bit; see those modules for the scheme docs)
 # ---------------------------------------------------------------------------
+
+# duplicate-span oracle: positional 8-grams (no short-doc fallback),
+# duplicated = ≥2 occurrences corpus-wide, covered positions merged by
+# gaps-and-islands; integer-only → bit-exact
+_DEDUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1 : i+8], ' ') AS g
+  FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS p
+  FROM hits, unnest(range(0, 8)) AS v(j)
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+)
+SELECT doc_id, min(p)::BIGINT AS span_start, max(p)::BIGINT AS span_end,
+       count(*)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp
+"""
 
 _DEDUP_EXACT_SQL = r"""
 SELECT md5(text) AS text_hash,
@@ -1697,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_spans": q_dedup_spans,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1755,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_spans": _DEDUP_SPANS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

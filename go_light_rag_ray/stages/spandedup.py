@@ -1,0 +1,146 @@
+"""Exact substring (duplicate-span) dedup: find maximal duplicated token
+spans across the corpus, Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better") style.
+
+The reference deduplicates whole chunks by content hash (storage KV ids,
+reference storage/storage.go); a web-scale training-data pipeline also
+needs SUB-document dedup: any positional k-gram that occurs ≥2 times
+anywhere in the corpus marks its token range, and overlapping/adjacent
+ranges merge into maximal removable spans per document.
+
+Shape (all-Arrow, one sort, no joins):
+
+1. ``positional_kgrams`` — map_batches: tokenize (whitespace, matching the
+   ``\\S+`` oracle), build every positional k-gram with VECTORIZED Arrow
+   kernels (k shifted takes of the flat token array +
+   ``binary_join_element_wise``; no per-gram Python), hash each gram to 64
+   bits with two salted ``hashutil.crc32_vec`` passes (O(bytes) numpy, no
+   per-row Python).  Rows ≈ corpus tokens; the gram string itself never
+   leaves the task — only the 8-byte hash, doc_id and position shuffle.
+2. ``sortagg.sorted_attach_count`` on the gram hash — the segment-reduce
+   layer (gram cardinality ≈ token count, far beyond the ~10⁷-group point
+   where per-group dispatch loses; CLAUDE.md measured rule) — then
+   ``filter(count ≥ 2)``: every duplicated occurrence, join-free.
+3. ``duplicate_spans`` — per-doc interval union: sort hit positions, merge
+   intervals where ``start ≤ running_max_end + 1`` (numpy
+   ``maximum.accumulate`` / ``reduceat``; no per-row Python).  Grouped by
+   doc via ``map_groups`` — doc cardinality sits well below the segment
+   switch point at test scale; at 10⁹+ docs route through a
+   (doc_id, pos)-sorted segment pass instead (same switch as
+   ``textstats.tfidf_top_terms``).
+
+64-bit gram hashing note: two independent CRC32s over salted bytes give a
+64-bit key; at 10⁹ corpus grams the collision expectation is ~0.03 pairs —
+acceptable for dedup (a collision only over-marks one span) and
+deterministic run-to-run.  The DuckDB oracle compares gram STRINGS, so the
+bit-exact gate also certifies the hash is collision-free on the test
+corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..hashutil import crc32_vec
+from . import sortagg
+
+__all__ = ["positional_kgrams", "duplicate_gram_hits", "duplicate_spans"]
+
+DEFAULT_K = 8
+
+
+def _gram_hash64(grams: pa.Array) -> pa.Array:
+    """Two salted crc32 passes → int64 (bit-pattern of the uint64 pair)."""
+    h1 = crc32_vec(grams).astype(np.uint64)
+    salted = pc.binary_join_element_wise(grams, "\x02", "")
+    h2 = crc32_vec(salted).astype(np.uint64)
+    return pa.array(((h1 << np.uint64(32)) | h2).view(np.int64))
+
+
+def positional_kgrams(
+    docs: ray.data.Dataset, k: int = DEFAULT_K
+) -> ray.data.Dataset:
+    """→ (gh:int64, doc_id, pos:int64): every positional k-word gram.
+
+    Docs with fewer than ``k`` tokens emit nothing.  Tokenization is
+    whitespace-split (== the oracle's ``regexp_extract_all(text,'\\S+')``).
+    """
+
+    def grams(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        toks = [(t or "").split() for t in texts]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        empty = pa.Table.from_pydict({
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], b.schema.field("doc_id").type),
+            "pos": pa.array([], pa.int64()),
+        })
+        if total == 0:
+            return empty
+        flat = pa.array(
+            [w for t in toks for w in t], pa.string()
+        )
+        doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        gram_cum = np.concatenate(([0], np.cumsum(n_grams)))[:-1]
+        doc_idx = np.repeat(np.arange(len(toks)), n_grams)
+        # position of each gram inside its doc, then its flat-array start
+        pos = np.arange(total, dtype=np.int64) - np.repeat(gram_cum, n_grams)
+        start = np.repeat(doc_start, n_grams) + pos
+        parts = [flat.take(pa.array(start + j)) for j in range(k)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        return pa.Table.from_pydict({
+            "gh": _gram_hash64(gram),
+            "doc_id": b.column("doc_id").take(pa.array(doc_idx)),
+            "pos": pa.array(pos),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+
+
+def duplicate_gram_hits(
+    docs: ray.data.Dataset, k: int = DEFAULT_K
+) -> ray.data.Dataset:
+    """→ (doc_id, pos) of every k-gram occurrence whose gram appears ≥2
+    times in the corpus (including twice within one document)."""
+    grams = positional_kgrams(docs, k=k)
+    counted = sortagg.sorted_attach_count(grams, ["gh"], "gcount")
+    return counted.filter(expr="gcount >= 2").select_columns(
+        ["doc_id", "pos"]
+    )
+
+
+def duplicate_spans(
+    docs: ray.data.Dataset, k: int = DEFAULT_K
+) -> ray.data.Dataset:
+    """→ (doc_id, span_start, span_end, span_len): maximal duplicated token
+    spans — the union of [pos, pos+k-1] over duplicated occurrences, with
+    overlapping/adjacent intervals merged.  Integer-only → bit-exact vs the
+    gaps-and-islands SQL oracle."""
+    hits = duplicate_gram_hits(docs, k=k)
+
+    def merge(g: pa.Table) -> pa.Table:
+        pos = np.sort(g.column("pos").to_numpy(zero_copy_only=False))
+        ends = pos + k - 1
+        cmax = np.maximum.accumulate(ends)
+        new = np.ones(len(pos), dtype=bool)
+        new[1:] = pos[1:] > cmax[:-1] + 1
+        starts_idx = np.flatnonzero(new)
+        span_start = pos[starts_idx]
+        span_end = np.maximum.reduceat(ends, starts_idx)
+        n = len(starts_idx)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()] * n,
+                               g.schema.field("doc_id").type),
+            "span_start": pa.array(span_start, pa.int64()),
+            "span_end": pa.array(span_end, pa.int64()),
+            "span_len": pa.array(span_end - span_start + 1, pa.int64()),
+        })
+
+    return hits.groupby("doc_id").map_groups(merge, batch_format="pyarrow")
