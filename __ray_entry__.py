@@ -305,6 +305,15 @@ def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_topk_ivf(_raw_embeddings(sf_dir), n_queries=8, k=5, n_centroids=8)
 
 
+def q_embed_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-centroid cluster assignment over the embedding table
+    (SemDeDup-style semantic bucketing); oracle mode = first-8 seed
+    centroids, value-checked."""
+    from go_light_rag_ray.stages.similarity import embed_clusters
+
+    return embed_clusters(_raw_embeddings(sf_dir), n_centroids=8)
+
+
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.sources.io import flat_documents_as_interleaved
     from go_light_rag_ray.stages.multimodal import featurize_media
@@ -1426,6 +1435,28 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 
 # IVF coarse quantizer: centroids = first 8 vectors; cell = argmax rounded
 # cosine with ties to the lowest centroid id (np.argmax picks the first max)
+# nearest-centroid assignment: centroids = embeddings with vec_id < 8
+# (centroid index == vec_id), ties break to the lowest cluster id
+_EMBED_CLUSTERS_SQL = r"""
+WITH cents AS (
+  SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.ci,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_sim DESC, ci ASC
+  ) AS rn
+  FROM scored
+)
+SELECT vec_id, ci::INTEGER AS cluster_id, cos_sim
+FROM ranked WHERE rn = 1
+"""
+
 _ANN_TOPK_IVF_SQL = r"""
 WITH cents AS (
   SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
@@ -1745,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "embed_clusters": q_embed_clusters,
         "media_features": q_media_features,
         "ctx_local_entities": q_ctx_local_entities,
         "ctx_local_relationships": q_ctx_local_relationships,
@@ -1804,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "ann_topk_ivf": _ANN_TOPK_IVF_SQL,
+        "embed_clusters": _EMBED_CLUSTERS_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "span_check": _SPAN_CHECK_SQL,
         "window_tumbling": _WINDOW_TUMBLING_SQL,

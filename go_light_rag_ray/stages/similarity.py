@@ -353,6 +353,59 @@ def ann_topk_ivf(
     return _final_topk(partial, k, n_queries=len(qids))
 
 
+def embed_clusters(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> ray.data.Dataset:
+    """Document clustering by nearest-centroid assignment →
+    (``id_col``, cluster_id:int32, cos_sim) for EVERY vector.
+
+    The semantic-clustering step of a curation pipeline (cluster-balanced
+    sampling, per-cluster dedup, topic pruning à la SemDeDup): centroids
+    broadcast once via ``ray.put``, assignment is one stateless vectorized
+    ``map_batches`` (numpy matmul per batch) that fuses with the read — no
+    shuffle at any scale.  Ties (equal rounded cosine) break to the lowest
+    cluster id on both sides.
+
+    ``kmeans_iters=0`` (oracle mode): centroids = first ``n_centroids``
+    vectors by id, unit-normalized — SQL-replicable.  ``kmeans_iters>0``:
+    the distributed spherical k-means refinement
+    (``train_kmeans_centroids``), still deterministic.
+    """
+    if kmeans_iters > 0:
+        cmat = train_kmeans_centroids(embeddings, n_centroids, kmeans_iters,
+                                      id_col, vec_col)
+    else:
+        crows = (
+            embeddings.filter(expr=f"{id_col} < {n_centroids}")
+            .select_columns([id_col, vec_col])
+            .take_all()
+        )
+        crows.sort(key=lambda r: r[id_col])
+        cmat = _unit(np.asarray([r[vec_col] for r in crows],
+                                dtype=np.float64))
+    c_ref = ray.put(cmat)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        unit = _unit(_as_matrix(b.column(vec_col)))
+        sims = np.round(unit @ cm.T, ROUND_DP)
+        cell = np.argmax(sims, axis=1)  # first max → lowest cluster id
+        best = sims[np.arange(len(cell)), cell]
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "cluster_id": pa.array(cell.astype(np.int32), pa.int32()),
+            "cos_sim": pa.array(best, pa.float64()),
+        })
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def ann_self_topk_lsh(
     vectors: ray.data.Dataset,
     k: int = 3,

@@ -247,3 +247,39 @@ def test_final_topk_strategies_equivalent(ray_session):
     assert len(grouped) == 4 and grouped == segment
     # rank-1 for query 0 is the 0.9 tie broken by ascending neighbor id
     assert grouped[0]["neighbor_id"] == 5
+
+
+def test_embed_clusters_matches_numpy_reference():
+    from go_light_rag_ray.stages.similarity import embed_clusters, _unit
+
+    ds, mat = _embeddings(n=30)
+    rows = embed_clusters(ds, n_centroids=4).take_all()
+    unit = _unit(mat.astype(np.float64))
+    cmat = unit[:4]
+    sims = np.round(unit @ cmat.T, 6)
+    want_cell = np.argmax(sims, axis=1)
+    got = {r["vec_id"]: (r["cluster_id"], r["cos_sim"]) for r in rows}
+    assert len(got) == 30
+    for i in range(30):
+        assert got[i][0] == want_cell[i]
+        assert got[i][1] == sims[i, want_cell[i]]
+    # centroid rows score 1.0; vec 1 (planted near-copy of vec 0) TIES at
+    # rounded cos 1.0 with centroid 0 and the tie-break picks the LOWER
+    # cluster id — the same rule the SQL oracle's (cos DESC, ci ASC) applies
+    assert got[0] == (0, 1.0)
+    assert got[1] == (0, 1.0)
+    assert got[2] == (2, 1.0)
+    assert got[3] == (3, 1.0)
+
+
+def test_embed_clusters_trained_covers_all_rows():
+    from go_light_rag_ray.stages.similarity import embed_clusters
+
+    ds, _ = _embeddings(n=30)
+    rows = embed_clusters(ds, n_centroids=4, kmeans_iters=2).take_all()
+    assert len(rows) == 30
+    assert set(r["cluster_id"] for r in rows) <= set(range(4))
+    # deterministic: a second run yields identical assignments
+    rows2 = embed_clusters(ds, n_centroids=4, kmeans_iters=2).take_all()
+    key = lambda rs: sorted((r["vec_id"], r["cluster_id"], r["cos_sim"]) for r in rs)
+    assert key(rows) == key(rows2)
