@@ -375,6 +375,15 @@ def q_kg_components(sf_dir: str) -> ray.data.Dataset:
     return components(_graph(sf_dir))
 
 
+def q_kg_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Per-node triangle counts over the canonical graph
+    (stages/graphalg.triangles — degree-ordered node-iterator, integer
+    counts, explicit zero rows)."""
+    from go_light_rag_ray.stages.graphalg import triangles
+
+    return triangles(_graph(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # retrieval path (reference Query, query.go:92-190): local/global context
 # assembly over the canonical graph with fixed keyword sets
@@ -1651,6 +1660,30 @@ r{i} AS (
 
 _KG_PAGERANK_SQL = _pagerank_sql(3)
 
+# per-node triangle counts: undirected simple edges, each triangle credits
+# all three corners; enumeration order (id-sorted here, degree-sorted in the
+# engine) cannot change the integer counts
+_KG_TRIANGLES_SQL = _GRAPH_TOPOLOGY_CTE + r""",
+und AS (
+  SELECT DISTINCT least(src, tgt) AS u, greatest(src, tgt) AS v
+  FROM edges_d WHERE src <> tgt
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT n.node AS entity_id, coalesce(cnt.c, 0)::BIGINT AS triangles
+FROM allnodes n
+LEFT JOIN (SELECT node, count(*) AS c FROM corners GROUP BY node) cnt
+  ON cnt.node = n.node
+"""
+
 # undirected reachability closure → min reachable node = the component's
 # min-id label (stages/graphalg.components semantics; same recursive-CTE
 # shape as the dedup_clusters oracle)
@@ -1758,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
+        "kg_triangles": q_kg_triangles,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1818,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": _KG_DEGREES_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
+        "kg_triangles": _KG_TRIANGLES_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,

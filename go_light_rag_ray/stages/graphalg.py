@@ -34,7 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["pagerank", "components", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
+__all__ = ["pagerank", "components", "triangles",
+           "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
 
 PAGERANK_SCALE = 1_000_000
 PAGERANK_DAMPING_PCT = 85
@@ -182,6 +183,243 @@ def pagerank(
         return b.rename_columns(["entity_id", "pagerank"])
 
     return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def triangles(
+    graph: ray.data.Dataset,
+    local_threshold: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Per-node triangle count over the undirected simple graph →
+    ``(entity_id, triangles:int64)`` with explicit 0 rows (the clustering-
+    coefficient numerator; completes the analytics family next to degree /
+    PageRank / components).
+
+    Distributed shape = the classic degree-ordered node-iterator (count is
+    integer and order-independent, so the oracle can enumerate in plain id
+    order while the engine uses degree order):
+
+    1. undirected-simple edges (min,max end, distinct, no self loops) via
+       one ``sorted_count``;
+    2. per-endpoint degree attach — one ``sorted_attach_count`` on the
+       symmetrized rows + one ``sorted_attach_first`` union pass for the
+       far endpoint (join-free, the PageRank scatter pattern);
+    3. keep each edge in FORWARD orientation (deg, id)-ascending — forward
+       adjacency lists are O(√m) even at hubs, the standard wedge bound;
+    4. wedge emission per center (``groupby().map_groups`` — pair emission
+       over many small groups measured faster than segment here,
+       CLAUDE.md), closure test by unioning wedge rows with forward-edge
+       marker rows and grouping on the wedge pair — no joins anywhere;
+    5. credit all three corners of each closed wedge, ``sorted_reduce``
+       sum with zero rows unioned in.
+
+    A graph whose edge set fits one block short-circuits to a single-task
+    numpy loop (bit-identical counts), like ``pagerank``.
+    """
+    nodes, edges = _graph_sides(graph)
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        s, t = b.column("src"), b.column("tgt")
+        keep = pc.not_equal(s, t)
+        s, t = s.filter(keep), t.filter(keep)
+        return pa.Table.from_pydict({
+            "u": pc.min_element_wise(s, t),
+            "v": pc.max_element_wise(s, t),
+        })
+
+    und_raw = edges.map_batches(und_rows, batch_format="pyarrow")
+
+    if edges.count() <= local_threshold and nodes.count() <= local_threshold:
+        def tag_nodes(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"u": b.column("entity_id"),
+                 "v": pa.nulls(len(b), pa.string())})
+
+        both = (
+            nodes.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(und_raw)
+            .repartition(1)
+        )
+
+        def local_tri(b: pa.Table) -> pa.Table:
+            is_node = pc.is_null(b.column("v"))
+            names = sorted(b.filter(is_node).column("u").to_pylist())
+            e = b.filter(pc.invert(is_node))
+            idx = {n: i for i, n in enumerate(names)}
+            n = len(names)
+            pairs = sorted(set(
+                (idx[a], idx[c])
+                for a, c in zip(e.column("u").to_pylist(),
+                                e.column("v").to_pylist())
+            ))
+            adj: list[list[int]] = [[] for _ in range(n)]
+            for a, c in pairs:
+                adj[a].append(c)
+                adj[c].append(a)
+            deg = np.array([len(x) for x in adj], dtype=np.int64)
+            # forward neighbors under (deg, id) order
+            fwd = [
+                np.array(sorted(
+                    (w for w in adj[x]
+                     if (deg[w], w) > (deg[x], x)),
+                    key=lambda w: (deg[w], w)), dtype=np.int64)
+                for x in range(n)
+            ]
+            fset = set()
+            for x in range(n):
+                for w in fwd[x]:
+                    fset.add((x, int(w)))
+            tri = np.zeros(n, dtype=np.int64)
+            for x in range(n):
+                fx = fwd[x]
+                for i in range(len(fx)):
+                    for j in range(i + 1, len(fx)):
+                        a, c = int(fx[i]), int(fx[j])
+                        if (a, c) in fset:
+                            tri[x] += 1
+                            tri[a] += 1
+                            tri[c] += 1
+            return pa.Table.from_pydict(
+                {"entity_id": pa.array(names, pa.string()),
+                 "triangles": pa.array(tri, pa.int64())})
+
+        return both.map_batches(local_tri, batch_format="pyarrow",
+                                batch_size=None)
+
+    from .sortagg import (
+        sorted_attach_count,
+        sorted_attach_first,
+        sorted_count,
+        sorted_reduce,
+    )
+
+    und = sorted_count(und_raw, ["u", "v"]).select_columns(["u", "v"])
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "a": pa.concat_arrays([
+                b.column("u").combine_chunks(),
+                b.column("v").combine_chunks()]),
+            "b": pa.concat_arrays([
+                b.column("v").combine_chunks(),
+                b.column("u").combine_chunks()]),
+        })
+
+    adj = sorted_attach_count(
+        und.map_batches(sym, batch_format="pyarrow"), ["a"], "deg_a"
+    ).materialize()
+
+    # far-endpoint degree: union adjacency rows (keyed by b) with degree
+    # carrier rows (keyed by node; duplicates harmless — attach_first takes
+    # one), segment-broadcast the degree onto every adjacency row
+    def adj_keyed_b(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict({
+            "key": b.column("b"), "other": b.column("a"),
+            "deg_other": b.column("deg_a"),
+            "degval": pa.array(np.zeros(n, dtype=np.int64)),
+            "is_deg": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict({
+            "key": b.column("a"),
+            "other": pa.nulls(n, b.schema.field("a").type),
+            "deg_other": pa.array(np.zeros(n, dtype=np.int64)),
+            "degval": b.column("deg_a"),
+            "is_deg": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    attached = sorted_attach_first(
+        adj.map_batches(adj_keyed_b, batch_format="pyarrow")
+        .union(adj.map_batches(deg_rows, batch_format="pyarrow")),
+        ["key"], "degval", "is_deg", attach_name="deg_key",
+        order_descending=True,
+    )
+
+    # forward edge other→key iff (deg_other, other) < (deg_key, key);
+    # each und edge survives in exactly one orientation
+    def forward(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("is_deg"), 0))
+        do = b.column("deg_other").to_numpy(zero_copy_only=False)
+        dk = b.column("deg_key").to_numpy(zero_copy_only=False)
+        other = np.asarray(b.column("other").to_pylist(), dtype=object)
+        key = np.asarray(b.column("key").to_pylist(), dtype=object)
+        keep = (do < dk) | ((do == dk) & (other < key))
+        return pa.Table.from_pydict({
+            "src": pa.array(other[keep], pa.string()),
+            "dst": pa.array(key[keep], pa.string()),
+            "deg_src": pa.array(do[keep], pa.int64()),
+            "deg_dst": pa.array(dk[keep], pa.int64()),
+        })
+
+    fwd = attached.map_batches(forward, batch_format="pyarrow").materialize()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # forward neighbors of one center, ordered by (deg, id); emit all
+        # ordered pairs — bounded O(√m) per center by the degree ordering
+        order = pc.sort_indices(
+            g, sort_keys=[("deg_dst", "ascending"), ("dst", "ascending")])
+        nb = g.column("dst").take(order).to_pylist()
+        m = len(nb)
+        if m < 2:
+            return pa.Table.from_pydict({
+                "x": pa.array([], pa.string()),
+                "y": pa.array([], pa.string()),
+                "w": pa.array([], pa.string()),
+                "is_edge": pa.array([], pa.int8())})
+        ii, jj = np.triu_indices(m, k=1)
+        center = g.column("src")[0].as_py()
+        nb_arr = np.asarray(nb, dtype=object)
+        return pa.Table.from_pydict({
+            "x": pa.array(nb_arr[ii], pa.string()),
+            "y": pa.array(nb_arr[jj], pa.string()),
+            "w": pa.array([center] * len(ii), pa.string()),
+            "is_edge": pa.array(np.zeros(len(ii), dtype=np.int8))})
+
+    cand = fwd.groupby("src").map_groups(wedges, batch_format="pyarrow")
+
+    def edge_markers(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict({
+            "x": b.column("src"), "y": b.column("dst"),
+            "w": pa.nulls(n, pa.string()),
+            "is_edge": pa.array(np.ones(n, dtype=np.int8))})
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        marks = g.column("is_edge").to_numpy(zero_copy_only=False)
+        if not marks.any():
+            return pa.Table.from_pydict({
+                "node": pa.array([], pa.string()),
+                "inc": pa.array([], pa.int64())})
+        c = g.filter(pc.equal(g.column("is_edge"), 0))
+        nodes_out = (c.column("w").to_pylist()
+                     + c.column("x").to_pylist()
+                     + c.column("y").to_pylist())
+        return pa.Table.from_pydict({
+            "node": pa.array(nodes_out, pa.string()),
+            "inc": pa.array(np.ones(len(nodes_out), dtype=np.int64))})
+
+    credits = (
+        cand.union(fwd.map_batches(edge_markers, batch_format="pyarrow"))
+        .groupby(["x", "y"])
+        .map_groups(close_wedges, batch_format="pyarrow")
+    )
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": b.column("entity_id"),
+            "inc": pa.array(np.zeros(len(b), dtype=np.int64))})
+
+    summed = sorted_reduce(
+        credits.union(nodes.map_batches(zero_rows, batch_format="pyarrow")),
+        ["node"], ops=[("sum", "inc", "inc")],
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["entity_id", "triangles"])
+
+    return summed.map_batches(rename, batch_format="pyarrow")
 
 
 def components(

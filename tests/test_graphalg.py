@@ -112,3 +112,71 @@ def test_sorted_attach_first_descending_marker(ray_session):
                               attach_name="kv", order_descending=True)
     rows = sorted(got.take_all(), key=lambda r: (r["k"], -r["is_rank"]))
     assert [r["kv"] for r in rows] == [100, 100, 100, 200, 200]
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(nodes, edges):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {x: set() for x in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for x in nodes:
+        nb = sorted(adj[x])
+        c = 0
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if nb[j] in adj[nb[i]]:
+                    c += 1
+        want[x] = c
+    return want
+
+
+def test_triangles_simple():
+    from go_light_rag_ray.stages.graphalg import triangles
+
+    nodes = ["A", "B", "C", "D", "E"]
+    edges = [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")]
+    rows = triangles(_graph_ds(nodes, edges)).take_all()
+    got = {r["entity_id"]: r["triangles"] for r in rows}
+    assert got == {"A": 1, "B": 1, "C": 1, "D": 0, "E": 0}
+
+
+def test_triangles_paths_agree_with_brute():
+    from go_light_rag_ray.stages.graphalg import triangles
+
+    rng = np.random.RandomState(11)
+    nodes = [f"N{i:02d}" for i in range(30)]
+    edges = set()
+    for _ in range(90):
+        a, b = rng.randint(0, 30, 2)
+        if a != b:
+            edges.add((nodes[a], nodes[b]))
+    edges = sorted(edges)
+    want = _brute_triangles(nodes, edges)
+    for thr in (1 << 20, 0):  # local short-circuit vs distributed
+        rows = triangles(_graph_ds(nodes, edges),
+                         local_threshold=thr).take_all()
+        got = {r["entity_id"]: r["triangles"] for r in rows}
+        assert got == want, f"threshold={thr}"
+
+
+def test_triangles_ignores_direction_duplicates_and_loops():
+    from go_light_rag_ray.stages.graphalg import triangles
+
+    nodes = ["A", "B", "C"]
+    # both orientations + a duplicate + a self loop: still ONE triangle
+    edges = [("A", "B"), ("B", "A"), ("B", "C"), ("C", "A"),
+             ("A", "B"), ("A", "A")]
+    for thr in (1 << 20, 0):
+        rows = triangles(_graph_ds(nodes, edges),
+                         local_threshold=thr).take_all()
+        got = {r["entity_id"]: r["triangles"] for r in rows}
+        assert got == {"A": 1, "B": 1, "C": 1}
