@@ -231,6 +231,15 @@ def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
                                max_group=0)
 
 
+def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup: nearest-centroid clusters scope the pairwise cosine check;
+    a vector is duplicate iff a lower-id cluster-mate scores ≥ 0.35."""
+    from go_light_rag_ray.stages.dedup import semantic_dedup
+
+    return semantic_dedup(_raw_embeddings(sf_dir), n_centroids=8,
+                          threshold=0.35)
+
+
 def q_text_stats(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.textstats import token_stats
 
@@ -1444,6 +1453,39 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 
 # IVF coarse quantizer: centroids = first 8 vectors; cell = argmax rounded
 # cosine with ties to the lowest centroid id (np.argmax picks the first max)
+# SemDeDup oracle: cluster assignment (same CTE as embed_clusters), then
+# within-cluster lower-id pairs with rounded cos ≥ 0.35; dup_of = min id
+_DEDUP_SEMANTIC_SQL = r"""
+WITH cents AS (
+  SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+ranked AS (
+  SELECT e.vec_id, c.ci, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            c.cvec::DOUBLE[]), 6) DESC,
+               c.ci ASC
+  ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cl AS (SELECT vec_id, ci AS cluster_id FROM ranked WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS lo,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cs
+  FROM cl a
+  JOIN cl b ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+best AS (
+  SELECT vec_id, lo, cs,
+         row_number() OVER (PARTITION BY vec_id ORDER BY lo ASC) AS rn
+  FROM pairs WHERE cs >= 0.35
+)
+SELECT vec_id, lo AS dup_of, cs AS cos_sim FROM best WHERE rn = 1
+"""
+
 # nearest-centroid assignment: centroids = embeddings with vec_id < 8
 # (centroid index == vec_id), ties break to the lowest cluster id
 _EMBED_CLUSTERS_SQL = r"""
@@ -1799,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
+        "dedup_semantic": q_dedup_semantic,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1860,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
+        "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

@@ -43,6 +43,7 @@ __all__ = [
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -767,3 +768,94 @@ def embedding_dup_pairs(
         )
 
     return buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+    max_group: int | None = 0,
+) -> ray.data.Dataset:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023):
+    partition vectors by nearest centroid (``similarity.embed_clusters``
+    assignment), then within each cluster mark a vector as a duplicate iff
+    a LOWER-id vector in the same cluster has rounded cosine ≥
+    ``threshold``.  ``dup_of`` is the smallest such id — fully
+    deterministic, and (unlike a greedy keep-set sweep) expressible in SQL
+    for the value oracle.
+
+    Returns ``(vec_id, dup_of, cos_sim)`` for duplicates only; dropping
+    those rows from the corpus is the SemDeDup prune.
+
+    Scale shape: the centroid matrix broadcasts once; pairwise work is
+    confined within clusters (the whole point of SemDeDup — k scales with
+    corpus size so cluster width stays bounded).  ``max_group`` guards
+    degenerate hot clusters like the other pair emitters; it defaults to 0
+    (exact) here because cluster count is CHOSEN by the caller, unlike LSH
+    bucket sizes which the data controls.
+    """
+    from .similarity import _as_matrix, _unit, train_kmeans_centroids
+
+    max_group = 0 if max_group is None else max_group
+    if kmeans_iters > 0:
+        cmat = train_kmeans_centroids(embeddings, n_centroids, kmeans_iters,
+                                      id_col, vec_col)
+    else:
+        crows = (
+            embeddings.filter(expr=f"{id_col} < {n_centroids}")
+            .select_columns([id_col, vec_col])
+            .take_all()
+        )
+        crows.sort(key=lambda r: r[id_col])
+        cmat = _unit(np.asarray([r[vec_col] for r in crows],
+                                dtype=np.float64))
+    c_ref = ray.put(cmat)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        unit = _unit(_as_matrix(b.column(vec_col)))
+        cell = np.argmax(np.round(unit @ cm.T, 6), axis=1)
+        return pa.Table.from_pydict({
+            "vec_id": b.column(id_col),
+            "cluster_id": pa.array(cell.astype(np.int32), pa.int32()),
+            "vec": pa.array([list(map(float, v)) for v in unit],
+                            pa.list_(pa.float64())),
+        })
+
+    assigned = embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def emit_dups(group: pa.Table) -> pa.Table:
+        typ = group.schema.field("vec_id").type
+        empty = pa.Table.from_pydict(
+            {"vec_id": pa.array([], typ), "dup_of": pa.array([], typ),
+             "cos_sim": pa.array([], pa.float64())})
+        n = len(group)
+        if n < 2 or (max_group and n > max_group):
+            if n >= 2:
+                _log_dropped("semantic_dedup", n, max_group)
+            return empty
+        order = np.argsort(group.column("vec_id").to_numpy())
+        ids = group.column("vec_id").to_numpy()[order]
+        unit = np.asarray(group.column("vec").to_pylist(),
+                          dtype=np.float64)[order]
+        sims = np.round(unit @ unit.T, 6)
+        # for row i: smallest j < i (id order) with sims >= threshold
+        hit = sims >= threshold
+        hit[np.triu_indices(n)] = False  # keep strictly-lower-id side
+        first = np.argmax(hit, axis=1)   # first True per row (j ascending)
+        has = hit[np.arange(n), first]
+        rows = np.flatnonzero(has)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[rows], typ),
+            "dup_of": pa.array(ids[first[rows]], typ),
+            "cos_sim": pa.array(sims[rows, first[rows]], pa.float64()),
+        })
+
+    return assigned.groupby("cluster_id").map_groups(
+        emit_dups, batch_format="pyarrow"
+    )

@@ -277,3 +277,63 @@ def test_decontamination_flags_overlap():
     strict = {r["doc_id"] for r in decontaminate(
         corpus, eval_docs, shingle_k=3, min_matches=5).take_all()}
     assert strict == {2}
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def _sem_embeddings():
+    rng = np.random.RandomState(9)
+    mat = rng.normal(size=(24, 12))
+    mat[10] = mat[3] * 2.0 + 1e-4          # exact-direction dup of 3
+    mat[17] = mat[3] + rng.normal(scale=1e-3, size=12)  # near dup of 3
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(24)),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    return ds, mat
+
+
+def test_semantic_dedup_finds_planted_dups():
+    from go_light_rag_ray.stages.dedup import semantic_dedup
+
+    ds, mat = _sem_embeddings()
+    rows = semantic_dedup(ds, n_centroids=4, threshold=0.99).take_all()
+    got = {r["vec_id"]: r["dup_of"] for r in rows}
+    # both planted copies mark vec 3 (their smallest qualifying lower id)
+    assert got[10] == 3
+    assert got[17] == 3
+    for r in rows:
+        assert r["cos_sim"] >= 0.99
+        assert r["dup_of"] < r["vec_id"]
+
+
+def test_semantic_dedup_matches_numpy_reference():
+    from go_light_rag_ray.stages.dedup import semantic_dedup
+
+    ds, mat = _sem_embeddings()
+    t = 0.5
+    rows = semantic_dedup(ds, n_centroids=4, threshold=t).take_all()
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cmat = unit[:4]
+    cell = np.argmax(np.round(unit @ cmat.T, 6), axis=1)
+    sims = np.round(unit @ unit.T, 6)
+    want = {}
+    for i in range(24):
+        js = [j for j in range(i)
+              if cell[j] == cell[i] and sims[i, j] >= t]
+        if js:
+            want[i] = (min(js), sims[i, min(js)])
+    got = {r["vec_id"]: (r["dup_of"], r["cos_sim"]) for r in rows}
+    assert got == want
+
+
+def test_semantic_dedup_max_group_drops_hot_cluster():
+    from go_light_rag_ray.stages.dedup import semantic_dedup
+
+    ds, _ = _sem_embeddings()
+    rows = semantic_dedup(ds, n_centroids=1, threshold=0.0,
+                          max_group=5).take_all()
+    assert rows == []  # the single 24-wide cluster exceeds the cap
