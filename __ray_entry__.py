@@ -231,6 +231,14 @@ def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
                                max_group=0)
 
 
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing: exact distributed prefix-sum of
+    token counts in doc_id order → per-doc pack window assignment."""
+    from go_light_rag_ray.stages.packing import pack_sequences
+
+    return pack_sequences(_raw_docs(sf_dir), budget=1024)
+
+
 def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     """SemDeDup: nearest-centroid clusters scope the pairwise cosine check;
     a vector is duplicate iff a lower-id cluster-mate scores ≥ 0.35."""
@@ -1453,6 +1461,26 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 
 # IVF coarse quantizer: centroids = first 8 vectors; cell = argmax rounded
 # cosine with ties to the lowest centroid id (np.argmax picks the first max)
+# concat-and-chunk packing: exclusive window prefix-sum of whitespace token
+# counts in doc_id order; integer-only
+_PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       ("offset" // 1024)::BIGINT AS pack_id,
+       ("offset" % 1024)::BIGINT AS offset_in_pack
+FROM s
+"""
+
 # SemDeDup oracle: cluster assignment (same CTE as embed_clusters), then
 # within-cluster lower-id pairs with rounded cos ≥ 0.35; dup_of = min id
 _DEDUP_SEMANTIC_SQL = r"""
@@ -1842,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
         "dedup_semantic": q_dedup_semantic,
+        "pack_sequences": q_pack_sequences,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1904,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

@@ -1,0 +1,119 @@
+"""Sequence packing for LM training: global token prefix-sums + the
+concat-and-chunk pack assignment.
+
+Training corpora are consumed as fixed-size token windows cut from the
+concatenation of all documents in a deterministic order (GPT-style
+"concat and chunk").  Assigning each document its window therefore needs
+ONE primitive the rest of the engine didn't have yet: an exact exclusive
+prefix-sum under a global total order.
+
+``prefix_sum`` is the classic two-pass distributed scan:
+
+1. sort by the (unique) order key — range partitioning makes every block a
+   contiguous key range;
+2. per block: vectorized exclusive ``np.cumsum`` + ONE summary row
+   (first key, block total);
+3. the summaries — one tiny row per BLOCK, thousands at 100 TB scale, not
+   per row — come to the driver, are ordered, turned into per-block base
+   offsets, and broadcast back via ``ray.put``; a second vectorized pass
+   adds each block's base to its local prefix.
+
+Everything is int64 arithmetic, so the value oracle (a SQL window sum) is
+bit-exact with zero float caveats.
+
+``pack_sequences`` then emits, per document: its token count, global token
+offset, ``pack_id = offset // budget`` and ``offset_in_pack`` — documents
+straddling a window boundary belong to the pack their first token falls in
+(the standard cut; consumers split the straddler when writing examples).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+__all__ = ["prefix_sum", "pack_sequences", "DEFAULT_PACK_BUDGET"]
+
+DEFAULT_PACK_BUDGET = 1024
+
+
+def prefix_sum(
+    ds: ray.data.Dataset,
+    order_key: str,
+    value_col: str,
+    out_col: str = "offset",
+) -> ray.data.Dataset:
+    """Exact exclusive prefix-sum of ``value_col`` (int64) under the global
+    ``order_key`` order, attached as ``out_col`` to every row.
+
+    ``order_key`` must be a unique total order (e.g. a document id): the
+    per-block base offsets are matched back by each block's first key, so
+    duplicate keys straddling a block split would be ambiguous.
+    """
+    s = ds.sort(order_key).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.Table.from_pydict({
+                "first_key": pa.array([], b.schema.field(order_key).type),
+                "total": pa.array([], pa.int64())})
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "first_key": b.column(order_key).slice(0, 1),
+            "total": pa.array([int(vals.sum())], pa.int64())})
+
+    # one row per block → tiny driver-side table even at web scale
+    summaries = s.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    summaries.sort(key=lambda r: r["first_key"])
+    bases: dict = {}
+    running = 0
+    for r in summaries:
+        bases[r["first_key"]] = running
+        running += r["total"]
+    bases_ref = ray.put(bases)
+
+    def attach(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        base = ray.get(bases_ref)[b.column(order_key)[0].as_py()]
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        excl = np.concatenate(([0], np.cumsum(vals[:-1], dtype=np.int64)))
+        return b.append_column(
+            out_col, pa.array(base + excl, pa.int64()))
+
+    return s.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    budget: int = DEFAULT_PACK_BUDGET,
+) -> ray.data.Dataset:
+    """→ (doc_id, n_tokens, offset, pack_id, offset_in_pack): the
+    concat-and-chunk pack assignment over whitespace token counts in
+    doc_id order."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(
+                [len((t or "").split()) for t in texts], pa.int64()),
+        })
+
+    counted = docs.select_columns(["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow")
+    summed = prefix_sum(counted, "doc_id", "n_tokens", out_col="offset")
+
+    def packs(b: pa.Table) -> pa.Table:
+        off = b.column("offset").to_numpy(zero_copy_only=False)
+        return (
+            b.append_column("pack_id", pa.array(off // budget, pa.int64()))
+             .append_column("offset_in_pack",
+                            pa.array(off % budget, pa.int64()))
+        )
+
+    return summed.map_batches(packs, batch_format="pyarrow")
