@@ -231,6 +231,15 @@ def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
                                max_group=0)
 
 
+def q_shard_manifest(sf_dir: str) -> ray.data.Dataset:
+    """Per-shard counters of the hash-sharded training export
+    (sources/export.shard_manifest): deterministic md5 doc→shard keying,
+    batch-level bincount partials, 16-row result."""
+    from go_light_rag_ray.sources.export import shard_manifest
+
+    return shard_manifest(_raw_docs(sf_dir), n_shards=16)
+
+
 def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     """Concat-and-chunk sequence packing: exact distributed prefix-sum of
     token counts in doc_id order → per-doc pack window assignment."""
@@ -1461,6 +1470,16 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 
 # IVF coarse quantizer: centroids = first 8 vectors; cell = argmax rounded
 # cosine with ties to the lowest centroid id (np.argmax picks the first max)
+# shard manifest: md5 hash-space shard of doc_id (sources/export), token
+# counts whitespace; all-integer
+_SHARD_MANIFEST_SQL = r"""
+SELECT (('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 8))::BIGINT
+        % 16)::INTEGER AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+FROM documents GROUP BY 1
+"""
+
 # concat-and-chunk packing: exclusive window prefix-sum of whitespace token
 # counts in doc_id order; integer-only
 _PACK_SEQUENCES_SQL = r"""
@@ -1871,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "dedup_semantic": q_dedup_semantic,
         "pack_sequences": q_pack_sequences,
+        "shard_manifest": q_shard_manifest,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1934,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

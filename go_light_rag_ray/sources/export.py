@@ -101,3 +101,123 @@ def export_graphml(graph: ray.data.Dataset, path: str) -> int:
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(out) + "\n")
     return len(nodes) + len(edges)
+
+
+# ---------------------------------------------------------------------------
+# training-shard export (resumable partitioned corpus output)
+# ---------------------------------------------------------------------------
+
+def assign_shards(
+    docs: ray.data.Dataset,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> ray.data.Dataset:
+    """Attach a deterministic ``shard`` column: md5 hash-space bucket of the
+    row id (the same coordination-free keying as ``stages/sampling`` — a
+    pure per-row function, stable across runs / cluster sizes / block
+    layouts) plus the whitespace ``n_tokens`` count used by the manifest."""
+    import hashlib
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column("text").to_pylist()
+        shards = [
+            int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+            % n_shards
+            for i in ids
+        ]
+        return (
+            b.append_column("shard", pa.array(shards, pa.int32()))
+             .append_column("n_tokens", pa.array(
+                 [len((t or "").split()) for t in texts], pa.int64()))
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def shard_manifest(
+    docs: ray.data.Dataset,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> ray.data.Dataset:
+    """→ (shard, n_docs, n_tokens): the per-shard counters the export
+    manifest records.  Pre-aggregated per batch (np.bincount partials), so
+    the shuffle moves ≤ ``n_shards`` rows per block regardless of corpus
+    size."""
+    sharded = assign_shards(docs, n_shards, id_col, salt)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sh = b.column("shard").to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        docs_per = np.bincount(sh, minlength=n_shards)
+        toks_per = np.bincount(sh, weights=nt, minlength=n_shards)
+        live = np.flatnonzero(docs_per)
+        return pa.Table.from_pydict({
+            "shard": pa.array(live.astype(np.int32), pa.int32()),
+            "n_docs": pa.array(docs_per[live], pa.int64()),
+            "n_tokens": pa.array(toks_per[live].astype(np.int64),
+                                 pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "shard": g.column("shard").slice(0, 1),
+            "n_docs": pa.array(
+                [int(g.column("n_docs").to_numpy().sum())], pa.int64()),
+            "n_tokens": pa.array(
+                [int(g.column("n_tokens").to_numpy().sum())], pa.int64()),
+        })
+
+    return (
+        sharded.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def export_training_shards(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> dict:
+    """Write the corpus as hash-sharded parquet partitions + manifest::
+
+        <out_dir>/data/shard=<k>/*.parquet
+        <out_dir>/SHARDS-MANIFEST.json   per-shard row/token counters
+
+    The training-output sink: a directory per shard (never one giant
+    file), deterministic doc→shard keying so a re-run reproduces the same
+    layout, manifest replaced atomically AFTER the write lands (a killed
+    run leaves the old manifest, so finished output is always described by
+    a consistent manifest — the same contract as ``kg.write_graph``).
+    Returns the manifest dict.
+    """
+    import json
+    import os
+    import shutil
+
+    from .io import write_table
+
+    sharded = assign_shards(docs, n_shards, id_col, salt).materialize()
+    data_dir = os.path.join(out_dir, "data")
+    for k in range(n_shards):
+        shutil.rmtree(os.path.join(data_dir, f"shard={k}"),
+                      ignore_errors=True)
+    write_table(sharded, data_dir, partition_cols=["shard"])
+
+    counters = {}
+    for r in shard_manifest(docs, n_shards, id_col, salt).take_all():
+        counters[str(r["shard"])] = {
+            "n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+    manifest = {"n_shards": n_shards, "salt": salt, "id_col": id_col,
+                "counters": counters}
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, ".SHARDS-MANIFEST.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "SHARDS-MANIFEST.json"))
+    return manifest
