@@ -231,6 +231,14 @@ def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
                                max_group=0)
 
 
+def q_text_postings(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index construction: distinct (word, doc) pairs →
+    per-word df + '|'-joined ascending postings string."""
+    from go_light_rag_ray.stages.textstats import inverted_index
+
+    return inverted_index(_raw_docs(sf_dir), min_df=2)
+
+
 def q_shard_manifest(sf_dir: str) -> ray.data.Dataset:
     """Per-shard counters of the hash-sharded training export
     (sources/export.shard_manifest): deterministic md5 doc→shard keying,
@@ -1470,6 +1478,18 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 
 # IVF coarse quantizer: centroids = first 8 vectors; cell = argmax rounded
 # cosine with ties to the lowest centroid id (np.argmax picks the first max)
+# inverted index: distinct (word, doc) pairs, postings = ordered joined ids
+_TEXT_POSTINGS_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        FROM documents)
+)
+SELECT word, count(*)::BIGINT AS df,
+       string_agg(doc_id, '|' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY word HAVING count(*) >= 2
+"""
+
 # shard manifest: md5 hash-space shard of doc_id (sources/export), token
 # counts whitespace; all-integer
 _SHARD_MANIFEST_SQL = r"""
@@ -1891,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": q_dedup_semantic,
         "pack_sequences": q_pack_sequences,
         "shard_manifest": q_shard_manifest,
+        "text_postings": q_text_postings,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1955,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
+        "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

@@ -119,15 +119,19 @@ def featurize_media(
     docs: ray.data.Dataset,
     backend: str = "fake",
     batch_size: int = 64,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
-    """interleaved docs → media feature table (the full multimodal path)."""
+    """interleaved docs → media feature table (the full multimodal path).
+    The pool sizes to the cluster by default (``pool.auto_pool`` — the
+    round-2 fixed-(1,4) lesson); pass ``concurrency`` to pin it."""
+    from ..pool import auto_pool
+
     return extract_media_spans(docs).map_batches(
         MediaFeaturizer,
         fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=auto_pool(concurrency),
     )
 
 

@@ -153,3 +153,41 @@ def test_tfidf_strategies_equivalent(ray_session):
     b = sorted(tfidf_top_terms(docs, k=3, strategy="segment").take_all(),
                key=key)
     assert len(a) > 0 and a == b
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_strategies_agree():
+    import ray.data as rd
+
+    from go_light_rag_ray.stages.textstats import inverted_index
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["red blue red", "blue green", "red   green blue", "solo"],
+    }))
+    want = [
+        ("blue", 3, "a|b|c"),
+        ("green", 2, "b|c"),
+        ("red", 2, "a|c"),
+    ]
+    for strat in ("grouped", "segment"):
+        rows = inverted_index(docs, min_df=2, strategy=strat).take_all()
+        got = sorted((r["word"], r["df"], r["postings"]) for r in rows)
+        assert got == want, strat
+
+
+def test_inverted_index_df_bounds():
+    import ray.data as rd
+
+    from go_light_rag_ray.stages.textstats import inverted_index
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": ["x y", "x y", "x"],
+    }))
+    rows = inverted_index(docs, min_df=1, max_df=2).take_all()
+    got = sorted((r["word"], r["df"]) for r in rows)
+    assert got == [("y", 2)]  # x has df 3 > max_df
