@@ -42,25 +42,42 @@ from .sources.dirwalk import (  # noqa: E402
     read_directory_documents,
     save_hash_store,
 )
+from .sources.export import export_training_shards, shard_manifest  # noqa: E402
 from .stages.dedup import (  # noqa: E402
     cluster_duplicates,
     exact_dedup,
     embedding_dup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_fingerprints,
 )
-from .stages.similarity import ann_topk, ann_topk_ivf, ann_topk_lsh  # noqa: E402
+from .stages.graphalg import components, pagerank, triangles  # noqa: E402
+from .stages.packing import pack_sequences, prefix_sum  # noqa: E402
+from .stages.similarity import (  # noqa: E402
+    ann_topk,
+    ann_topk_ivf,
+    ann_topk_lsh,
+    embed_clusters,
+)
 from .stages.sampling import hash_sample, split_assign  # noqa: E402
+from .stages.spandedup import duplicate_spans  # noqa: E402
+from .stages.textstats import inverted_index  # noqa: E402
 
 __all__ = [
     "GRAPH_FIELD_SEPARATOR",
     "Handler",
     "ann_topk", "ann_topk_ivf", "ann_topk_lsh",
-    "build_graph", "chunk_documents", "cluster_duplicates", "curate_corpus",
-    "embedding_dup_pairs", "exact_dedup", "extract_mentions", "hash_sample",
-    "ingest_prechunked", "kg_pipeline", "kg_pipeline_incremental",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "process_staged", "query", "read_directory_documents", "save_hash_store",
-    "query_context", "read_graph", "run_kg", "simhash_fingerprints",
-    "split_assign", "stage_chunks", "write_graph",
+    "build_graph", "chunk_documents", "cluster_duplicates", "components",
+    "curate_corpus", "duplicate_spans", "embed_clusters",
+    "embedding_dup_pairs", "exact_dedup", "export_training_shards",
+    "extract_mentions", "hash_sample",
+    "ingest_prechunked", "inverted_index", "kg_pipeline",
+    "kg_pipeline_incremental",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "pack_sequences",
+    "pagerank", "prefix_sum", "process_staged", "query",
+    "read_directory_documents", "save_hash_store",
+    "query_context", "read_graph", "run_kg", "semantic_dedup",
+    "shard_manifest", "simhash_fingerprints",
+    "split_assign", "stage_chunks", "triangles", "write_graph",
 ]

@@ -60,6 +60,10 @@ class Handler:
     # summarizer would drop anyway
     merge_cap: int = 512
     content_mode: str = "spans"           # "spans" | "text" (flat table)
+    # canonicalize merge execution: "sorted" (one exchange, segment merge)
+    # or "groupby" (two grouped exchanges) — equivalent output, measured
+    # winner depends on key cardinality vs corpus volume (BASELINE.md)
+    canonicalize_strategy: str = "sorted"
     doc_id_format: str = "{}"
     # physical knobs — autoscaling (min, max) actor pools: a FIXED pool of
     # size k on a node with ~k CPUs starves the upstream read tasks of CPU
@@ -69,7 +73,16 @@ class Handler:
     chunker_concurrency: int | tuple[int, int] | None = None
     extractor_concurrency: int | tuple[int, int] | None = None
     batch_size: int = 256                 # documents per chunker batch
-    mention_batch_size: int = 65536
+    # mentions per COMBINER task (map_batches bundles upstream blocks to
+    # this size).  This is the merge_cap compression window: the combiner
+    # caps each key's occurrence lists PER BATCH, so shipped bytes through
+    # the merge exchange ≈ (#batches × keys × cap), not the raw mention
+    # volume.  Fine-grained upstream blocks (the chunk/extract granularity
+    # fix) made 65536-row bundles ~2 blocks wide and the cap never fired —
+    # the r3 scale leg shipped all 4.7 GB of occurrences through the sort
+    # (423 s).  1M-row bundles restore ~12× pre-shuffle compression while
+    # still yielding ≥ cluster-CPU tasks at ≥32M mentions.
+    mention_batch_size: int = 1 << 20
     extra: dict = field(default_factory=dict)
 
 
@@ -116,6 +129,7 @@ def build_graph(mentions: ray.data.Dataset, handler: Handler) -> ray.data.Datase
         salt_buckets=handler.salt_buckets,
         batch_size=handler.mention_batch_size,
         merge_cap=handler.merge_cap,
+        strategy=handler.canonicalize_strategy,
     )
     return _summarize_stage(graph, handler)
 

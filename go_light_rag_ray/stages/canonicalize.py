@@ -143,27 +143,38 @@ def _occ_list_col(lvl2: pa.Table, cap: int) -> pa.ListArray:
     """Parallel (occ_list, text_list) columns → one list<struct{occ,text}>
     column, built from offsets + a flat ``make_struct`` (no Python rows).
 
-    ``cap`` > 0 keeps the cap entries with the smallest occs per row; only
-    rows actually over the cap are rebuilt (rare at batch granularity)."""
+    ``cap`` > 0 keeps the cap entries with the smallest occs per row,
+    fully vectorized: ONE Arrow (parent, occ) sort over the flattened
+    elements + a positional mask per parent run.  (The previous
+    ``to_pylist`` round trip was fine while over-cap rows were rare, but
+    large combiner bundles — the merge_cap pre-shuffle compression — make
+    EVERY hot key exceed the cap, and per-element Python cost ~40µs×rows:
+    the 1M-doc scale leg spent 168 s here.)"""
     import numpy as np
     import pyarrow.compute as pc
 
     ol = lvl2.column("occ_list").combine_chunks()
     tl = lvl2.column("text_list").combine_chunks()
     lens = pc.list_value_length(ol).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_occ = pc.list_flatten(ol)
+    flat_txt = pc.list_flatten(tl)
     if cap and (lens > cap).any():
-        occs, texts = ol.to_pylist(), tl.to_pylist()
-        for i in np.nonzero(lens > cap)[0]:
-            order = sorted(range(len(occs[i])), key=occs[i].__getitem__)[:cap]
-            occs[i] = [occs[i][j] for j in order]
-            texts[i] = [texts[i][j] for j in order]
-        ol = pa.array(occs, pa.list_(pa.string()))
-        tl = pa.array(texts, pa.list_(pa.string()))
+        n = len(lens)
+        total = int(lens.sum())
+        parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+        srt = pa.table({
+            "p": pa.array(parent), "occ": flat_occ,
+            "i": pa.array(np.arange(total, dtype=np.int64)),
+        }).sort_by([("p", "ascending"), ("occ", "ascending")])
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(total) - np.repeat(starts, lens)
+        sel = pa.array(
+            srt.column("i").to_numpy(zero_copy_only=False)[pos < cap])
+        flat_occ = flat_occ.take(sel)
+        flat_txt = flat_txt.take(sel)
         lens = np.minimum(lens, cap)
     offsets = pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32())
-    flat = pc.make_struct(
-        pc.list_flatten(ol), pc.list_flatten(tl), field_names=["occ", "text"]
-    )
+    flat = pc.make_struct(flat_occ, flat_txt, field_names=["occ", "text"])
     return pa.ListArray.from_arrays(offsets, flat)
 
 
