@@ -418,6 +418,16 @@ def q_kg_triangles(sf_dir: str) -> ray.data.Dataset:
     return triangles(_graph(sf_dir))
 
 
+def q_kg_neighbor_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Shared-neighbor (adjacency-Jaccard) entity similarity — the
+    structural entity-linking score over the canonical graph
+    (stages/graphalg.neighbor_jaccard: wedge counting with degrees riding
+    along, 6-dp floor-rounded ratio)."""
+    from go_light_rag_ray.stages.graphalg import neighbor_jaccard
+
+    return neighbor_jaccard(_graph(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # retrieval path (reference Query, query.go:92-190): local/global context
 # assembly over the canonical graph with fixed keyword sets
@@ -547,6 +557,20 @@ def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.lm import unigram_score
 
     return unigram_score(_raw_docs(sf_dir))
+
+
+def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail corpus split: rank every document by
+    its unigram-LM score and cut the rank range into 3 equal-population
+    buckets (Wenzek et al. 2020).  One global sort + the exact distributed
+    prefix-sum scan (stages/packing.rank_buckets) — all-integer bucket
+    arithmetic, bit-exact vs the SQL window oracle."""
+    from go_light_rag_ray.stages.lm import unigram_score
+    from go_light_rag_ray.stages.packing import rank_buckets
+
+    scored = unigram_score(_raw_docs(sf_dir)).select_columns(
+        ["doc_id", "mean_token_freq"])
+    return rank_buckets(scored, "mean_token_freq", n_buckets=3)
 
 
 def q_text_bigram(sf_dir: str) -> ray.data.Dataset:
@@ -1334,6 +1358,26 @@ FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
 """
 
+# CCNet head/middle/tail: (row_number()-1)*3 // count over the unigram
+# scores — identical integer arithmetic to rank_buckets' prefix-sum rank;
+# the ORDER BY (mean_token_freq, doc_id) tie-break matches the engine's
+# composite micro-score|id sort key (monotone bijection)
+_QUALITY_BUCKETS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, mean_token_freq FROM ({_TEXT_UNIGRAM_SQL})
+),
+rn AS (
+  SELECT doc_id, mean_token_freq,
+         (row_number() OVER (ORDER BY mean_token_freq, doc_id) - 1)::BIGINT
+           AS doc_rank,
+         count(*) OVER ()::BIGINT AS total
+  FROM scored
+)
+SELECT doc_id, mean_token_freq, doc_rank,
+       (doc_rank * 3 // total)::BIGINT AS bucket
+FROM rn
+"""
+
 _CORPUS_TOP_WORDS_SQL = r"""
 WITH words AS (
   SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
@@ -1793,6 +1837,29 @@ LEFT JOIN (SELECT node, count(*) AS c FROM corners GROUP BY node) cnt
   ON cnt.node = n.node
 """
 
+# shared-neighbor Jaccard: the wedge self-join counts |N(x)∩N(y)| exactly
+# like the engine's per-center pair emission; degrees over the symmetrized
+# distinct simple edge set; the ratio is the oracle-stable floor(v·10⁶+0.5)
+_KG_NEIGHBOR_JACCARD_SQL = _GRAPH_TOPOLOGY_CTE + r""",
+undj AS (
+  SELECT DISTINCT least(src, tgt) AS u, greatest(src, tgt) AS v
+  FROM edges_d WHERE src <> tgt
+),
+symj AS (SELECT u AS a, v AS b FROM undj UNION ALL SELECT v, u FROM undj),
+degj AS (SELECT a, count(*)::BIGINT AS d FROM symj GROUP BY a),
+commonj AS (
+  SELECT s1.b AS x, s2.b AS y, count(*)::BIGINT AS c
+  FROM symj s1 JOIN symj s2 ON s2.a = s1.a AND s1.b < s2.b
+  GROUP BY s1.b, s2.b
+)
+SELECT c.x AS entity_x, c.y AS entity_y, c.c AS common_neighbors,
+       dx.d AS deg_x, dy.d AS deg_y,
+       floor(c.c / (dx.d + dy.d - c.c) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM commonj c
+JOIN degj dx ON dx.a = c.x
+JOIN degj dy ON dy.a = c.y
+"""
+
 # undirected reachability closure → min reachable node = the component's
 # min-id label (stages/graphalg.components semantics; same recursive-CTE
 # shape as the dedup_clusters oracle)
@@ -1901,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
         "kg_triangles": q_kg_triangles,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1940,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
+        "quality_buckets": q_quality_buckets,
         "text_bigram": q_text_bigram,
         "corpus_top_words": q_corpus_top_words,
         "text_repetition": q_text_repetition,
@@ -1966,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
+        "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
@@ -1999,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
+        "quality_buckets": _QUALITY_BUCKETS_SQL,
         "text_bigram": _TEXT_BIGRAM_SQL,
         "corpus_top_words": _CORPUS_TOP_WORDS_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,

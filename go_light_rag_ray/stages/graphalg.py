@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["pagerank", "components", "triangles",
+__all__ = ["pagerank", "components", "triangles", "neighbor_jaccard",
            "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
 
 PAGERANK_SCALE = 1_000_000
@@ -420,6 +420,189 @@ def triangles(
         return b.rename_columns(["entity_id", "triangles"])
 
     return summed.map_batches(rename, batch_format="pyarrow")
+
+
+def neighbor_jaccard(
+    graph: ray.data.Dataset,
+    max_center_degree: int = 0,
+    local_threshold: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Shared-neighbor (adjacency-Jaccard) similarity between entity pairs —
+    the classic structural entity-linking / link-prediction score over the
+    canonical graph (complements the name/embedding-based candidates in
+    ``stages/similarity.py``; reference scope: the graph the storage layer
+    exposes per-key, storage/neo.go:410-472).
+
+    For every unordered pair (x, y) with ≥1 common neighbor →
+    ``(entity_x, entity_y, common_neighbors, deg_x, deg_y, jaccard)`` with
+    jaccard = |N(x)∩N(y)| / |N(x)∪N(y)|, 6-dp floor-rounded
+    (``floor(v·10⁶+0.5)/10⁶``, the oracle-stable op sequence).
+
+    Distributed shape — wedge counting, no joins:
+
+    1. distinct undirected simple edges (one ``sorted_count``);
+    2. symmetrize; attach each endpoint's degree with one
+       ``sorted_attach_count`` and ship the far endpoint's degree onto every
+       adjacency row with one ``sorted_attach_first`` union pass (the
+       PageRank/triangles scatter pattern);
+    3. per center node, emit all neighbor pairs (id-ordered so x < y) with
+       both degrees riding along — ``groupby().map_groups`` (many small
+       groups: the measured-faster branch, CLAUDE.md);
+    4. one ``sorted_count`` over (x, y) with the degrees as carry columns —
+       the count IS |N(x)∩N(y)|; jaccard follows vectorized.
+
+    ``max_center_degree`` > 0 skips wedge emission at hub centers (their
+    pair fan-out is deg², the same quadratic the dedup buckets cap with
+    ``max_group``); 0 = exact mode, used by the oracle queries.  Skipped
+    hubs only remove THEIR contribution to common-neighbor counts — the
+    standard production trade documented by the dedup family.
+    """
+    nodes, edges = _graph_sides(graph)
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        s, t = b.column("src"), b.column("tgt")
+        keep = pc.not_equal(s, t)
+        s, t = s.filter(keep), t.filter(keep)
+        return pa.Table.from_pydict({
+            "u": pc.min_element_wise(s, t),
+            "v": pc.max_element_wise(s, t),
+        })
+
+    und_raw = edges.map_batches(und_rows, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("common").to_numpy(zero_copy_only=False).astype(np.float64)
+        dx = b.column("deg_x").to_numpy(zero_copy_only=False)
+        dy = b.column("deg_y").to_numpy(zero_copy_only=False)
+        union = (dx + dy).astype(np.float64) - c
+        jac = np.floor(c / union * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict({
+            "entity_x": b.column("x"), "entity_y": b.column("y"),
+            "common_neighbors": pc.cast(b.column("common"), pa.int64()),
+            "deg_x": pc.cast(b.column("deg_x"), pa.int64()),
+            "deg_y": pc.cast(b.column("deg_y"), pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    if edges.count() <= local_threshold:
+        # one-task local counting: below ~10⁶ edges the distributed path's
+        # 4 sorts are pure scheduling overhead (the pagerank/triangles
+        # short-circuit lesson).  Same formula, bit-identical output.
+        def local_jac(b: pa.Table) -> pa.Table:
+            pairs = sorted(set(zip(b.column("u").to_pylist(),
+                                   b.column("v").to_pylist())))
+            adj: dict[str, list[str]] = {}
+            for a, c in pairs:
+                adj.setdefault(a, []).append(c)
+                adj.setdefault(c, []).append(a)
+            deg = {k: len(v) for k, v in adj.items()}
+            common: dict[tuple[str, str], int] = {}
+            for center, nbrs in adj.items():
+                if max_center_degree and len(nbrs) > max_center_degree:
+                    continue
+                ns = sorted(nbrs)
+                for i in range(len(ns)):
+                    for j in range(i + 1, len(ns)):
+                        key = (ns[i], ns[j])
+                        common[key] = common.get(key, 0) + 1
+            ks = sorted(common)
+            return pa.Table.from_pydict({
+                "x": pa.array([k[0] for k in ks], pa.string()),
+                "y": pa.array([k[1] for k in ks], pa.string()),
+                "common": pa.array([common[k] for k in ks], pa.int64()),
+                "deg_x": pa.array([deg[k[0]] for k in ks], pa.int64()),
+                "deg_y": pa.array([deg[k[1]] for k in ks], pa.int64()),
+            })
+
+        counted = und_raw.repartition(1).map_batches(
+            local_jac, batch_format="pyarrow", batch_size=None)
+        return counted.map_batches(finish, batch_format="pyarrow")
+
+    from .sortagg import sorted_attach_count, sorted_attach_first, sorted_count
+
+    und = sorted_count(und_raw, ["u", "v"]).select_columns(["u", "v"])
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "a": pa.concat_arrays([
+                b.column("u").combine_chunks(),
+                b.column("v").combine_chunks()]),
+            "b": pa.concat_arrays([
+                b.column("v").combine_chunks(),
+                b.column("u").combine_chunks()]),
+        })
+
+    adj = sorted_attach_count(
+        und.map_batches(sym, batch_format="pyarrow"), ["a"], "deg_a"
+    ).materialize()
+
+    # ship each neighbor's OWN degree onto the adjacency rows of its center:
+    # adjacency rows re-keyed by the far endpoint union degree-carrier rows,
+    # one segment broadcast (triangles' attach pattern)
+    def adj_keyed_b(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict({
+            "key": b.column("b"), "other": b.column("a"),
+            "deg_other": b.column("deg_a"),
+            "degval": pa.array(np.zeros(n, dtype=np.int64)),
+            "is_deg": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict({
+            "key": b.column("a"),
+            "other": pa.nulls(n, b.schema.field("a").type),
+            "deg_other": pa.array(np.zeros(n, dtype=np.int64)),
+            "degval": b.column("deg_a"),
+            "is_deg": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    attached = sorted_attach_first(
+        adj.map_batches(adj_keyed_b, batch_format="pyarrow")
+        .union(adj.map_batches(deg_rows, batch_format="pyarrow")),
+        ["key"], "degval", "is_deg", attach_name="deg_key",
+        order_descending=True,
+    )
+
+    # rows keyed by CENTER (= `other` above carries center? no: key=far
+    # endpoint): after the broadcast each adjacency row is
+    # (key=neighbor, other=center, deg_other=deg(center), deg_key=deg(neighbor))
+    # — regroup by the CENTER and pair up its neighbors.
+    def center_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("is_deg"), 0))
+        return pa.Table.from_pydict({
+            "center": b.column("other"),
+            "nb": b.column("key"),
+            "deg_nb": b.column("deg_key"),
+        })
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        m = len(g)
+        if m < 2 or (max_center_degree and m > max_center_degree):
+            return pa.Table.from_pydict({
+                "x": pa.array([], pa.string()),
+                "y": pa.array([], pa.string()),
+                "deg_x": pa.array([], pa.int64()),
+                "deg_y": pa.array([], pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[("nb", "ascending")])
+        nb = np.asarray(g.column("nb").take(order).to_pylist(), dtype=object)
+        dg = g.column("deg_nb").take(order).to_numpy(zero_copy_only=False)
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.Table.from_pydict({
+            "x": pa.array(nb[ii], pa.string()),
+            "y": pa.array(nb[jj], pa.string()),
+            "deg_x": pa.array(dg[ii], pa.int64()),
+            "deg_y": pa.array(dg[jj], pa.int64())})
+
+    cand = (
+        attached.map_batches(center_rows, batch_format="pyarrow")
+        .groupby("center")
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+    )
+
+    counted = sorted_count(cand, ["x", "y"], carry=["deg_x", "deg_y"])
+    return counted.map_batches(finish, batch_format="pyarrow")
 
 
 def components(

@@ -31,10 +31,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
-__all__ = ["prefix_sum", "pack_sequences", "DEFAULT_PACK_BUDGET"]
+__all__ = ["prefix_sum", "pack_sequences", "rank_buckets",
+           "DEFAULT_PACK_BUDGET"]
 
 DEFAULT_PACK_BUDGET = 1024
 
@@ -44,6 +46,7 @@ def prefix_sum(
     order_key: str,
     value_col: str,
     out_col: str = "offset",
+    total_col: str | None = None,
 ) -> ray.data.Dataset:
     """Exact exclusive prefix-sum of ``value_col`` (int64) under the global
     ``order_key`` order, attached as ``out_col`` to every row.
@@ -51,6 +54,11 @@ def prefix_sum(
     ``order_key`` must be a unique total order (e.g. a document id): the
     per-block base offsets are matched back by each block's first key, so
     duplicate keys straddling a block split would be ambiguous.
+
+    ``total_col`` (optional) additionally attaches the GRAND total of
+    ``value_col`` to every row — free here (the driver already sums the
+    per-block summaries), and what rank-relative consumers (``rank_buckets``)
+    need without a second counting pass.
     """
     s = ds.sort(order_key).materialize()
 
@@ -75,17 +83,87 @@ def prefix_sum(
         bases[r["first_key"]] = running
         running += r["total"]
     bases_ref = ray.put(bases)
+    grand_total = running
 
     def attach(b: pa.Table) -> pa.Table:
         if len(b) == 0:
-            return b.append_column(out_col, pa.array([], pa.int64()))
+            out = b.append_column(out_col, pa.array([], pa.int64()))
+            if total_col:
+                out = out.append_column(total_col, pa.array([], pa.int64()))
+            return out
         base = ray.get(bases_ref)[b.column(order_key)[0].as_py()]
         vals = b.column(value_col).to_numpy(zero_copy_only=False)
         excl = np.concatenate(([0], np.cumsum(vals[:-1], dtype=np.int64)))
-        return b.append_column(
-            out_col, pa.array(base + excl, pa.int64()))
+        out = b.append_column(out_col, pa.array(base + excl, pa.int64()))
+        if total_col:
+            out = out.append_column(
+                total_col,
+                pa.array(np.full(len(b), grand_total, dtype=np.int64)))
+        return out
 
     return s.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def rank_buckets(
+    scored: ray.data.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    score_scale: int = 1_000_000,
+    descending: bool = False,
+) -> ray.data.Dataset:
+    """Corpus-rank bucketing: attach each row's global rank under
+    ``(score, id)`` order and its equal-population bucket — the CCNet
+    head/middle/tail split (Wenzek et al. 2020 split web text into three
+    equal thirds by LM score; FineWeb/RefinedWeb reuse the shape).
+
+    ``bucket = doc_rank · n_buckets // total`` with doc_rank = the 0-based
+    exclusive rank — all-integer arithmetic, so the SQL oracle
+    (``(row_number()-1)*n//count``) is bit-exact.  Scores must already be
+    6-dp floor-rounded (every score the engine emits is); ranking uses the
+    integer micro-score ``rint(score·10⁶)`` composed with the id into one
+    fixed-width string key, so key order == (score, id) order and the key is
+    unique — exactly what ``prefix_sum``'s block-base matching requires.
+
+    Distributed shape: ONE global sort (range partitioning) + the two-pass
+    prefix-sum scan; no driver-side data beyond one summary row per block.
+    ``descending`` ranks high scores first (rank by ``-score``).
+    """
+    width = len(str(score_scale))
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        s = b.column(score_col).to_numpy(zero_copy_only=False)
+        micro = np.rint(np.asarray(s, dtype=np.float64) * score_scale
+                        ).astype(np.int64)
+        if descending:
+            micro = score_scale - micro
+        ids = b.column(id_col)
+        id_str = pc.cast(ids, pa.string())
+        if pa.types.is_integer(ids.type):
+            # numeric ids tie-break NUMERICALLY in the oracle's ORDER BY —
+            # zero-pad so string order == numeric order (ids must be ≥ 0,
+            # the corpus invariant; int64 max is 19 digits)
+            id_str = pc.utf8_lpad(id_str, 19, "0")
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pa.array(micro), pa.string()), width, "0"),
+            id_str, "|")
+        return (b.append_column("_rank_key", key)
+                 .append_column("_one", pa.array(
+                     np.ones(len(b), dtype=np.int64))))
+
+    ranked = prefix_sum(
+        scored.map_batches(key_rows, batch_format="pyarrow"),
+        "_rank_key", "_one", out_col="doc_rank", total_col="_total",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        rank = b.column("doc_rank").to_numpy(zero_copy_only=False)
+        total = b.column("_total").to_numpy(zero_copy_only=False)
+        bucket = rank * n_buckets // np.maximum(total, 1)
+        out = b.drop_columns(["_rank_key", "_one", "_total"])
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
 
 
 def pack_sequences(

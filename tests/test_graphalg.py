@@ -180,3 +180,72 @@ def test_triangles_ignores_direction_duplicates_and_loops():
                          local_threshold=thr).take_all()
         got = {r["entity_id"]: r["triangles"] for r in rows}
         assert got == {"A": 1, "B": 1, "C": 1}
+
+
+# ---------------------------------------------------------------------------
+# neighbor_jaccard
+# ---------------------------------------------------------------------------
+
+def _reference_jaccard(edges):
+    """Independent dict-based shared-neighbor Jaccard."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    names = sorted(adj)
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            c = len(adj[x] & adj[y])
+            if c:
+                u = len(adj[x] | adj[y])
+                import numpy as _np
+                out[(x, y)] = (c, len(adj[x]), len(adj[y]),
+                               float(_np.floor(c / u * 1e6 + 0.5) / 1e6))
+    return out
+
+
+def _run_jaccard(edges, **kw):
+    from go_light_rag_ray.stages.graphalg import neighbor_jaccard
+    nodes = sorted({v for e in edges for v in e})
+    rows = neighbor_jaccard(_graph_ds(nodes, edges), **kw).take_all()
+    return {(r["entity_x"], r["entity_y"]):
+            (r["common_neighbors"], r["deg_x"], r["deg_y"], r["jaccard"])
+            for r in rows}
+
+
+def test_neighbor_jaccard_hand_computed(ray_session):
+    # star around C plus an A-B edge: A,B share {C}; A,D share {C}; etc.
+    edges = [("A", "C"), ("B", "C"), ("D", "C"), ("A", "B")]
+    got = _run_jaccard(edges)
+    assert got == _reference_jaccard(edges)
+    # A and B: common={C}, N(A)={C,B}, N(B)={C,A} → 1/3
+    assert got[("A", "B")] == (1, 2, 2, 0.333333)
+    # A and D: common={C}, N(D)={C} → 1/2
+    assert got[("A", "D")] == (1, 2, 1, 0.5)
+
+
+def test_neighbor_jaccard_paths_agree(ray_session):
+    rng = np.random.RandomState(7)
+    names = [f"N{i:02d}" for i in range(20)]
+    edges = [(names[rng.randint(20)], names[rng.randint(20)])
+             for _ in range(60)]
+    local = _run_jaccard(edges)
+    dist = _run_jaccard(edges, local_threshold=0)
+    assert local == dist == _reference_jaccard(edges)
+    # direction + duplicate edges must not matter
+    doubled = edges + [(b, a) for a, b in edges]
+    assert _run_jaccard(doubled) == local
+
+
+def test_neighbor_jaccard_center_cap(ray_session):
+    # hub H with 4 spokes; cap below 4 removes H-centred wedges entirely
+    edges = [("H", s) for s in ["S1", "S2", "S3", "S4"]]
+    assert len(_run_jaccard(edges)) == 6  # C(4,2) spoke pairs
+    assert _run_jaccard(edges, max_center_degree=3) == {}
+    assert _run_jaccard(edges, max_center_degree=3,
+                        local_threshold=0) == {}

@@ -42,3 +42,51 @@ def test_pack_sequences_windows():
     # token stream: d0:[0,3) d1:[3,5) d2:[5,9) d3:[9,9) d4:[9,10)
     assert got == [(3, 0, 0, 0), (2, 3, 0, 3), (4, 5, 1, 1),
                    (0, 9, 2, 1), (1, 9, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# rank_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _scored(scores, ids=None):
+    ids = ids or [f"d{i:04d}" for i in range(len(scores))]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": ids,
+        "score": pa.array(scores, pa.float64()),
+    })).repartition(4)
+
+
+def test_rank_buckets_hand_computed():
+    from go_light_rag_ray.stages.packing import rank_buckets
+    # 6 docs, scores with a tie broken by doc_id
+    scores = [0.5, 0.1, 0.9, 0.5, 0.3, 0.7]
+    rows = rank_buckets(_scored(scores), "score").take_all()
+    got = {r["doc_id"]: (r["doc_rank"], r["bucket"]) for r in rows}
+    # ascending (score, doc_id): d0001(.1) d0004(.3) d0000(.5) d0003(.5)
+    #                            d0005(.7) d0002(.9)
+    assert got == {"d0001": (0, 0), "d0004": (1, 0),
+                   "d0000": (2, 1), "d0003": (3, 1),
+                   "d0005": (4, 2), "d0002": (5, 2)}
+
+
+def test_rank_buckets_descending_and_total():
+    from go_light_rag_ray.stages.packing import rank_buckets
+    scores = [0.25, 0.75, 0.5]
+    rows = rank_buckets(_scored(scores), "score", n_buckets=3,
+                        descending=True).take_all()
+    got = {r["doc_id"]: r["doc_rank"] for r in rows}
+    assert got == {"d0001": 0, "d0002": 1, "d0000": 2}
+
+
+def test_rank_buckets_equal_population_many():
+    from go_light_rag_ray.stages.packing import rank_buckets
+    rng = np.random.RandomState(11)
+    # 6-dp-rounded scores, many duplicates → tie-break by id must still
+    # yield exactly equal 1/3 populations
+    scores = [float(np.floor(s * 1e6 + 0.5) / 1e6)
+              for s in rng.rand(300)]
+    rows = rank_buckets(_scored(scores), "score").take_all()
+    counts = np.bincount([r["bucket"] for r in rows], minlength=3)
+    assert list(counts) == [100, 100, 100]
+    ranks = sorted(r["doc_rank"] for r in rows)
+    assert ranks == list(range(300))
