@@ -418,6 +418,17 @@ def q_kg_triangles(sf_dir: str) -> ray.data.Dataset:
     return triangles(_graph(sf_dir))
 
 
+def q_entity_name_pairs(sf_dir: str) -> ray.data.Dataset:
+    """String-side entity-linking candidates: char-trigram Jaccard between
+    canonical entity names (stages/linking.name_gram_pairs — the
+    Fellegi-Sunter blocking step; embedding-side twin is entity_ann).
+    Exact mode (max_group=0) for the oracle."""
+    from go_light_rag_ray.stages.linking import name_gram_pairs
+
+    nodes = _graph(sf_dir).filter(expr="kind == 'node'")
+    return name_gram_pairs(nodes, max_group=0)
+
+
 def q_kg_neighbor_jaccard(sf_dir: str) -> ray.data.Dataset:
     """Shared-neighbor (adjacency-Jaccard) entity similarity — the
     structural entity-linking score over the canonical graph
@@ -1860,6 +1871,28 @@ JOIN degj dx ON dx.a = c.x
 JOIN degj dy ON dy.a = c.y
 """
 
+# char-trigram Jaccard between entity names: DISTINCT grams per name
+# (whole string when shorter than 3 — greatest(len-2, 1) makes substr
+# return it), within-gram self-join counts the intersection, float division
+# only at the final ratio (the engine's exact double op sequence)
+_ENTITY_NAME_PAIRS_SQL = _GRAPH_TOPOLOGY_CTE + r""",
+gl AS (SELECT node AS name,
+              generate_series(1, greatest(length(node) - 2, 1)) AS il
+       FROM allnodes),
+gi AS (SELECT name, unnest(il) AS i FROM gl),
+grams AS (SELECT DISTINCT name, substr(name, i::INT, 3) AS g FROM gi),
+sizes AS (SELECT name, count(*)::BIGINT AS n FROM grams GROUP BY name),
+pairsj AS (
+  SELECT g1.name AS a, g2.name AS b, count(*)::BIGINT AS c
+  FROM grams g1 JOIN grams g2 ON g2.g = g1.g AND g1.name < g2.name
+  GROUP BY g1.name, g2.name
+)
+SELECT p.a, p.b, p.c / (sa.n + sb.n - p.c) AS jaccard
+FROM pairsj p
+JOIN sizes sa ON sa.name = p.a
+JOIN sizes sb ON sb.name = p.b
+"""
+
 # undirected reachability closure → min reachable node = the component's
 # min-id label (stages/graphalg.components semantics; same recursive-CTE
 # shape as the dedup_clusters oracle)
@@ -1969,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q_kg_components,
         "kg_triangles": q_kg_triangles,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "entity_name_pairs": q_entity_name_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2036,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _KG_COMPONENTS_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
+        "entity_name_pairs": _ENTITY_NAME_PAIRS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,

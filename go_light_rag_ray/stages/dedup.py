@@ -42,6 +42,7 @@ __all__ = [
     "SimHasher",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
+    "jaccard_pairs_from_index",
     "embedding_dup_pairs",
     "semantic_dedup",
 ]
@@ -378,6 +379,21 @@ def ngram_jaccard_pairs(
         )
 
     index = docs.map_batches(explode, batch_format="pyarrow")
+    return jaccard_pairs_from_index(index, threshold, max_group,
+                                    op_label="ngram_jaccard_pairs")
+
+
+def jaccard_pairs_from_index(
+    index: ray.data.Dataset,
+    threshold: float,
+    max_group: int,
+    op_label: str = "jaccard_pairs",
+) -> ray.data.Dataset:
+    """Pair-counting core shared by the set-overlap similarity family:
+    ``(doc_id, shingle, n_shingles)`` inverted-index rows → ``(a, b,
+    jaccard)`` with a < b.  ``n_shingles`` must be the row's DISTINCT set
+    size (constant per doc_id); jaccard = common/(na+nb−common) in the
+    oracle's exact double op sequence."""
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         """Vectorized pair emission; both set sizes pack into ONE int64
@@ -391,7 +407,7 @@ def ngram_jaccard_pairs(
         n = len(ids)
         if n < 2 or (max_group and n > max_group):
             if n >= 2:
-                _log_dropped("ngram_jaccard_pairs", n, max_group)
+                _log_dropped(op_label, n, max_group)
             return pa.Table.from_pydict(
                 {"a": pa.array([], typ), "b": pa.array([], typ),
                  "sizes": pa.array([], pa.int64())}
