@@ -92,6 +92,27 @@ def _graph(sf_dir: str) -> ray.data.Dataset:
     return ds
 
 
+_MERGED_GRAPH_CACHE: dict[str, ray.data.Dataset] = {}
+_LINK_THRESHOLD = 0.1  # accept char-trigram name candidates at ≥ 0.1
+
+
+def _merged_graph(sf_dir: str) -> ray.data.Dataset:
+    """Canonical graph after alias resolution: name-gram candidate pairs
+    at ≥ _LINK_THRESHOLD collapse connected components onto their min-id
+    member (stages/canonicalize.merge_entities re-entering the merge
+    shuffle via graph_to_partials)."""
+    ds = _MERGED_GRAPH_CACHE.get(sf_dir)
+    if ds is None:
+        from go_light_rag_ray.stages.canonicalize import merge_entities
+        from go_light_rag_ray.stages.linking import name_gram_pairs
+
+        g = _graph(sf_dir)
+        pairs = name_gram_pairs(g.filter(expr="kind == 'node'"), max_group=0)
+        ds = merge_entities(g, pairs, threshold=_LINK_THRESHOLD).materialize()
+        _MERGED_GRAPH_CACHE[sf_dir] = ds
+    return ds
+
+
 def _join_sep(tbl: pa.Table, cols: list[str]) -> pa.Table:
     """list<string> columns → <SEP>-joined string view (reference
     insert.go:538,623 renders the same string form)."""
@@ -123,6 +144,34 @@ def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     """Deduped edges: additive weight (insert.go:595,609-615),
     ordered-distinct descriptions/keywords/source_ids."""
     edges = _graph(sf_dir).filter(expr="kind == 'edge'")
+
+    def view(b: pa.Table) -> pa.Table:
+        b = b.select(["src", "tgt", "weight", "mention_count",
+                      "descriptions", "keywords", "source_ids"])
+        return _join_sep(b, ["descriptions", "keywords", "source_ids"])
+
+    return edges.map_batches(view, batch_format="pyarrow")
+
+
+def q_kg_merged_nodes(sf_dir: str) -> ray.data.Dataset:
+    """Entity nodes after fuzzy alias resolution (merge_entities over
+    name-gram candidates at ≥ 0.1): merged components keep the min id,
+    re-voted type, summed mention counts, position-ordered merged lists."""
+    nodes = _merged_graph(sf_dir).filter(expr="kind == 'node'")
+
+    def view(b: pa.Table) -> pa.Table:
+        b = b.select(["entity_id", "entity_type", "mention_count",
+                      "descriptions", "source_ids"])
+        return _join_sep(b, ["descriptions", "source_ids"])
+
+    return nodes.map_batches(view, batch_format="pyarrow")
+
+
+def q_kg_merged_edges(sf_dir: str) -> ray.data.Dataset:
+    """Edges after alias resolution: endpoints re-pointed at merged ids,
+    co-located duplicates folded (weights/mention counts summed,
+    position-ordered merged lists)."""
+    edges = _merged_graph(sf_dir).filter(expr="kind == 'edge'")
 
     def view(b: pa.Table) -> pa.Table:
         b = b.select(["src", "tgt", "weight", "mention_count",
@@ -1871,6 +1920,224 @@ JOIN degj dx ON dx.a = c.x
 JOIN degj dy ON dy.a = c.y
 """
 
+# ---------------------------------------------------------------------------
+# alias-resolution (merge_entities) oracles: name-gram candidates ≥ 0.1 →
+# min-id component labels → relabel + re-group.  Mirrors the engine's
+# graph_to_partials re-entry exactly: merged lists order by (list position,
+# text) with duplicate texts keeping their min position; a group with any
+# real constituent drops all placeholder content (J3 upgrade-in-place); the
+# type vote recounts over relabeled mentions (equal to summing the stored
+# tallies); weights/mention counts add.
+# ---------------------------------------------------------------------------
+
+_MERGED_CTE = _PRELUDE + r""",
+edges_d AS (SELECT DISTINCT s AS src, o AS tgt FROM relk),
+allnodes AS (
+  SELECT DISTINCT name AS node FROM ents
+  UNION SELECT src FROM edges_d
+  UNION SELECT tgt FROM edges_d
+),
+glm AS (SELECT node AS gname,
+               generate_series(1, greatest(length(node) - 2, 1)) AS il
+        FROM allnodes),
+gim AS (SELECT gname, unnest(il) AS i FROM glm),
+gramsm AS (SELECT DISTINCT gname, substr(gname, i::INT, 3) AS g FROM gim),
+gsizes AS (SELECT gname, count(*)::BIGINT AS n FROM gramsm GROUP BY gname),
+candm AS (
+  SELECT g1.gname AS a, g2.gname AS b, count(*)::BIGINT AS c
+  FROM gramsm g1 JOIN gramsm g2 ON g2.g = g1.g AND g1.gname < g2.gname
+  GROUP BY g1.gname, g2.gname
+),
+accepted AS (
+  SELECT p.a, p.b
+  FROM candm p
+  JOIN gsizes sa ON sa.gname = p.a
+  JOIN gsizes sb ON sb.gname = p.b
+  WHERE p.c / (sa.n + sb.n - p.c) >= 0.1
+),
+symp AS (SELECT a AS x, b AS y FROM accepted
+         UNION ALL SELECT b, a FROM accepted),
+reachm AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT DISTINCT x, x FROM symp
+    UNION
+    SELECT r.src, s.y FROM r JOIN symp s ON r.dst = s.x
+  )
+  SELECT src, min(dst) AS canon FROM r GROUP BY src
+),
+cmap AS (SELECT src AS name, canon FROM reachm WHERE src <> canon),
+node_descs AS (SELECT name, did FROM ents GROUP BY name, did),
+nodes_real AS (SELECT e.name, count(*)::BIGINT AS mc FROM ents e
+               GROUP BY e.name),
+real_dent AS (
+  SELECT name, name || ' appears in ' || did AS text,
+         row_number() OVER (PARTITION BY name ORDER BY did) AS pos
+  FROM node_descs
+),
+real_sent AS (
+  SELECT name, did || '-chunk-0' AS text,
+         row_number() OVER (PARTITION BY name ORDER BY did) AS pos
+  FROM (SELECT DISTINCT name, did FROM ents)
+),
+epsm AS (
+  SELECT did, s AS ep, descr, occ FROM relk
+  UNION ALL
+  SELECT did, o AS ep, descr, occ FROM relk
+),
+ph_epsm AS (SELECT * FROM epsm
+            WHERE ep NOT IN (SELECT name FROM nodes_real)),
+ph_dent AS (
+  SELECT ep AS name, descr AS text,
+         row_number() OVER (PARTITION BY ep ORDER BY o) AS pos
+  FROM (SELECT ep, descr, min(occ) AS o FROM ph_epsm GROUP BY ep, descr)
+),
+ph_sent AS (
+  SELECT ep AS name, did || '-chunk-0' AS text,
+         row_number() OVER (PARTITION BY ep ORDER BY did) AS pos
+  FROM (SELECT DISTINCT ep, did FROM ph_epsm)
+),
+ngroup AS (
+  SELECT coalesce(c.canon, n.node) AS cid, n.node AS name
+  FROM allnodes n LEFT JOIN cmap c ON c.name = n.node
+),
+gstat AS (
+  SELECT g.cid,
+         sum(coalesce(nr.mc, 0))::BIGINT AS mention_count,
+         bool_or(nr.mc IS NOT NULL) AS has_real
+  FROM ngroup g LEFT JOIN nodes_real nr ON nr.name = g.name
+  GROUP BY g.cid
+)"""
+
+_KG_MERGED_NODES_SQL = _MERGED_CTE + r""",
+votesm AS (
+  SELECT coalesce(c.canon, e.name) AS cid, e.typ, count(*)::BIGINT AS v
+  FROM ents e LEFT JOIN cmap c ON c.name = e.name
+  GROUP BY 1, 2
+),
+winnerm AS (
+  SELECT cid, typ FROM (
+    SELECT cid, typ,
+           row_number() OVER (PARTITION BY cid
+                              ORDER BY v DESC, typ ASC) AS rn
+    FROM votesm) WHERE rn = 1
+),
+-- merge key = (original constituent name, list position): prior occs are
+-- unique per (name, pos) so merged entries concatenate constituent lists
+-- in name order (engine _prior_occ_entries with row_keys); chr(31) < every
+-- name character, so the joined string compares as the tuple
+dkeep AS (
+  SELECT g.cid, d.text,
+         d.name || chr(31) || lpad(d.pos::VARCHAR, 10, '0') AS mk
+  FROM ngroup g JOIN gstat s ON s.cid = g.cid
+  JOIN real_dent d ON d.name = g.name
+  WHERE s.has_real
+  UNION ALL
+  SELECT g.cid, d.text,
+         d.name || chr(31) || lpad(d.pos::VARCHAR, 10, '0') AS mk
+  FROM ngroup g JOIN gstat s ON s.cid = g.cid
+  JOIN ph_dent d ON d.name = g.name
+  WHERE NOT s.has_real
+),
+dmin AS (SELECT cid, text, min(mk) AS mk FROM dkeep GROUP BY cid, text),
+skeep AS (
+  SELECT g.cid, d.text,
+         d.name || chr(31) || lpad(d.pos::VARCHAR, 10, '0') AS mk
+  FROM ngroup g JOIN gstat s ON s.cid = g.cid
+  JOIN real_sent d ON d.name = g.name
+  WHERE s.has_real
+  UNION ALL
+  SELECT g.cid, d.text,
+         d.name || chr(31) || lpad(d.pos::VARCHAR, 10, '0') AS mk
+  FROM ngroup g JOIN gstat s ON s.cid = g.cid
+  JOIN ph_sent d ON d.name = g.name
+  WHERE NOT s.has_real
+),
+smin AS (SELECT cid, text, min(mk) AS mk FROM skeep GROUP BY cid, text)
+SELECT s.cid AS entity_id,
+       coalesce(w.typ, 'UNKNOWN') AS entity_type,
+       s.mention_count,
+       (SELECT string_agg(text, '<SEP>' ORDER BY mk)
+        FROM dmin d WHERE d.cid = s.cid) AS descriptions,
+       (SELECT string_agg(text, '<SEP>' ORDER BY mk)
+        FROM smin x WHERE x.cid = s.cid) AS source_ids
+FROM gstat s LEFT JOIN winnerm w ON w.cid = s.cid
+"""
+
+_KG_MERGED_EDGES_SQL = _MERGED_CTE + r""",
+edge_aggm AS (
+  SELECT s, o,
+         sum(CASE WHEN r = 0 THEN 1.0 ELSE 0.5 END)::DOUBLE AS weight,
+         count(*)::BIGINT AS mc
+  FROM relk GROUP BY s, o
+),
+edge_dent AS (
+  SELECT s, o, descr AS text,
+         row_number() OVER (PARTITION BY s, o ORDER BY occ) AS pos
+  FROM (SELECT s, o, descr, min(occ) AS occ FROM relk GROUP BY s, o, descr)
+),
+edge_kent AS (
+  SELECT s, o, kw AS text,
+         row_number() OVER (PARTITION BY s, o ORDER BY occ) AS pos
+  FROM (
+    SELECT s, o, kw, min(occ || '|' || j) AS occ FROM (
+      SELECT s, o, 'CO_OCCURS' AS kw, 0 AS j, occ FROM relk WHERE r = 0
+      UNION ALL
+      SELECT s, o, 'ADJACENT', 1, occ FROM relk WHERE r = 0
+      UNION ALL
+      SELECT s, o, 'NEAR', 0, occ FROM relk WHERE r = 1
+    ) GROUP BY s, o, kw)
+),
+edge_sent AS (
+  SELECT s, o, did || '-chunk-0' AS text,
+         row_number() OVER (PARTITION BY s, o ORDER BY did) AS pos
+  FROM (SELECT DISTINCT s, o, did FROM relk)
+),
+erel AS (
+  SELECT coalesce(cs.canon, e.s) AS src, coalesce(co.canon, e.o) AS tgt,
+         e.s, e.o, e.weight, e.mc
+  FROM edge_aggm e
+  LEFT JOIN cmap cs ON cs.name = e.s
+  LEFT JOIN cmap co ON co.name = e.o
+),
+estat AS (
+  SELECT src, tgt, sum(weight)::DOUBLE AS weight,
+         sum(mc)::BIGINT AS mention_count
+  FROM erel GROUP BY src, tgt
+),
+-- merge key = (original src, original tgt, list position), the engine's
+-- unique prior-occ ordering for relabeled edge rows
+edmin AS (
+  SELECT er.src, er.tgt, d.text,
+         min(er.s || chr(31) || er.o || chr(31) ||
+             lpad(d.pos::VARCHAR, 10, '0')) AS mk
+  FROM erel er JOIN edge_dent d ON d.s = er.s AND d.o = er.o
+  GROUP BY er.src, er.tgt, d.text
+),
+ekmin AS (
+  SELECT er.src, er.tgt, k.text,
+         min(er.s || chr(31) || er.o || chr(31) ||
+             lpad(k.pos::VARCHAR, 10, '0')) AS mk
+  FROM erel er JOIN edge_kent k ON k.s = er.s AND k.o = er.o
+  GROUP BY er.src, er.tgt, k.text
+),
+esmin AS (
+  SELECT er.src, er.tgt, x.text,
+         min(er.s || chr(31) || er.o || chr(31) ||
+             lpad(x.pos::VARCHAR, 10, '0')) AS mk
+  FROM erel er JOIN edge_sent x ON x.s = er.s AND x.o = er.o
+  GROUP BY er.src, er.tgt, x.text
+)
+SELECT es.src, es.tgt, es.weight, es.mention_count,
+       (SELECT string_agg(text, '<SEP>' ORDER BY mk)
+        FROM edmin d WHERE d.src = es.src AND d.tgt = es.tgt) AS descriptions,
+       (SELECT string_agg(text, '<SEP>' ORDER BY mk)
+        FROM ekmin k WHERE k.src = es.src AND k.tgt = es.tgt) AS keywords,
+       (SELECT string_agg(text, '<SEP>' ORDER BY mk)
+        FROM esmin x WHERE x.src = es.src AND x.tgt = es.tgt) AS source_ids
+FROM estat es
+"""
+
+
 # char-trigram Jaccard between entity names: DISTINCT grams per name
 # (whole string when shorter than 3 — greatest(len-2, 1) makes substr
 # return it), within-gram self-join counts the intersection, float division
@@ -1995,6 +2262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_triples": q_kg_triples,
+        "kg_merged_nodes": q_kg_merged_nodes,
+        "kg_merged_edges": q_kg_merged_edges,
         "chunks": q_chunks,
         "mentions": q_mentions,
         "kg_degrees": q_kg_degrees,
@@ -2062,6 +2331,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": _NODES_SQL,
         "kg_edges": _EDGES_SQL,
         "kg_triples": _TRIPLES_SQL,
+        "kg_merged_nodes": _KG_MERGED_NODES_SQL,
+        "kg_merged_edges": _KG_MERGED_EDGES_SQL,
         "chunks": _CHUNKS_SQL,
         "chunks_router_default": _CHUNKS_ROUTER_DEFAULT_SQL,
         "mentions": _MENTIONS_SQL,

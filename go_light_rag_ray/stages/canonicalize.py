@@ -952,10 +952,20 @@ def _prior_occ(i: int) -> str:
     return f"{_PRIOR_OCC_PREFIX}{i:010d}"
 
 
-def _prior_occ_entries(col) -> pa.ListArray:
+def _prior_occ_entries(col, row_keys=None) -> pa.ListArray:
     """list<string> → list<struct{occ,text}> where each element's occ is
-    ``_prior_occ(position)`` — vectorized (offsets arithmetic + one string
-    join; no Python loop over the prior graph)."""
+    ``\\x00prior\\x00[<row_key>\\x00]<position>`` — vectorized (offsets
+    arithmetic + one string join; no Python loop over the prior graph).
+
+    ``row_keys`` (per-row strings — the row's ORIGINAL surface key) makes
+    prior occs UNIQUE ACROSS ROWS: when alias resolution
+    (``merge_entities``) relabels two prior rows onto one key, their
+    entries merge in (original key, position) order instead of colliding
+    on equal positional occs (an equal-occ tie falls back to dict
+    insertion order — physical-order-dependent, the exact class the
+    determinism invariant forbids).  For single-prior-row merges
+    (incremental insert) the key is constant per row, so entry order and
+    every output are unchanged."""
     import pyarrow.compute as pc
 
     col = col.combine_chunks()
@@ -967,9 +977,19 @@ def _prior_occ_entries(col) -> pa.ListArray:
     offsets = pa.array(
         np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32())
     pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-    occ = pc.binary_join_element_wise(
-        _const_str(_PRIOR_OCC_PREFIX, total),
-        pc.utf8_lpad(pc.cast(pa.array(pos), pa.string()), 10, "0"), "")
+    pos_str = pc.utf8_lpad(pc.cast(pa.array(pos), pa.string()), 10, "0")
+    if row_keys is None:
+        occ = pc.binary_join_element_wise(
+            _const_str(_PRIOR_OCC_PREFIX, total), pos_str, "")
+    else:
+        keys_arr = pc.cast(row_keys, pa.string())
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        keys = keys_arr.to_numpy(zero_copy_only=False)
+        key_rep = pa.array(np.repeat(keys, lens), pa.string())
+        occ = pc.binary_join_element_wise(
+            _const_str(_PRIOR_OCC_PREFIX, total), key_rep,
+            _const_str("\x00", total), pos_str, "")
     flat = pc.make_struct(occ, pc.list_flatten(col),
                           field_names=["occ", "text"])
     return pa.ListArray.from_arrays(offsets, flat)
@@ -1057,9 +1077,12 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
             types=names, type_counts=votes,
             weight=real.column("weight").combine_chunks(),
             mention_count=real.column("mention_count").combine_chunks(),
-            descs=_prior_occ_entries(real.column("descriptions")),
-            kws=_prior_occ_entries(real.column("keywords")),
-            srcids=_prior_occ_entries(real.column("source_ids")),
+            descs=_prior_occ_entries(real.column("descriptions"),
+                                      real.column("entity_id")),
+            kws=_prior_occ_entries(real.column("keywords"),
+                                   real.column("entity_id")),
+            srcids=_prior_occ_entries(real.column("source_ids"),
+                                      real.column("entity_id")),
         ))
 
     ph = batch.filter(is_ph)
@@ -1070,13 +1093,19 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
             occ_min=_occ_min_prior(ph.column("descriptions")),
             weight=ph.column("weight").combine_chunks(),
             mention_count=ph.column("mention_count").combine_chunks(),
-            kws=_prior_occ_entries(ph.column("keywords")),
-            ph_descs=_prior_occ_entries(ph.column("descriptions")),
-            ph_srcids=_prior_occ_entries(ph.column("source_ids")),
+            kws=_prior_occ_entries(ph.column("keywords"),
+                                   ph.column("entity_id")),
+            ph_descs=_prior_occ_entries(ph.column("descriptions"),
+                                        ph.column("entity_id")),
+            ph_srcids=_prior_occ_entries(ph.column("source_ids"),
+                                         ph.column("entity_id")),
         ))
 
     edges = batch.filter(pc.invert(is_node))
     if edges.num_rows:
+        ekey = pc.binary_join_element_wise(
+            edges.column("src").combine_chunks(),
+            edges.column("tgt").combine_chunks(), "\x00")
         parts.append(_partial_rows(
             "edge", edges.column("src").combine_chunks(),
             edges.column("tgt").combine_chunks(),
@@ -1084,9 +1113,9 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
             occ_min=_occ_min_prior(edges.column("descriptions")),
             weight=edges.column("weight").combine_chunks(),
             mention_count=edges.column("mention_count").combine_chunks(),
-            descs=_prior_occ_entries(edges.column("descriptions")),
-            kws=_prior_occ_entries(edges.column("keywords")),
-            srcids=_prior_occ_entries(edges.column("source_ids")),
+            descs=_prior_occ_entries(edges.column("descriptions"), ekey),
+            kws=_prior_occ_entries(edges.column("keywords"), ekey),
+            srcids=_prior_occ_entries(edges.column("source_ids"), ekey),
         ))
 
     return (pa.concat_tables(parts) if parts
@@ -1117,3 +1146,98 @@ def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,
 def sep_join(values: list[str]) -> str:
     """Render the reference's ``<SEP>``-joined string form (insert.go:538,623)."""
     return GRAPH_FIELD_SEPARATOR.join(values)
+
+
+def merge_entities(
+    graph,
+    pairs,
+    threshold: float = 0.0,
+    score_col: str = "jaccard",
+    salt_buckets: int = 8,
+    merge_cap: int = 0,
+    strategy: str = "sorted",
+    max_driver_pairs: int = 2_000_000,
+    cc_local_threshold: int = 1 << 20,
+):
+    """Alias resolution over the canonical graph: accepted entity pairs →
+    one merged graph with unified ids.
+
+    The reference canonicalizes only by EXACT normalized name
+    (insert.go:454-520); this is the fuzzy complement — feed it candidate
+    pairs from ``stages/linking.name_gram_pairs`` (string side) or
+    ``graphalg.neighbor_jaccard`` (structural side) and every connected
+    component of accepted pairs collapses onto its lexicographically
+    smallest member.  Semantics come FOR FREE from the incremental-insert
+    machinery: relabeled graph rows re-enter the shuffle as prior-snapshot
+    partials (``graph_to_partials``), so description/keyword/source lists
+    merge position-ordered with text tie-break, type-vote tallies sum
+    before the argmax, weights and mention counts add, and a placeholder
+    merging into a real entity upgrades in place (its ph_* content drops
+    exactly as J3 prescribes).  Edges re-point at the merged ids and
+    co-located duplicates fold in the same pass.
+
+    Distributed shape: component labeling delegates to the dedup
+    clustering engine; the alias map (only entities whose id CHANGES) is
+    broadcast once via ``ray.put`` — it is bounded by 2·|accepted pairs|,
+    the small side by construction (an accept set that rivals the entity
+    table is a linking-threshold bug, not a data size) — and the relabel +
+    re-merge is one vectorized ``index_in`` map followed by the standard
+    salted merge.  ``pairs`` rows below ``threshold`` on ``score_col`` are
+    ignored (0.0 accepts every candidate row).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import cluster_duplicates
+
+    if threshold > 0.0:
+        pairs = pairs.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column(score_col), threshold)),
+            batch_format="pyarrow")
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"entity_id": pa.concat_arrays([
+            pc.cast(b.column("a").combine_chunks(), pa.string()),
+            pc.cast(b.column("b").combine_chunks(), pa.string())])})
+
+    ends = pairs.map_batches(endpoints, batch_format="pyarrow")
+    labels = cluster_duplicates(
+        ends, pairs, id_col="entity_id",
+        max_driver_pairs=max_driver_pairs,
+        cc_local_threshold=cc_local_threshold)
+    amap: dict[str, str] = {}
+    for r in labels.take_all():  # the small side: linked aliases only
+        if r["doc_id"] != r["cluster_id"]:
+            amap[r["doc_id"]] = r["cluster_id"]
+    if not amap:
+        return graph
+
+    old = sorted(amap)
+    map_ref = ray.put(pa.table({
+        "old": pa.array(old, pa.string()),
+        "new": pa.array([amap[k] for k in old], pa.string()),
+    }))
+
+    # partials FIRST: graph_to_partials embeds each row's ORIGINAL surface
+    # key in its prior occ strings (the deterministic cross-constituent
+    # merge order), THEN the partial keys relabel — relabeling the graph
+    # rows first would stamp every constituent with the merged id and
+    # collide the occs again
+    def relabel(b: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        o, nw = m.column("old").combine_chunks(), m.column("new")
+        for name in ("k1", "k2"):
+            col = b.column(name).combine_chunks()
+            idx = pc.index_in(col, o)
+            repl = pc.take(nw, idx).combine_chunks()
+            b = b.set_column(
+                b.column_names.index(name), name,
+                pc.if_else(pc.is_valid(idx), repl, col))
+        return b
+
+    prior = graph.map_batches(
+        lambda b: graph_to_partials(b, salt_buckets),
+        batch_format="pyarrow",
+    ).map_batches(relabel, batch_format="pyarrow")
+    return _merge_and_finalize(prior, salt_buckets, merge_cap, strategy)
