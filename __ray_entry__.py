@@ -619,6 +619,58 @@ def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     return unigram_score(_raw_docs(sf_dir))
 
 
+def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language top-3 documents by quality score — the per-domain
+    selection step of a curation recipe, via the segment-limit operator
+    (stages/sortagg.sorted_topk; quality carried with its lang label so no
+    join is needed)."""
+    from go_light_rag_ray.stages.sortagg import sorted_topk
+    from go_light_rag_ray.stages.textstats import quality_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    scored = quality_scores(docs, carry=("lang",)).select_columns(
+        ["lang", "doc_id", "quality"])
+    return sorted_topk(scored, ["lang"], ["quality", "doc_id"], k=3,
+                       descending=[True, False], rank_name="lang_rank")
+
+
+def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID confusion counts vs the labeled lang column — the
+    classifier-evaluation view of the langid heuristic (label carried
+    through the scorer, one tiny (lang, pred) shuffle)."""
+    import ray.data.aggregate as agg
+
+    from go_light_rag_ray.stages.textstats import language_id
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    pred = language_id(docs, carry=("lang",))
+
+    def ones(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({
+            "lang": b.column("lang"), "lang_pred": b.column("lang_pred"),
+            "_one": pa.array(np.ones(len(b), dtype=np.int64))})
+
+    return (pred.map_batches(ones, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(agg.Sum("_one", alias_name="n")))
+
+
+def q_mix_corpora(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted corpus interleave over the source column
+    (stages/sampling.mix_corpora): weight = (source index % 3) + 1, exact
+    integer slot priorities, bit-exact vs the SQL window oracle."""
+    from go_light_rag_ray.stages.sampling import mix_corpora
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    srcs = [r["source"] for r in docs.groupby("source").count().take_all()]
+    weights = {s: (int(s[3:]) % 3) + 1 for s in srcs}
+    return mix_corpora(docs, weights)
+
+
 def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style head/middle/tail corpus split: rank every document by
     its unigram-LM score and cut the rank range into 3 equal-population
@@ -1416,6 +1468,53 @@ SELECT words.doc_id,
          AS mean_token_freq
 FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
+"""
+
+# per-language top-3 by quality: same float op sequence as _TEXT_QUALITY_SQL
+_TOP_DOCS_PER_LANG_SQL = f"""
+WITH q AS (
+  SELECT doc_id, quality FROM ({_TEXT_QUALITY_SQL})
+),
+ranked AS (
+  SELECT d.lang, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY q.quality DESC, q.doc_id ASC)::INTEGER
+           AS lang_rank
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT lang, doc_id, quality, lang_rank FROM ranked WHERE lang_rank <= 3
+"""
+
+_LANGID_CONFUSION_SQL = f"""
+WITH pred AS (
+  SELECT doc_id, lang_pred FROM ({_TEXT_LANGID_SQL})
+)
+SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+# deterministic weighted interleave: slot priority = src_rank · (L // w)
+# with L a common multiple of the weights (order is the exact rational
+# r/w, so ANY common multiple yields the same order; weights are 1..3 by
+# construction → 6)
+_MIX_CORPORA_SQL = r"""
+WITH r AS (
+  SELECT doc_id, source,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id)
+          - 1)::BIGINT AS src_rank
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, src_rank,
+         (src_rank * (6 // ((CAST(substr(source, 4) AS INT) % 3) + 1)))::BIGINT
+           AS prio
+  FROM r
+)
+SELECT doc_id, source, src_rank,
+       (row_number() OVER (ORDER BY prio, source, src_rank) - 1)::BIGINT
+         AS mix_order
+FROM p
 """
 
 # CCNet head/middle/tail: (row_number()-1)*3 // count over the unigram
@@ -2312,6 +2411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "quality_buckets": q_quality_buckets,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "langid_confusion": q_langid_confusion,
+        "mix_corpora": q_mix_corpora,
         "text_bigram": q_text_bigram,
         "corpus_top_words": q_corpus_top_words,
         "text_repetition": q_text_repetition,
@@ -2376,6 +2478,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "quality_buckets": _QUALITY_BUCKETS_SQL,
+        "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
+        "langid_confusion": _LANGID_CONFUSION_SQL,
+        "mix_corpora": _MIX_CORPORA_SQL,
         "text_bigram": _TEXT_BIGRAM_SQL,
         "corpus_top_words": _CORPUS_TOP_WORDS_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,

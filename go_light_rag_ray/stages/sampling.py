@@ -99,3 +99,99 @@ def hash_sample(
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_corpora(
+    docs: ray.data.Dataset,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic weighted corpus interleave — the domain-mixing order a
+    training run consumes (the data-mixture step of every LLM corpus recipe,
+    e.g. The Pile / LLaMA source weighting), with NO randomness: a source
+    with weight w receives w slots per weight-sum window, in a fixed,
+    reproducible order.
+
+    Each doc gets its 0-based rank r within its source (by ``id_col``) and
+    the global slot priority ``r · (W // w_source)`` with W = lcm of all
+    weights — the exact-rational comparison r₁/w₁ < r₂/w₂ in pure int64
+    (ties break by (source, r)).  ``mix_order`` = the global rank under
+    that priority.  All-integer, so the SQL window oracle is bit-exact.
+
+    Distributed shape: two prefix-sum scans (each ONE global sort + the
+    per-block-summary pass, stages/packing.prefix_sum) and one segment
+    broadcast for the per-source base — no driver-side data beyond one row
+    per block, no joins.  ``weights`` (a handful of source labels) rides
+    into tasks as plain ints.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .packing import prefix_sum
+    from .sortagg import sorted_attach_first
+
+    if not weights:
+        raise ValueError("weights must map every source label to an int ≥ 1")
+    lcm = 1
+    for w in weights.values():
+        if w < 1:
+            raise ValueError("weights must be ≥ 1")
+        lcm = math.lcm(lcm, w)
+    quota = {s: lcm // w for s, w in weights.items()}
+
+    def key1(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        id_str = pc.cast(ids, pa.string())
+        if pa.types.is_integer(ids.type):
+            # numeric ids order NUMERICALLY in the oracle's window — pad so
+            # string order matches (ids ≥ 0, the corpus invariant)
+            id_str = pc.utf8_lpad(id_str, 19, "0")
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column(source_col), pa.string()), id_str, "\x1f")
+        return pa.table({
+            "doc_id": ids,
+            "source": pc.cast(b.column(source_col), pa.string()),
+            "_k": key,
+            "_one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    # global index under (source, doc_id) order → per-source rank via the
+    # segment broadcast of each source's first global index
+    gidx = prefix_sum(
+        docs.select_columns([id_col, source_col]).map_batches(
+            key1, batch_format="pyarrow"),
+        "_k", "_one", out_col="_g")
+
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column("_m", b.column("_g"))
+
+    based = sorted_attach_first(
+        gidx.map_batches(mark, batch_format="pyarrow"),
+        ["source"], "_m", "_g", attach_name="_base")
+
+    def priority(b: pa.Table) -> pa.Table:
+        g = b.column("_g").to_numpy(zero_copy_only=False)
+        base = b.column("_base").to_numpy(zero_copy_only=False)
+        r = g - base
+        srcs = b.column("source").to_pylist()
+        q = np.array([quota[s] for s in srcs], dtype=np.int64)
+        prio = r * q
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pa.array(prio), pa.string()), 19, "0"),
+            b.column("source").combine_chunks(),
+            pc.utf8_lpad(pc.cast(pa.array(r), pa.string()), 19, "0"), "\x1f")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "src_rank": pa.array(r, pa.int64()),
+            "_k2": key,
+            "_one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    mixed = prefix_sum(
+        based.map_batches(priority, batch_format="pyarrow"),
+        "_k2", "_one", out_col="mix_order")
+    return mixed.drop_columns(["_k2", "_one"])

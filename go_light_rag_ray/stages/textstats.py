@@ -65,12 +65,16 @@ def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
-def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+def quality_scores(
+    docs: ray.data.Dataset, carry: tuple[str, ...] = (),
+) -> ray.data.Dataset:
     """Heuristic quality features + combined score.
 
     distinct_ratio = distinct/total tokens, stopword_ratio, mean_word_len —
     all ratios of integers, so the oracle matches bit-for-bit.
     quality = distinct_ratio * (1 - stopword_ratio).
+    ``carry`` columns pass through unchanged (group labels for downstream
+    per-key selection — no join needed later).
     """
 
     def score(b: pa.Table) -> pa.Table:
@@ -91,6 +95,7 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pydict(
             {
                 "doc_id": b.column("doc_id"),
+                **{c: b.column(c) for c in carry},
                 "distinct_ratio": pa.array(dr, pa.float64()),
                 "stopword_ratio": pa.array(sr, pa.float64()),
                 "mean_word_len": pa.array(mwl, pa.float64()),
@@ -101,12 +106,15 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(score, batch_format="pyarrow")
 
 
-def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+def language_id(
+    docs: ray.data.Dataset, carry: tuple[str, ...] = (),
+) -> ray.data.Dataset:
     """Marker-word language heuristic.
 
     (doc_id, lang_pred, lang_score); winner = highest hits/total with
     ascending-code tie-break (so empty docs deterministically get 'de',
-    the first code alphabetically).
+    the first code alphabetically).  ``carry`` columns pass through (e.g.
+    the labeled ``lang`` for confusion counting).
     """
     markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
 
@@ -126,6 +134,7 @@ def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pydict(
             {
                 "doc_id": b.column("doc_id"),
+                **{c: b.column(c) for c in carry},
                 "lang_pred": pa.array(langs, pa.string()),
                 "lang_score": pa.array(scores, pa.float64()),
             }

@@ -32,3 +32,48 @@ def test_hash_sample_fraction_and_salt_independence(ray_session):
     # sample is a strict subset relationship under larger fraction
     big = {r["doc_id"] for r in hash_sample(_docs(), 0.5).take_all()}
     assert a <= big
+
+
+# ---------------------------------------------------------------------------
+# mix_corpora (deterministic weighted interleave)
+# ---------------------------------------------------------------------------
+
+def _mix_ds(rows):
+    import pyarrow as pa
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "source": [r[1] for r in rows],
+    })).repartition(4)
+
+
+def test_mix_corpora_hand_computed(ray_session):
+    from go_light_rag_ray.stages.sampling import mix_corpora
+    # A weight 2, B weight 1 → A appears twice per window
+    rows = [(f"a{i}", "A") for i in range(4)] + \
+           [(f"b{i}", "B") for i in range(2)]
+    out = mix_corpora(_mix_ds(rows), {"A": 2, "B": 1}).take_all()
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["mix_order"])]
+    # prio: A r*1 → 0,1,2,3 ; B r*2 → 0,2 ; ties (prio, source, rank)
+    assert order == ["a0", "b0", "a1", "a2", "b1", "a3"]
+    ranks = {r["doc_id"]: r["src_rank"] for r in out}
+    assert ranks["a2"] == 2 and ranks["b1"] == 1
+
+
+def test_mix_corpora_scale_invariant_weights(ray_session):
+    from go_light_rag_ray.stages.sampling import mix_corpora
+    rows = [(f"a{i}", "A") for i in range(6)] + \
+           [(f"b{i}", "B") for i in range(3)]
+    one = mix_corpora(_mix_ds(rows), {"A": 2, "B": 1}).take_all()
+    two = mix_corpora(_mix_ds(rows), {"A": 4, "B": 2}).take_all()
+    key = lambda rows_: {r["doc_id"]: r["mix_order"] for r in rows_}
+    assert key(one) == key(two)  # order is the rational r/w — scale-free
+
+
+def test_mix_corpora_rejects_bad_weights(ray_session):
+    import pytest
+    from go_light_rag_ray.stages.sampling import mix_corpora
+    with pytest.raises(ValueError):
+        mix_corpora(_mix_ds([("a", "A")]), {})
+    with pytest.raises(ValueError):
+        mix_corpora(_mix_ds([("a", "A")]), {"A": 0})
