@@ -7,7 +7,7 @@ computes the IDENTICAL mentions table (bit-exact per the driver's
 ``mentions`` value oracle, including per-chunk ``mention_index``
 sequencing) from Arrow/numpy primitives:
 
-* words: ``utf8_split_whitespace`` → flattened stream + parent row index;
+* words: ``ascii_split_whitespace`` → flattened stream + parent row index;
 * entity mentions: ``index_in`` against the gazetteer, descriptions built
   with one ``binary_join_element_wise``;
 * CO_OCCURS / NEAR pairs: shifted-mask comparisons on the flat stream
@@ -63,10 +63,10 @@ def word_cooccurrence_batch(batch: pa.Table, glean: bool = True) -> pa.Table:
     chunk_ids = pc.cast(batch.column("chunk_id"), pa.string()).combine_chunks()
     orders = batch.column("order_index").combine_chunks()
 
-    words = pc.utf8_split_whitespace(
+    words = pc.ascii_split_whitespace(
         pc.cast(batch.column("content"), pa.string())
     ).combine_chunks()
-    # utf8_split_whitespace emits empty strings around leading/trailing
+    # ascii_split_whitespace emits empty strings around leading/trailing
     # whitespace — drop them from the flat stream (``\S+`` semantics)
     flat_all = pc.list_flatten(words)
     lens_all = pc.list_value_length(words).to_numpy(zero_copy_only=False)

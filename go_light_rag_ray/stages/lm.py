@@ -17,7 +17,7 @@ Distributed shape (the 100 TB pattern):
    0 = exact (oracle mode).  Out-of-vocab tokens score 0.
 2. BROADCAST — the model ships once via ``ray.put``; every scorer actor
    rebuilds (vocab array, counts array) in ``__init__``.
-3. SCORE — per batch: ``utf8_split_whitespace`` → flat word stream,
+3. SCORE — per batch: ``ascii_split_whitespace`` → flat word stream,
    ``index_in`` against the vocab, ``np.bincount`` segment sums per doc.
    No joins, no per-row Python.
 """
@@ -42,7 +42,12 @@ _SEP = "\x1f"
 
 
 def _flat_words(batch: pa.Table, text_col: str):
-    words = pc.utf8_split_whitespace(
+    # ascii (not utf8) split: pc.utf8_split_whitespace misclassified a
+    # space under concurrent first use inside Ray workers ("   " →
+    # ['', ' '] — a thread race in the lazy unicode-table init; observed
+    # ~25% of fresh-worker runs 2026-08-18).  The corpus and the oracle's
+    # \S+ are ASCII, so the ascii kernel is also the semantically exact one.
+    words = pc.ascii_split_whitespace(
         pc.cast(batch.column(text_col), pa.string())).combine_chunks()
     flat_all = pc.list_flatten(words)
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)

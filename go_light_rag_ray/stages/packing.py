@@ -129,14 +129,23 @@ def rank_buckets(
     prefix-sum scan; no driver-side data beyond one summary row per block.
     ``descending`` ranks high scores first (rank by ``-score``).
     """
-    width = len(str(score_scale))
+    # scores are 6-dp multiples of any magnitude (ratios ~1, count means
+    # ~10³): the integer micro-score can reach score·10⁶, so pad to the
+    # full int64 width — a magnitude-sized pad orders wrongly the moment
+    # two scores differ in digit count
+    bound = 10 ** 18
+    width = 19
 
     def key_rows(b: pa.Table) -> pa.Table:
         s = b.column(score_col).to_numpy(zero_copy_only=False)
         micro = np.rint(np.asarray(s, dtype=np.float64) * score_scale
                         ).astype(np.int64)
+        if micro.size and (micro.min() < 0 or micro.max() > bound):
+            raise ValueError(
+                f"{score_col}·{score_scale} must lie in [0, 10^18] "
+                f"(got [{micro.min()}, {micro.max()}])")
         if descending:
-            micro = score_scale - micro
+            micro = bound - micro
         ids = b.column(id_col)
         id_str = pc.cast(ids, pa.string())
         if pa.types.is_integer(ids.type):

@@ -177,6 +177,10 @@ def mix_corpora(
         base = b.column("_base").to_numpy(zero_copy_only=False)
         r = g - base
         srcs = b.column("source").to_pylist()
+        missing = {s for s in srcs if s not in quota}
+        if missing:
+            raise ValueError(
+                f"sources without a weight: {sorted(missing)[:5]}")
         q = np.array([quota[s] for s in srcs], dtype=np.int64)
         prio = r * q
         key = pc.binary_join_element_wise(

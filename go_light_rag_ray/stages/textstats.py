@@ -175,7 +175,7 @@ def tfidf_top_terms(
         Arrow hash-count — no Python loop over the token stream."""
         import numpy as np
 
-        words = pc.utf8_split_whitespace(
+        words = pc.ascii_split_whitespace(
             pc.cast(b.column("text"), pa.string())).combine_chunks()
         flat_all = pc.list_flatten(words)
         lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
@@ -301,7 +301,7 @@ def inverted_index(
     def pairs(b: pa.Table) -> pa.Table:
         import numpy as np
 
-        words = pc.utf8_split_whitespace(
+        words = pc.ascii_split_whitespace(
             pc.cast(b.column("text"), pa.string())).combine_chunks()
         flat_all = pc.list_flatten(words)
         lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)

@@ -25,8 +25,11 @@ def test_repetition_signals_hand_computed(ray_session):
             "   ",              # whitespace-only → no row
         ],
     }))
-    out = _by_id(repetition_signals(docs).take_all())
-    assert set(out) == {0, 1, 2}
+    rows = repetition_signals(docs).take_all()
+    out = _by_id(rows)
+    # flaky under the full suite (2026-08-18, twice): a row for the
+    # whitespace-only doc appeared — dump everything when it recurs
+    assert set(out) == {0, 1, 2}, f"unexpected rows: {sorted(rows, key=lambda r: r['doc_id'])}"
 
     r0 = out[0]
     assert r0["n_words"] == 4 and r0["n_distinct_words"] == 1
