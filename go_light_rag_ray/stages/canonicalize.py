@@ -111,7 +111,7 @@ def _occ_strings(batch: pa.Table) -> pa.Array:
     import pyarrow.compute as pc
 
     def pad10(col):
-        return pc.utf8_lpad(pc.cast(col, pa.string()), 10, "0")
+        return pc.ascii_lpad(pc.cast(col, pa.string()), 10, "0")
 
     return pc.binary_join_element_wise(
         batch.column("doc_id"), pad10(batch.column("order_index")),
@@ -342,7 +342,7 @@ def combine_mentions(batch: pa.Table, salt_buckets: int = 8,
                 np.cumsum(lens) - lens, lens)
             kocc = pc.binary_join_element_wise(
                 rels.column("_occ").combine_chunks().take(par),
-                pc.utf8_lpad(pc.cast(pa.array(pos), pa.string()), 4, "0"),
+                pc.ascii_lpad(pc.cast(pa.array(pos), pa.string()), 4, "0"),
                 "\x00",
             )
             kagg = _dedup_entries(
@@ -977,7 +977,7 @@ def _prior_occ_entries(col, row_keys=None) -> pa.ListArray:
     offsets = pa.array(
         np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32())
     pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-    pos_str = pc.utf8_lpad(pc.cast(pa.array(pos), pa.string()), 10, "0")
+    pos_str = pc.ascii_lpad(pc.cast(pa.array(pos), pa.string()), 10, "0")
     if row_keys is None:
         occ = pc.binary_join_element_wise(
             _const_str(_PRIOR_OCC_PREFIX, total), pos_str, "")

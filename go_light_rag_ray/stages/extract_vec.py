@@ -110,8 +110,8 @@ def word_cooccurrence_batch(batch: pa.Table, glean: bool = True) -> pa.Table:
                  verb: str):
         a = flat.take(pa.array(sel))
         b = flat.take(pa.array(sel + dist))
-        ua = pc.utf8_upper(a)
-        ub = pc.utf8_upper(b)
+        ua = pc.ascii_upper(a)
+        ub = pc.ascii_upper(b)
         p = par[sel]
         docs = doc_ids.take(pa.array(p))
         desc = pc.binary_join_element_wise(ua, verb, ub, " in ", docs, "")

@@ -152,9 +152,9 @@ def rank_buckets(
             # numeric ids tie-break NUMERICALLY in the oracle's ORDER BY —
             # zero-pad so string order == numeric order (ids must be ≥ 0,
             # the corpus invariant; int64 max is 19 digits)
-            id_str = pc.utf8_lpad(id_str, 19, "0")
+            id_str = pc.ascii_lpad(id_str, 19, "0")
         key = pc.binary_join_element_wise(
-            pc.utf8_lpad(pc.cast(pa.array(micro), pa.string()), width, "0"),
+            pc.ascii_lpad(pc.cast(pa.array(micro), pa.string()), width, "0"),
             id_str, "|")
         return (b.append_column("_rank_key", key)
                  .append_column("_one", pa.array(

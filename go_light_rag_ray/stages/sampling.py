@@ -148,7 +148,7 @@ def mix_corpora(
         if pa.types.is_integer(ids.type):
             # numeric ids order NUMERICALLY in the oracle's window — pad so
             # string order matches (ids ≥ 0, the corpus invariant)
-            id_str = pc.utf8_lpad(id_str, 19, "0")
+            id_str = pc.ascii_lpad(id_str, 19, "0")
         key = pc.binary_join_element_wise(
             pc.cast(b.column(source_col), pa.string()), id_str, "\x1f")
         return pa.table({
@@ -184,9 +184,9 @@ def mix_corpora(
         q = np.array([quota[s] for s in srcs], dtype=np.int64)
         prio = r * q
         key = pc.binary_join_element_wise(
-            pc.utf8_lpad(pc.cast(pa.array(prio), pa.string()), 19, "0"),
+            pc.ascii_lpad(pc.cast(pa.array(prio), pa.string()), 19, "0"),
             b.column("source").combine_chunks(),
-            pc.utf8_lpad(pc.cast(pa.array(r), pa.string()), 19, "0"), "\x1f")
+            pc.ascii_lpad(pc.cast(pa.array(r), pa.string()), 19, "0"), "\x1f")
         return pa.table({
             "doc_id": b.column("doc_id"),
             "source": b.column("source"),
