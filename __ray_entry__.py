@@ -449,6 +449,17 @@ def q_kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     return pagerank(_graph(sf_dir))
 
 
+def q_kg_ppr(sf_dir: str) -> ray.data.Dataset:
+    """Personalized PageRank seeded at the retrieval path's low-level
+    keywords — rank entities by proximity to the query seeds (the
+    graph-analytics view of local context ranking; same all-int64
+    fixed-point arithmetic as kg_pagerank)."""
+    from go_light_rag_ray.pipelines.query import DEFAULT_LOW_LEVEL
+    from go_light_rag_ray.stages.graphalg import pagerank
+
+    return pagerank(_graph(sf_dir), seeds=list(DEFAULT_LOW_LEVEL))
+
+
 def q_kg_components(sf_dir: str) -> ray.data.Dataset:
     """Undirected connected components of the canonical graph with
     min-entity-id labels (stages/graphalg.components, delegating to the
@@ -541,6 +552,16 @@ def _raw_events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_window_distinct(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window distinct-user counts: per-batch (window, user)
+    combiner -> one pair-key sorted_reduce -> small window groupby (the
+    two-level count-distinct reduction, stages/windows
+    .tumbling_distinct_users)."""
+    from go_light_rag_ray.stages.windows import tumbling_distinct_users
+
+    return tumbling_distinct_users(_raw_events(sf_dir), window_s=3600)
+
+
 def q_window_tumbling(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.windows import tumbling_window_agg
 
@@ -617,6 +638,16 @@ def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.lm import unigram_score
 
     return unigram_score(_raw_docs(sf_dir))
+
+
+def q_embed_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric int8 embedding quantization (FAISS/Milvus SQ8 shape):
+    per-vector scale, integer-exact code summary (stages/quantize.py);
+    the list<int8> codes ride along for sinks and drop from the oracle
+    view."""
+    from go_light_rag_ray.stages.quantize import quantize_embeddings
+
+    return quantize_embeddings(_raw_embeddings(sf_dir)).drop_columns(["q"])
 
 
 def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
@@ -1470,6 +1501,28 @@ FROM words JOIN model ON words.w = model.w
 GROUP BY words.doc_id
 """
 
+# int8 quantization summary: every output is integer-derived except
+# max_abs (an input element upcast f32→f64, exact); the per-element op
+# sequence x·(127/max_abs)+0.5 → floor → clip matches the numpy kernel
+_EMBED_QUANTIZE_SQL = r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, len(v)::BIGINT AS n_dims,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+q AS (
+  SELECT vec_id, n_dims, max_abs,
+         list_transform(v, x -> greatest(-127, least(127,
+             floor(x * (CASE WHEN max_abs > 0 THEN 127 / max_abs
+                             ELSE 0 END) + 0.5)))) AS qs
+  FROM m
+)
+SELECT vec_id, n_dims, max_abs,
+       list_sum(qs)::BIGINT AS q_sum,
+       list_min(qs)::BIGINT AS q_min,
+       list_max(qs)::BIGINT AS q_max,
+       len(list_filter(qs, x -> x <> 0))::BIGINT AS q_nonzero
+FROM q
+"""
+
 # per-language top-3 by quality: same float op sequence as _TEXT_QUALITY_SQL
 _TOP_DOCS_PER_LANG_SQL = f"""
 WITH q AS (
@@ -1860,6 +1913,14 @@ FROM spans GROUP BY did
 
 # event-time oracles: integer-cent sums (float sums are order-dependent);
 # window ids are pure epoch-µs arithmetic on both sides
+_WINDOW_DISTINCT_SQL = r"""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1
+"""
+
 _WINDOW_TUMBLING_SQL = r"""
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
@@ -1947,13 +2008,21 @@ allnodes AS (
 )"""
 
 
-def _pagerank_sql(iters: int = 3) -> str:
+def _pagerank_sql(iters: int = 3, seed_list: str | None = None) -> str:
     """Unrolled fixed-point integer PageRank (stages/graphalg.pagerank):
     all-int64 arithmetic — floor-division contributions, integer sums — so
-    the comparison is bit-exact with no float-order caveats at all."""
-    sql = _GRAPH_TOPOLOGY_CTE + r""",
+    the comparison is bit-exact with no float-order caveats at all.
+    ``seed_list`` (a SQL tuple literal) switches to the personalized
+    variant: initial mass and the teleport base restrict to the seeds."""
+    if seed_list is None:
+        r0_expr = "1000000::BIGINT"
+        base_expr = "150000"
+    else:
+        r0_expr = f"(CASE WHEN node IN {seed_list} THEN 1000000 ELSE 0 END)::BIGINT"
+        base_expr = f"(CASE WHEN n.node IN {seed_list} THEN 150000 ELSE 0 END)"
+    sql = _GRAPH_TOPOLOGY_CTE + f""",
 outd AS (SELECT src, count(*)::BIGINT AS d FROM edges_d GROUP BY src),
-r0 AS (SELECT node, 1000000::BIGINT AS pr FROM allnodes)"""
+r0 AS (SELECT node, {r0_expr} AS pr FROM allnodes)"""
     for i in range(1, iters + 1):
         sql += f""",
 c{i} AS (
@@ -1964,13 +2033,15 @@ c{i} AS (
   GROUP BY e.tgt
 ),
 r{i} AS (
-  SELECT n.node, (150000 + COALESCE(c.c, 0))::BIGINT AS pr
+  SELECT n.node, ({base_expr} + COALESCE(c.c, 0))::BIGINT AS pr
   FROM allnodes n LEFT JOIN c{i} c ON c.node = n.node
 )"""
     return sql + f"\nSELECT node AS entity_id, pr AS pagerank FROM r{iters}"
 
 
 _KG_PAGERANK_SQL = _pagerank_sql(3)
+# personalized variant seeded with the retrieval path's low-level keywords
+_KG_PPR_SQL = _pagerank_sql(3, seed_list="('SPARK','CUSTOMER','VECTOR')")
 
 # per-node triangle counts: undirected simple edges, each triangle credits
 # all three corners; enumeration order (id-sorted here, degree-sorted in the
@@ -2367,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mentions": q_mentions,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_ppr": q_kg_ppr,
         "kg_components": q_kg_components,
         "kg_triangles": q_kg_triangles,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
@@ -2402,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctx_global_entities": q_ctx_global_entities,
         "span_check": q_span_check,
         "entity_ann": q_entity_ann,
+        "window_distinct": q_window_distinct,
         "window_tumbling": q_window_tumbling,
         "window_hopping": q_window_hopping,
         "sessions": q_sessions,
@@ -2411,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "quality_buckets": q_quality_buckets,
+        "embed_quantize": q_embed_quantize,
         "top_docs_per_lang": q_top_docs_per_lang,
         "langid_confusion": q_langid_confusion,
         "mix_corpora": q_mix_corpora,
@@ -2440,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "mentions": _MENTIONS_SQL,
         "kg_degrees": _KG_DEGREES_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
+        "kg_ppr": _KG_PPR_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
@@ -2469,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_clusters": _EMBED_CLUSTERS_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "span_check": _SPAN_CHECK_SQL,
+        "window_distinct": _WINDOW_DISTINCT_SQL,
         "window_tumbling": _WINDOW_TUMBLING_SQL,
         "window_hopping": _WINDOW_HOPPING_SQL,
         "sessions": _SESSIONS_SQL,
@@ -2478,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "quality_buckets": _QUALITY_BUCKETS_SQL,
+        "embed_quantize": _EMBED_QUANTIZE_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "langid_confusion": _LANGID_CONFUSION_SQL,
         "mix_corpora": _MIX_CORPORA_SQL,

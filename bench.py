@@ -231,7 +231,13 @@ def run_scaling(sf_dir: str) -> dict:
     cannot amortize."""
     import pyarrow.parquet as pq
 
-    rep = int(os.environ.get("GRAFT_SCALE_REP", "200"))
+    # 800× (4M docs): the r3 combiner/occ-cap vectorization cut the
+    # pipeline's parallel CPU work ~4× at fixed input, so the old 200×
+    # corpus no longer dominated the ~15 s non-scaling floor (sort /
+    # materialize rounds + pool spin-up) — the 8-CPU leg dropped to ~96 s
+    # and measured "efficiency" collapsed to the floor ratio, not the
+    # engine.  4M docs restores W/8 ≫ F (t8 back at round-2's ~350 s).
+    rep = int(os.environ.get("GRAFT_SCALE_REP", "800"))
     reps32 = int(os.environ.get("GRAFT_SCALE_RUNS32", "3"))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
 

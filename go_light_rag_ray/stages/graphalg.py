@@ -53,6 +53,7 @@ def pagerank(
     scale: int = PAGERANK_SCALE,
     damping_pct: int = PAGERANK_DAMPING_PCT,
     local_threshold: int = 1 << 20,
+    seeds: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Integer fixed-point PageRank over the canonical graph.
 
@@ -61,8 +62,17 @@ def pagerank(
     stored (src → tgt) edges; edges are already distinct per (src, tgt) in
     the canonical graph.  Returns ``(entity_id, pagerank)`` — pagerank is
     the int64 fixed-point rank (divide by ``scale`` for the float view).
+
+    ``seeds`` switches to PERSONALIZED PageRank (the retrieval-path ranker:
+    rank entities by proximity to the query keywords): initial mass and the
+    teleport ``base`` term restrict to the seed set —
+    rank⁰(v) = scale·[v∈S], rankⁱ(v) = base·[v∈S] + Σ contributions.  Same
+    all-int64 arithmetic, so the unrolled SQL oracle stays bit-exact.  The
+    seed set is query-sized (ships in the task closure); a huge seed set
+    should go through ``ray.put`` instead.
     """
     base = (scale * (100 - damping_pct)) // 100
+    sset = frozenset(seeds) if seeds is not None else None
     nodes, edges = _graph_sides(graph)
 
     if edges.count() <= local_threshold and nodes.count() <= local_threshold:
@@ -95,14 +105,20 @@ def pagerank(
             tgt = np.array([idx[t] for t in e.column("v").to_pylist()],
                            dtype=np.int64)
             out = np.bincount(src, minlength=n).astype(np.int64)
-            rank = np.full(n, scale, dtype=np.int64)
+            if sset is None:
+                basev = np.full(n, base, dtype=np.int64)
+                rank = np.full(n, scale, dtype=np.int64)
+            else:
+                mask = np.array([nm in sset for nm in names], dtype=np.int64)
+                basev = base * mask
+                rank = scale * mask
             for _ in range(iterations):
                 contrib = (damping_pct * rank[src]) // (100 * out[src])
                 # int64 scatter-add (np.bincount's float weights would lose
                 # exactness above 2^53)
                 acc = np.zeros(n, dtype=np.int64)
                 np.add.at(acc, tgt, contrib)
-                rank = base + acc
+                rank = basev + acc
             return pa.Table.from_pydict(
                 {"entity_id": pa.array(names, pa.string()),
                  "pagerank": pa.array(rank, pa.int64())})
@@ -117,9 +133,14 @@ def pagerank(
     edges_deg = sorted_attach_count(edges, ["src"], "outdeg").materialize()
 
     def init_ranks(b: pa.Table) -> pa.Table:
+        if sset is None:
+            pr = np.full(len(b), scale, dtype=np.int64)
+        else:
+            pr = scale * np.array(
+                [nm in sset for nm in b.column("entity_id").to_pylist()],
+                dtype=np.int64)
         return pa.Table.from_pydict(
-            {"node": b.column("entity_id"),
-             "pr": pa.array(np.full(len(b), scale, dtype=np.int64))})
+            {"node": b.column("entity_id"), "pr": pa.array(pr)})
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
@@ -173,9 +194,15 @@ def pagerank(
 
         def finish(b: pa.Table) -> pa.Table:
             inc = b.column("inc").to_numpy(zero_copy_only=False)
+            if sset is None:
+                basev = base
+            else:
+                basev = base * np.array(
+                    [nm in sset for nm in b.column("node").to_pylist()],
+                    dtype=np.int64)
             return pa.Table.from_pydict(
                 {"node": b.column("node"),
-                 "pr": pa.array(base + inc.astype(np.int64))})
+                 "pr": pa.array(basev + inc.astype(np.int64))})
 
         ranks = summed.map_batches(finish, batch_format="pyarrow").materialize()
 

@@ -82,6 +82,59 @@ def tumbling_window_agg(
     )
 
 
+def tumbling_distinct_users(
+    events: ray.data.Dataset, window_s: int = 3600
+) -> ray.data.Dataset:
+    """Per tumbling window: event count + DISTINCT user count →
+    (window_start_us, n_events, n_users).
+
+    Count-distinct is the shuffle-hostile aggregate (raw values must
+    co-locate); the scale shape is the standard two-level reduction:
+
+    1. per-batch combiner — one Arrow hash-aggregate to ≤1 row per
+       (window, user) per batch carrying the local event count, so the
+       shuffle moves ≤ |windows|·|users| rows, not |events|;
+    2. one ``sorted_reduce`` over the (window, user) pair key (the
+       high-cardinality step — zero per-group Python) summing the counts;
+    3. a small conventional groupby over the already-distinct pairs
+       (|windows| groups) for the final (n_events, n_users).
+    """
+    w_us = window_s * US
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        t = pa.table({
+            "window_start_us": pa.array((ts // w_us) * w_us, pa.int64()),
+            "user_id": b.column("user_id").combine_chunks(),
+        })
+        g = t.group_by(["window_start_us", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return pa.table({
+            "window_start_us": g.column("window_start_us"),
+            "user_id": g.column("user_id"),
+            "c": pc.cast(g.column("user_id_count"), pa.int64()),
+        })
+
+    from .sortagg import sorted_reduce
+
+    wu = sorted_reduce(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        ["window_start_us", "user_id"], ops=[("sum", "c", "c")])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_u", pa.array(np.ones(len(b), dtype=np.int64)))
+
+    return (
+        wu.map_batches(ones, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(
+            agg.Sum("c", alias_name="n_events"),
+            agg.Sum("_u", alias_name="n_users"),
+        )
+    )
+
+
 def hopping_window_agg(
     events: ray.data.Dataset, window_s: int = 3600, hop_s: int = 900
 ) -> ray.data.Dataset:

@@ -249,3 +249,41 @@ def test_neighbor_jaccard_center_cap(ray_session):
     assert _run_jaccard(edges, max_center_degree=3) == {}
     assert _run_jaccard(edges, max_center_degree=3,
                         local_threshold=0) == {}
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+def _reference_ppr(nodes, edges, seeds, iterations=3, scale=10**6, d=85):
+    base = (scale * (100 - d)) // 100
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    sset = set(seeds)
+    rank = {v: (scale if v in sset else 0) for v in nodes}
+    for _ in range(iterations):
+        new = {v: (base if v in sset else 0) for v in nodes}
+        for a, b in edges:
+            new[b] += (d * rank[a]) // (100 * out[a])
+        rank = new
+    return rank
+
+
+@pytest.mark.parametrize("kw", [{}, {"local_threshold": 0}])
+def test_ppr_matches_reference_both_paths(ray_session, kw):
+    seeds = ["A", "D"]
+    got = {r["entity_id"]: r["pagerank"]
+           for r in pagerank(_graph_ds(NODES, EDGES), seeds=seeds,
+                             **kw).take_all()}
+    assert got == _reference_ppr(NODES, EDGES, seeds)
+    # non-seed isolated nodes hold zero mass
+    assert got["E"] == 0 and got["F"] == 0
+    # seeds keep their teleport base
+    assert got["D"] >= 150_000
+
+
+def test_ppr_empty_seed_set_is_all_zero(ray_session):
+    got = {r["entity_id"]: r["pagerank"]
+           for r in pagerank(_graph_ds(NODES, EDGES), seeds=[]).take_all()}
+    assert set(got.values()) == {0}

@@ -136,3 +136,21 @@ def test_asof_whale_salting_identical(ray_session):
         (r["event_id"], r["user_id"], r["mark_event_id"])
         for r in asof_join_latest(ev, salt_bucket_s=3600).take_all())
     assert plain == salted
+
+
+def test_tumbling_distinct_users(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.windows import tumbling_distinct_users
+
+    # two windows of 10 s; user u1 repeats within window 0
+    ev = ray.data.from_arrow(pa.table({
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000, 11_000_000,
+                        12_000_000], pa.timestamp("us")),
+        "user_id": ["u1", "u1", "u2", "u2", "u3"],
+    })).repartition(3)
+    out = {r["window_start_us"]: r
+           for r in tumbling_distinct_users(ev, window_s=10).take_all()}
+    assert out[0]["n_events"] == 3 and out[0]["n_users"] == 2
+    assert out[10_000_000]["n_events"] == 2 and out[10_000_000]["n_users"] == 2
