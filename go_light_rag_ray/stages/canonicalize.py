@@ -575,13 +575,37 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
     0 = exact full accumulation.  At web scale a hot entity would otherwise
     accumulate one description per mentioning document — unbounded row
     width the summarizer only bounds AFTER the shuffle has paid for it.
+
+    The combiner task pool is CAPPED (``_combine_width``): the kernel is a
+    chain of 1M-row Arrow hash-aggregates — memory-bandwidth-bound, not
+    CPU-bound — and at 32 concurrent tasks per node the per-task wall blew
+    up ~8× (61 s mean vs 7 s at 8-way on identical bundles, measured r3;
+    RAM was plentiful, so this is cache/bandwidth saturation, the classic
+    hash-aggregate scaling wall).  8 tasks per node saturate the memory
+    system; the freed CPU slots pipeline the upstream chunk/extract actors
+    instead of fighting the combiner for bandwidth.
     """
     partials = mentions.map_batches(
         lambda b: combine_mentions(b, salt_buckets, merge_cap),
         batch_format="pyarrow",
         batch_size=batch_size,
+        concurrency=_combine_width(),
     )
     return _merge_and_finalize(partials, salt_buckets, merge_cap, strategy)
+
+
+def _combine_width() -> int:
+    """Max concurrent combiner tasks: ~8 per node's worth of CPUs (the
+    measured bandwidth saturation point of the 1M-row hash-aggregate
+    kernel), never more than the cluster's CPUs."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(8 * max(1, cpus // 32 + (1 if cpus % 32 else 0)),
+                      cpus))
 
 
 _KEY_COLS = ["kind", "k1", "k2"]
@@ -1134,6 +1158,7 @@ def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,
         lambda b: combine_mentions(b, salt_buckets, merge_cap),
         batch_format="pyarrow",
         batch_size=batch_size,
+        concurrency=_combine_width(),
     )
     prior_partials = prior_graph.map_batches(
         lambda b: graph_to_partials(b, salt_buckets),
