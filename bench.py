@@ -52,6 +52,9 @@ def _consume(result) -> int:
     return 0
 
 
+SCALE_REP_DEFAULT = "1600"
+
+
 def _pipelines(sf_dir: str) -> dict:
     """name → zero-arg callable returning a consumable result.
 
@@ -81,7 +84,7 @@ def _pipelines(sf_dir: str) -> dict:
         from go_light_rag_ray.pipelines.kg import Handler, kg_pipeline
         from go_light_rag_ray.sources import io as table_io
 
-        rep = int(os.environ.get("GRAFT_SCALE_REP", "200"))
+        rep = int(os.environ.get("GRAFT_SCALE_REP", SCALE_REP_DEFAULT))
 
         def replicate(b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_pylist()
@@ -231,13 +234,13 @@ def run_scaling(sf_dir: str) -> dict:
     cannot amortize."""
     import pyarrow.parquet as pq
 
-    # 800× (4M docs): the r3 combiner/occ-cap vectorization cut the
+    # 1600× (8M docs): the r3 combiner/occ-cap vectorization cut the
     # pipeline's parallel CPU work ~4× at fixed input, so the old 200×
     # corpus no longer dominated the ~15 s non-scaling floor (sort /
     # materialize rounds + pool spin-up) — the 8-CPU leg dropped to ~96 s
     # and measured "efficiency" collapsed to the floor ratio, not the
-    # engine.  4M docs restores W/8 ≫ F (t8 back at round-2's ~350 s).
-    rep = int(os.environ.get("GRAFT_SCALE_REP", "800"))
+    # engine.  8M docs restores W/8 ≫ F (t8 back at round-2's ~300 s).
+    rep = int(os.environ.get("GRAFT_SCALE_REP", SCALE_REP_DEFAULT))
     reps32 = int(os.environ.get("GRAFT_SCALE_RUNS32", "3"))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
 
@@ -249,11 +252,24 @@ def run_scaling(sf_dir: str) -> dict:
                        timeout=120)
         time.sleep(2)
         wait_quiet()
-        cmd = [sys.executable, os.path.abspath(__file__),
+        # OS-confine the leg to exactly `cpus` cores: ray.init(num_cpus=N)
+        # only bounds LOGICAL task slots — raylet/object-store/worker
+        # system threads leak ~2-4 extra cores, which inflates the small
+        # leg's effective parallelism (measured 10.5 busy cores on the
+        # "8-cpu" leg) and deflates the efficiency ratio.  taskset makes
+        # the sandbox proxy honest: N cores vs 4N cores.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}",
+               sys.executable, os.path.abspath(__file__),
                "--single", "__kg_scale__", "--cpus", str(cpus),
                "--sf-dir", sf_dir]
+        # pass rep EXPLICITLY: the subprocess's kg_scale() reads the env
+        # var with its own default — r3 shipped two different defaults and
+        # every leg silently processed the smaller corpus while n_docs
+        # reported the larger one
+        env = dict(os.environ)
+        env["GRAFT_SCALE_REP"] = str(rep)
         out = subprocess.run(cmd, capture_output=True, text=True,
-                             env=dict(os.environ), timeout=3600)
+                             env=env, timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)["queries"]["__kg_scale__"]
 
