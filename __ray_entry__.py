@@ -469,6 +469,16 @@ def q_kg_components(sf_dir: str) -> ray.data.Dataset:
     return components(_graph(sf_dir))
 
 
+def q_kg_kcore(sf_dir: str) -> ray.data.Dataset:
+    """2-core of the canonical graph (stages/graphalg.kcore — simultaneous
+    Jacobi peel, two keyed sorts per round, no driver-side state); rounds
+    bounded at 8 to mirror the unrolled SQL (extra rounds past the
+    fixpoint are no-ops on both sides)."""
+    from go_light_rag_ray.stages.graphalg import kcore
+
+    return kcore(_graph(sf_dir), k=2, rounds=8)
+
+
 def q_kg_triangles(sf_dir: str) -> ray.data.Dataset:
     """Per-node triangle counts over the canonical graph
     (stages/graphalg.triangles — degree-ordered node-iterator, integer
@@ -638,6 +648,16 @@ def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.lm import unigram_score
 
     return unigram_score(_raw_docs(sf_dir))
+
+
+def q_importance_weights(sf_dir: str) -> ray.data.Dataset:
+    """DSIR-style importance weighting: unigram models trained on a
+    deterministic md5-bucket target slice and on the full corpus, both
+    broadcast, every doc scored with integer frequency sums + the
+    tie-stable 6-dp ratio (stages/lm.importance_weights)."""
+    from go_light_rag_ray.stages.lm import importance_weights
+
+    return importance_weights(_raw_docs(sf_dir))
 
 
 def q_embed_quantize(sf_dir: str) -> ray.data.Dataset:
@@ -1504,6 +1524,35 @@ GROUP BY words.doc_id
 # int8 quantization summary: every output is integer-derived except
 # max_abs (an input element upcast f32→f64, exact); the per-element op
 # sequence x·(127/max_abs)+0.5 → floor → clip matches the numpy kernel
+# DSIR importance weights: integer frequency sums under the target-slice
+# and full-corpus unigram models; weight = one division + tie-stable 6-dp
+# floor-round, the same op sequence as the numpy kernel
+_IMPORTANCE_WEIGHTS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+target_ids AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('dsir' || doc_id::VARCHAR), 1, 8))::BIGINT
+        < 1073741824
+),
+tmodel AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM words JOIN target_ids USING (doc_id) GROUP BY w
+),
+rmodel AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w)
+SELECT words.doc_id,
+       count(*) AS n_tokens,
+       sum(coalesce(tmodel.c, 0))::BIGINT AS sum_target,
+       sum(rmodel.c)::BIGINT AS sum_raw,
+       floor(sum(coalesce(tmodel.c, 0))::DOUBLE / sum(rmodel.c)
+             * 1000000 + 0.5) / 1000000 AS weight
+FROM words
+JOIN rmodel ON words.w = rmodel.w
+LEFT JOIN tmodel ON words.w = tmodel.w
+GROUP BY words.doc_id
+"""
+
 _EMBED_QUANTIZE_SQL = r"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 m AS (SELECT vec_id, v, len(v)::BIGINT AS n_dims,
@@ -2039,6 +2088,43 @@ r{i} AS (
     return sql + f"\nSELECT node AS entity_id, pr AS pagerank FROM r{iters}"
 
 
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled simultaneous (Jacobi) k-core peel
+    (stages/graphalg.kcore): each round keeps the edges whose BOTH
+    endpoints have degree ≥ k over the previous round's edge set; the
+    engine bounds its peel at the same ``rounds``, and extra rounds past
+    the fixpoint are no-ops, so the comparison is exact either way.
+
+    Every round CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    each round references the previous one 3× — inlined, the unrolled
+    plan re-evaluates e0 ~5^rounds times and exhausts file handles
+    re-scanning the parquet views."""
+    sql = _GRAPH_TOPOLOGY_CTE + """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, tgt) AS u, greatest(src, tgt) AS v
+  FROM edges_d WHERE src <> tgt
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i - 1} AS MATERIALIZED (
+  SELECT x, count(*)::BIGINT AS c FROM (
+    SELECT u AS x FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}
+  ) GROUP BY x
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN d{i - 1} du ON du.x = e.u
+  JOIN d{i - 1} dv ON dv.x = e.v
+  WHERE du.c >= {k} AND dv.c >= {k}
+)"""
+    return sql + f"""
+SELECT x AS entity_id, count(*)::BIGINT AS core_degree FROM (
+  SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+) GROUP BY x"""
+
+
+_KG_KCORE_SQL = _kcore_sql(2, 8)
+
 _KG_PAGERANK_SQL = _pagerank_sql(3)
 # personalized variant seeded with the retrieval path's low-level keywords
 _KG_PPR_SQL = _pagerank_sql(3, seed_list="('SPARK','CUSTOMER','VECTOR')")
@@ -2441,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": q_kg_ppr,
         "kg_components": q_kg_components,
         "kg_triangles": q_kg_triangles,
+        "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "entity_name_pairs": q_entity_name_pairs,
         "dedup_exact": q_dedup_exact,
@@ -2483,6 +2570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
+        "importance_weights": q_importance_weights,
         "quality_buckets": q_quality_buckets,
         "embed_quantize": q_embed_quantize,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2517,6 +2605,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _KG_PPR_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
+        "kg_kcore": _KG_KCORE_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
         "entity_name_pairs": _ENTITY_NAME_PAIRS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
@@ -2553,6 +2642,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
+        "importance_weights": _IMPORTANCE_WEIGHTS_SQL,
         "quality_buckets": _QUALITY_BUCKETS_SQL,
         "embed_quantize": _EMBED_QUANTIZE_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,

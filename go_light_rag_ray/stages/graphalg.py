@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["pagerank", "components", "triangles", "neighbor_jaccard",
-           "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
+           "kcore", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
 
 PAGERANK_SCALE = 1_000_000
 PAGERANK_DAMPING_PCT = 85
@@ -630,6 +630,134 @@ def neighbor_jaccard(
 
     counted = sorted_count(cand, ["x", "y"], carry=["deg_x", "deg_y"])
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore(
+    graph: ray.data.Dataset,
+    k: int = 2,
+    rounds: int = 0,
+    local_threshold: int = 1 << 20,
+) -> ray.data.Dataset:
+    """k-core of the undirected simple graph → ``(entity_id,
+    core_degree:int64)`` for every node that survives the peel (the
+    density skeleton next to degree / PageRank / components / triangles).
+
+    Peeling is SIMULTANEOUS (Jacobi): each round computes every node's
+    degree over the CURRENT edge set, then drops all nodes below ``k`` at
+    once — the only order-free (hence deterministic and SQL-unrollable)
+    formulation.  ``rounds`` = 0 runs to the fixpoint; > 0 bounds the peel
+    (the oracle mode: the SQL twin unrolls the same number of rounds, and
+    once the fixpoint is reached further rounds are no-ops on both sides).
+
+    Distributed shape (100 TB): each round is two keyed sorts and nothing
+    else — ``sorted_attach_count`` puts each endpoint's degree on its
+    directed rows (join-free segment broadcast), the below-``k`` rows drop,
+    and a ``sorted_count`` keeps the undirected pairs that survived from
+    BOTH endpoints (count == 2).  Edge state re-materializes per round so
+    lineage stays one round deep (the PageRank convention).  Rounds are
+    data-dependent but each strictly shrinks the edge set; no driver-side
+    membership set, no broadcast of removed nodes.  A graph whose edge set
+    fits one block short-circuits to a single-task numpy peel
+    (bit-identical output).
+    """
+    if k < 1:
+        raise ValueError("kcore requires k >= 1")
+    from .sortagg import sorted_attach_count, sorted_count
+
+    _, edges = _graph_sides(graph)
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        s, t = b.column("src"), b.column("tgt")
+        keep = pc.not_equal(s, t)
+        s, t = s.filter(keep), t.filter(keep)
+        return pa.Table.from_pydict({
+            "u": pc.min_element_wise(s, t),
+            "v": pc.max_element_wise(s, t),
+        })
+
+    und_raw = edges.map_batches(und_rows, batch_format="pyarrow")
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "a": pa.concat_arrays([
+                b.column("u").combine_chunks(),
+                b.column("v").combine_chunks()]),
+            "b": pa.concat_arrays([
+                b.column("v").combine_chunks(),
+                b.column("u").combine_chunks()]),
+        })
+
+    if edges.count() <= local_threshold:
+        und1 = und_raw.repartition(1)
+
+        def local_peel(b: pa.Table) -> pa.Table:
+            pairs = sorted(set(zip(b.column("u").to_pylist(),
+                                   b.column("v").to_pylist())))
+            r = 0
+            while pairs and (rounds <= 0 or r < rounds):
+                deg: dict[str, int] = {}
+                for u, v in pairs:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+                kept = [(u, v) for u, v in pairs
+                        if deg[u] >= k and deg[v] >= k]
+                if len(kept) == len(pairs):
+                    break
+                pairs = kept
+                r += 1
+            deg = {}
+            for u, v in pairs:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            names = sorted(deg)
+            return pa.Table.from_pydict({
+                "entity_id": pa.array(names, pa.string()),
+                "core_degree": pa.array([deg[n] for n in names], pa.int64()),
+            })
+
+        return und1.map_batches(local_peel, batch_format="pyarrow",
+                                batch_size=None)
+
+    und = sorted_count(und_raw, ["u", "v"]).select_columns(
+        ["u", "v"]).materialize()
+    m = und.count()
+    r = 0
+    while m and (rounds <= 0 or r < rounds):
+        dsym = sorted_attach_count(
+            und.map_batches(sym, batch_format="pyarrow"), ["a"], "deg_a")
+        alive = dsym.filter(expr=f"deg_a >= {int(k)}")
+
+        def to_pair(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "u": pc.min_element_wise(b.column("a"), b.column("b")),
+                "v": pc.max_element_wise(b.column("a"), b.column("b")),
+            })
+
+        counted = sorted_count(
+            alive.map_batches(to_pair, batch_format="pyarrow"), ["u", "v"],
+            count_name="sides")
+        und = counted.filter(expr="sides == 2").select_columns(
+            ["u", "v"]).materialize()
+        m_new = und.count()
+        if m_new == m:
+            break
+        m = m_new
+        r += 1
+
+    if not m:
+        return ray.data.from_arrow(
+            pa.table({"entity_id": pa.array([], pa.string()),
+                      "core_degree": pa.array([], pa.int64())}))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "entity_id": b.column("a"),
+            "core_degree": pc.cast(b.column("deg"), pa.int64()),
+        })
+
+    return sorted_count(
+        und.map_batches(sym, batch_format="pyarrow"), ["a"], count_name="deg"
+    ).map_batches(rename, batch_format="pyarrow")
 
 
 def components(

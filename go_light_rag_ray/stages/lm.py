@@ -34,7 +34,8 @@ import ray.data.aggregate as agg
 from ..pool import auto_pool
 
 __all__ = ["word_freq_model", "unigram_score",
-           "bigram_freq_model", "bigram_score"]
+           "bigram_freq_model", "bigram_score",
+           "importance_weights"]
 
 # ASCII unit separator joins (w1, w2) into one collision-free key: it can't
 # appear inside a whitespace-split word.  The SQL oracle uses chr(31).
@@ -237,6 +238,109 @@ def bigram_score(
         BigramScorer,
         fn_constructor_kwargs={"model_ref": model_ref, "id_col": id_col,
                                "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=auto_pool(concurrency),
+    )
+
+
+class _ImportanceScorer:
+    """Actor-pool stage: documents → DSIR-style importance signals.
+
+    Holds BOTH broadcast models (target + raw); per batch computes the
+    integer token-frequency sums under each and the per-doc ratio
+    weight = floor(sum_target / sum_raw · 1e6 + 0.5) / 1e6 — one division,
+    tie-stable rounding, bit-exact vs the SQL oracle."""
+
+    def __init__(self, target_ref, raw_ref, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        target = ray.get(target_ref)
+        raw = ray.get(raw_ref)
+        self.t_vocab = target.column("word").combine_chunks()
+        self.t_counts = target.column("c").to_numpy()
+        self.r_vocab = raw.column("word").combine_chunks()
+        self.r_counts = raw.column("c").to_numpy()
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _sums(self, flat, par, vocab, counts, n: int) -> np.ndarray:
+        idx = pc.index_in(flat, vocab).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(idx) if idx.dtype.kind == "f" else idx >= 0
+        freqs = np.zeros(len(par), dtype=np.int64)
+        if known.any():
+            freqs[known] = counts[idx[known].astype(np.int64)]
+        return np.bincount(par, weights=freqs, minlength=n).astype(np.int64)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        flat, par = _flat_words(b, self.text_col)
+        n = b.num_rows
+        n_tokens = np.bincount(par, minlength=n).astype(np.int64)
+        sum_t = self._sums(flat, par, self.t_vocab, self.t_counts, n)
+        sum_r = self._sums(flat, par, self.r_vocab, self.r_counts, n)
+        # raw model covers every corpus token in exact mode (sum_r ≥
+        # n_tokens ≥ 1); the max(…,1) only guards the top_vocab-capped mode
+        safe = np.maximum(sum_r, 1)
+        weight = np.floor(sum_t.astype(np.float64) / safe * 1e6 + 0.5) / 1e6
+        out = pa.Table.from_pydict({
+            "doc_id": b.column(self.id_col),
+            "n_tokens": pa.array(n_tokens),
+            "sum_target": pa.array(sum_t),
+            "sum_raw": pa.array(sum_r),
+            "weight": pa.array(weight),
+        })
+        return out.filter(pa.array(n_tokens > 0))
+
+
+def importance_weights(
+    docs: ray.data.Dataset,
+    target_fraction: float = 0.25,
+    target_salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 0,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    DSIR weights raw documents by how target-like their hashed-n-gram LM
+    likelihood is relative to the raw-corpus LM.  This is the
+    transcendental-free exact core of that estimator: train the unigram
+    frequency model on the TARGET slice (a deterministic md5-bucket of the
+    corpus — stand-in for "the high-quality domain"; swap in any predicate)
+    and on the FULL corpus, broadcast both, and score every document with
+    the integer frequency sums plus their ratio.  Resampling then keeps
+    docs ∝ weight (``hash_sample`` composes for the coordination-free
+    draw).
+
+    Distributed shape: two train passes (combiner → one vocabulary-sized
+    shuffle each), two ``ray.put`` broadcasts, one vectorized scoring pass
+    — no join against the corpus, the exact KenLM-classifier pattern at
+    100 TB.  ``top_vocab`` caps both broadcast models at web scale
+    (0 = exact, oracle mode)."""
+    import hashlib
+
+    threshold = int(target_fraction * (1 << 32))
+
+    def target_only(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        keep = [
+            int(hashlib.md5(f"{target_salt}{i}".encode()).hexdigest()[:8], 16)
+            < threshold
+            for i in ids
+        ]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    target_model = word_freq_model(
+        docs.map_batches(target_only, batch_format="pyarrow"),
+        text_col, top_vocab)
+    raw_model = word_freq_model(docs, text_col, top_vocab)
+    return docs.map_batches(
+        _ImportanceScorer,
+        fn_constructor_kwargs={
+            "target_ref": ray.put(target_model),
+            "raw_ref": ray.put(raw_model),
+            "id_col": id_col, "text_col": text_col,
+        },
         batch_format="pyarrow",
         concurrency=auto_pool(concurrency),
     )

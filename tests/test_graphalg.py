@@ -287,3 +287,64 @@ def test_ppr_empty_seed_set_is_all_zero(ray_session):
     got = {r["entity_id"]: r["pagerank"]
            for r in pagerank(_graph_ds(NODES, EDGES), seeds=[]).take_all()}
     assert set(got.values()) == {0}
+
+
+def _reference_kcore(edges, k, rounds=0):
+    """Independent simultaneous-peel reference."""
+    pairs = sorted(set((min(a, b), max(a, b)) for a, b in edges if a != b))
+    r = 0
+    while pairs and (rounds <= 0 or r < rounds):
+        deg = {}
+        for u, v in pairs:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        kept = [(u, v) for u, v in pairs if deg[u] >= k and deg[v] >= k]
+        if len(kept) == len(pairs):
+            break
+        pairs = kept
+        r += 1
+    deg = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+@pytest.mark.parametrize("thr", [1 << 20, 0])
+def test_kcore_both_paths_match_reference(ray_session, thr):
+    from go_light_rag_ray.stages.graphalg import kcore
+
+    # triangle ABC (2-core) + pendant chain C-D-E + isolated F; duplicate
+    # and reversed edges plus a self loop must not change anything
+    nodes = ["A", "B", "C", "D", "E", "F"]
+    edges = [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"), ("D", "E"),
+             ("B", "A"), ("C", "C")]
+    got = {r["entity_id"]: r["core_degree"]
+           for r in kcore(_graph_ds(nodes, edges), k=2,
+                          local_threshold=thr).take_all()}
+    assert got == _reference_kcore(edges, 2) == {"A": 2, "B": 2, "C": 2}
+    # k=1 keeps every non-isolated node with its simple degree
+    got1 = {r["entity_id"]: r["core_degree"]
+            for r in kcore(_graph_ds(nodes, edges), k=1,
+                           local_threshold=thr).take_all()}
+    assert got1 == _reference_kcore(edges, 1)
+    # k high enough empties the graph
+    assert kcore(_graph_ds(nodes, edges), k=5,
+                 local_threshold=thr).take_all() == []
+
+
+def test_kcore_bounded_rounds_match_reference(ray_session):
+    from go_light_rag_ray.stages.graphalg import kcore
+
+    # long pendant chain: each round peels exactly one leaf pair, so a
+    # bounded peel stops mid-way — both paths must match the same bound
+    chain = [(chr(65 + i), chr(66 + i)) for i in range(8)]  # A-B-…-I
+    nodes = sorted({x for e in chain for x in e})
+    for rounds in (1, 2, 3):
+        want = _reference_kcore(chain, 2, rounds=rounds)
+        for thr in (1 << 20, 0):
+            got = {r["entity_id"]: r["core_degree"]
+                   for r in kcore(_graph_ds(nodes, chain), k=2,
+                                  rounds=rounds,
+                                  local_threshold=thr).take_all()}
+            assert got == want, (rounds, thr)

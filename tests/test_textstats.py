@@ -118,6 +118,50 @@ def test_unigram_lm_scoring(ray_session):
     assert rows_c[1]["oov_count"] == 2 and rows_c[1]["sum_freq"] == 3
 
 
+def test_importance_weights_hand_computed(ray_session):
+    """DSIR-style weights: hand-checked integer sums + ratio against a
+    forced target slice (target_fraction=1 → target model == raw model →
+    weight 1.0 for every doc), then a real split via the md5 bucket."""
+    import hashlib
+
+    import numpy as np
+
+    from go_light_rag_ray.stages.lm import importance_weights
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x x y", "x z", "y z z", ""],
+    }))
+    # degenerate: everything is target → sum_target == sum_raw everywhere
+    rows = {r["doc_id"]: r
+            for r in importance_weights(docs, target_fraction=1.0).take_all()}
+    assert "d" not in rows          # zero-token docs emit no row
+    assert all(r["sum_target"] == r["sum_raw"] and r["weight"] == 1.0
+               for r in rows.values())
+    # raw model: x=3, y=2, z=3 → doc a raw sum = 3+3+2 = 8
+    assert rows["a"]["n_tokens"] == 3 and rows["a"]["sum_raw"] == 8
+
+    # real split: recompute the expected target slice with the same md5
+    # bucket and check one doc's sums by hand
+    frac = 0.5
+    thr = int(frac * (1 << 32))
+    tgt = {i for i in ("a", "b", "c")
+           if int(hashlib.md5(f"dsir{i}".encode()).hexdigest()[:8], 16) < thr}
+    assert tgt, "fixture must select a non-empty target slice"
+    tcounts: dict[str, int] = {}
+    texts = {"a": "x x y", "b": "x z", "c": "y z z"}
+    for i in tgt:
+        for w in texts[i].split():
+            tcounts[w] = tcounts.get(w, 0) + 1
+    rows = {r["doc_id"]: r
+            for r in importance_weights(docs, target_fraction=frac).take_all()}
+    for i in ("a", "b", "c"):
+        sum_t = sum(tcounts.get(w, 0) for w in texts[i].split())
+        assert rows[i]["sum_target"] == sum_t
+        expect = np.floor(sum_t / rows[i]["sum_raw"] * 1e6 + 0.5) / 1e6
+        assert rows[i]["weight"] == expect
+
+
 def test_scrub_text_denylist_and_pii(ray_session):
     from go_light_rag_ray.stages.scrub import scrub_text
 
