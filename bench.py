@@ -129,20 +129,41 @@ def _pipelines(sf_dir: str) -> dict:
     return out
 
 
-def wait_quiet(threshold: float = 0.5, timeout_s: float = 900.0) -> None:
-    """Gate on a quiet host: this sandbox shares its machine, and external
-    load storms (loadavg 8-20 with ZERO local processes) only ever ADD wall
-    time.  Wait for 1-min loadavg < threshold; give up after timeout_s and
-    run anyway."""
+def _cpu_sample() -> tuple[float, float, float, float]:
+    """(user+nice, system, idle, steal) cpu-seconds from /proc/stat."""
+    f = open("/proc/stat").readline().split()
+    j = [int(x) / 100.0 for x in f[1:9]]  # jiffies -> seconds (USER_HZ=100)
+    return j[0] + j[1], j[2], j[3], j[7]
+
+
+def _steal_rate(window_s: float = 3.0) -> float:
+    """External-contention probe: steal cpu-seconds per wall second.
+
+    This guest's vCPUs are time-shared with other tenants; when a host
+    storm hits, /proc/stat STEAL ticks while our CPUs sit idle — measured
+    storms here show steal of 600-1100 cpu-s over a single scale leg
+    (+70-90 % wall).  loadavg is NOT a usable gate on this box: it reads
+    8-20 with every core idle and zero D-state procs (phantom load), so a
+    loadavg gate blocks on quiet hosts and misses real steal storms."""
+    s0 = _cpu_sample()
+    time.sleep(window_s)
+    s1 = _cpu_sample()
+    return (s1[3] - s0[3]) / window_s
+
+
+def wait_quiet(threshold: float = 0.3, timeout_s: float = 600.0) -> None:
+    """Gate on a quiet host: wait until the steal rate (external tenants
+    preempting our vCPUs) drops below ``threshold`` cpu-s/s; give up after
+    timeout_s and run anyway (storms only ever ADD wall time, and min-of-K
+    legs absorb the ones that slip through)."""
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         try:
-            load1 = float(open("/proc/loadavg").read().split()[0])
+            if _steal_rate() < threshold:
+                return
         except OSError:
             return
-        if load1 < threshold:
-            return
-        time.sleep(15)
+        time.sleep(12)
 
 
 def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
@@ -268,10 +289,20 @@ def run_scaling(sf_dir: str) -> dict:
         # reported the larger one
         env = dict(os.environ)
         env["GRAFT_SCALE_REP"] = str(rep)
+        s0 = _cpu_sample()
         out = subprocess.run(cmd, capture_output=True, text=True,
                              env=env, timeout=3600)
+        s1 = _cpu_sample()
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)["queries"]["__kg_scale__"]
+        sec = json.loads(line)["queries"]["__kg_scale__"]
+        # /proc/stat deltas over the leg make every run auditable: `work`
+        # (user+sys cpu-s) should be ~invariant for a given leg on a quiet
+        # host (storms inflate it ~50 % via stall cycles), and `steal`
+        # directly measures external-tenant contention — the runs with
+        # steal ≈ 0 are the honest cluster-proxy observations.
+        return {"sec": sec,
+                "work_cpu_s": round(s1[0] - s0[0] + s1[1] - s0[1], 1),
+                "steal_cpu_s": round(s1[3] - s0[3], 1)}
 
     # BOTH legs take the MINIMUM of K fresh processes: external storms are
     # strictly additive noise, so min-of-K is the unbiased "quiet machine"
@@ -279,13 +310,23 @@ def run_scaling(sf_dir: str) -> dict:
     # All runs are reported (runs8_sec / runs32_sec) so the spread is
     # auditable.
     reps8 = int(os.environ.get("GRAFT_SCALE_RUNS8", "2"))
-    runs8 = sorted(one_run(8) for _ in range(reps8))
-    sec8 = runs8[0]
-    runs32 = sorted(one_run(32) for _ in range(reps32))
-    sec32 = runs32[0]
+    runs8 = sorted((one_run(8) for _ in range(reps8)),
+                   key=lambda r: r["sec"])
+    sec8 = runs8[0]["sec"]
+    runs32 = sorted((one_run(32) for _ in range(reps32)),
+                    key=lambda r: r["sec"])
+    sec32 = runs32[0]["sec"]
     points = {8: {"sec": sec8, "docs_per_sec": round(n_docs / sec8, 2)},
               32: {"sec": sec32, "docs_per_sec": round(n_docs / sec32, 2)}}
     eff = (points[8]["sec"] / points[32]["sec"]) / (32 / 8)
+    # steal-verified twin of the min-of-K estimator: pick each leg's
+    # LOWEST-STEAL run (the observation closest to an uncontended host)
+    # and report that pair's efficiency alongside.  min-of-K can go
+    # superlinear when one leg catches a quieter window than the other
+    # ever did; the quiet pair is the conservative, auditable number.
+    q8 = min(runs8, key=lambda r: r["steal_cpu_s"])
+    q32 = min(runs32, key=lambda r: r["steal_cpu_s"])
+    qeff = (q8["sec"] / q32["sec"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -298,6 +339,8 @@ def run_scaling(sf_dir: str) -> dict:
         "n_docs": n_docs,
         "runs8_sec": runs8,
         "runs32_sec": runs32,
+        "quiet_pair": {"cpus8": q8, "cpus32": q32,
+                       "efficiency": round(qeff, 3)},
         "throughput": {"cpus8_docs_per_sec": points[8]["docs_per_sec"],
                        "cpus32_docs_per_sec": points[32]["docs_per_sec"]},
     }
