@@ -509,6 +509,19 @@ def q_kg_neighbor_jaccard(sf_dir: str) -> ray.data.Dataset:
     return neighbor_jaccard(_graph(sf_dir))
 
 
+def q_kg_edge_lift(sf_dir: str) -> ray.data.Dataset:
+    """Doc-co-occurrence association (lift = exp PMI) per canonical edge —
+    edge re-weighting that separates informative relationships from ones
+    explained by endpoint frequency (stages/graphalg.edge_lift: join-free
+    segment attaches, 6-dp floor-rounded single division)."""
+    import pyarrow.parquet as pq
+
+    from go_light_rag_ray.stages.graphalg import edge_lift
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return edge_lift(_graph(sf_dir), n_docs=n_docs)
+
+
 # ---------------------------------------------------------------------------
 # retrieval path (reference Query, query.go:92-190): local/global context
 # assembly over the canonical graph with fixed keyword sets
@@ -2176,6 +2189,28 @@ JOIN degj dx ON dx.a = c.x
 JOIN degj dy ON dy.a = c.y
 """
 
+# lift = N·|D(x,y)| / (|D(x)|·|D(y)|), D() = distinct source docs from
+# relationship evidence only (= the engine's edge source_ids); op sequence
+# matches graphalg.edge_lift.finish exactly: N·xy / (ds·dt) · 1e6 + 0.5,
+# floor, /1e6 — one double division, every other term integer-derived.
+_KG_EDGE_LIFT_SQL = _PRELUDE + r""",
+epairs AS (SELECT DISTINCT s, o, did FROM relk),
+exy AS (SELECT s, o, count(*)::BIGINT AS docs_xy FROM epairs GROUP BY s, o),
+incl AS (
+  SELECT e, count(DISTINCT did)::BIGINT AS docs_e FROM (
+    SELECT s AS e, did FROM epairs UNION ALL SELECT o AS e, did FROM epairs
+  ) GROUP BY e
+)
+SELECT x.s AS src, x.o AS tgt, x.docs_xy,
+       i1.docs_e AS docs_src, i2.docs_e AS docs_tgt,
+       floor((SELECT count(*)::DOUBLE FROM documents) * x.docs_xy::DOUBLE
+             / (i1.docs_e::DOUBLE * i2.docs_e::DOUBLE) * 1e6 + 0.5) / 1e6
+         AS lift
+FROM exy x
+JOIN incl i1 ON i1.e = x.s
+JOIN incl i2 ON i2.e = x.o
+"""
+
 # ---------------------------------------------------------------------------
 # alias-resolution (merge_entities) oracles: name-gram candidates ≥ 0.1 →
 # min-id component labels → relabel + re-group.  Mirrors the engine's
@@ -2529,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_edge_lift": q_kg_edge_lift,
         "entity_name_pairs": q_entity_name_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2607,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _KG_TRIANGLES_SQL,
         "kg_kcore": _KG_KCORE_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
+        "kg_edge_lift": _KG_EDGE_LIFT_SQL,
         "entity_name_pairs": _ENTITY_NAME_PAIRS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,

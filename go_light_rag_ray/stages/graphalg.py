@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["pagerank", "components", "triangles", "neighbor_jaccard",
-           "kcore", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
+           "kcore", "edge_lift", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
 
 PAGERANK_SCALE = 1_000_000
 PAGERANK_DAMPING_PCT = 85
@@ -789,3 +789,152 @@ def components(
         return b.rename_columns(["entity_id", "component_id"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def edge_lift(
+    graph: ray.data.Dataset,
+    n_docs: int,
+    local_threshold: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Doc-co-occurrence association strength (lift = exp(PMI)) for every
+    canonical edge — the LightRAG-style edge-reweighting step that separates
+    informative relationships from ones explained by endpoint frequency
+    alone (reference scope: the per-edge weight/refCount the storage layer
+    exposes, storage/neo.go:410-472; lift generalizes it to a calibrated
+    association score).
+
+    For each edge (x, y): ``lift = N · |D(x,y)| / (|D(x)| · |D(y)|)`` where
+    D(x,y) = the edge's distinct source docs (its ``source_ids``, already
+    occ-deduped by canonicalize), D(e) = distinct docs over ALL edges
+    incident to e (relationship evidence only — self-contained in the edge
+    table, no dependence on node-mention bookkeeping), N = corpus doc
+    count.  lift > 1 → x,y co-occur more than their popularity predicts;
+    the 6-dp floor-round (``floor(v·10⁶+0.5)/10⁶``) keeps the single
+    double-division oracle-stable.
+
+    Distributed shape — join-free, the neighbor_jaccard pattern:
+
+    1. per-edge rows (src, tgt, docs_xy = len(source_ids)) — narrow map;
+    2. incident (entity, doc) pairs exploded from both endpoints, distinct
+       via one ``sorted_count`` over (entity, doc), then counted per
+       entity with a second ``sorted_count`` — |D(e)| for every entity;
+    3. ship |D(e)| onto edge rows keyed by src, then by tgt, with two
+       ``sorted_attach_first`` passes (count rows are the unique carriers
+       under the one-hot marker order);
+    4. the lift itself is a vectorized tail map.
+
+    Graphs whose edge set fits one block short-circuit to a single local
+    task (bit-identical output) — the pagerank/triangles lesson.
+    """
+    edges = graph.filter(expr="kind == 'edge'").select_columns(
+        ["src", "tgt", "source_ids"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        xy = b.column("docs_xy").to_numpy(zero_copy_only=False).astype(np.float64)
+        ds_ = b.column("docs_src").to_numpy(zero_copy_only=False).astype(np.float64)
+        dt = b.column("docs_tgt").to_numpy(zero_copy_only=False).astype(np.float64)
+        # oracle op sequence: ((N·xy)/(ds·dt))·1e6 + 0.5 → floor → /1e6
+        lift = np.floor(float(n_docs) * xy / (ds_ * dt) * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict({
+            "src": b.column("src"), "tgt": b.column("tgt"),
+            "docs_xy": pc.cast(b.column("docs_xy"), pa.int64()),
+            "docs_src": pc.cast(b.column("docs_src"), pa.int64()),
+            "docs_tgt": pc.cast(b.column("docs_tgt"), pa.int64()),
+            "lift": pa.array(lift, pa.float64()),
+        })
+
+    if edges.count() <= local_threshold:
+        def local_lift(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.Table.from_pydict({
+                    "src": pa.array([], pa.string()),
+                    "tgt": pa.array([], pa.string()),
+                    "docs_xy": pa.array([], pa.int64()),
+                    "docs_src": pa.array([], pa.int64()),
+                    "docs_tgt": pa.array([], pa.int64()),
+                    "lift": pa.array([], pa.float64()),
+                })
+            srcs = b.column("src").to_pylist()
+            tgts = b.column("tgt").to_pylist()
+            sids = b.column("source_ids").to_pylist()
+            inc: dict[str, set[str]] = {}
+            for s, t, docs in zip(srcs, tgts, sids):
+                inc.setdefault(s, set()).update(docs)
+                inc.setdefault(t, set()).update(docs)
+            mid = pa.Table.from_pydict({
+                "src": pa.array(srcs, pa.string()),
+                "tgt": pa.array(tgts, pa.string()),
+                "docs_xy": pa.array([len(d) for d in sids], pa.int64()),
+                "docs_src": pa.array([len(inc[s]) for s in srcs], pa.int64()),
+                "docs_tgt": pa.array([len(inc[t]) for t in tgts], pa.int64()),
+            })
+            return finish(mid)
+
+        return edges.repartition(1).map_batches(
+            local_lift, batch_format="pyarrow", batch_size=None)
+
+    from .sortagg import sorted_attach_first, sorted_count
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "src": b.column("src"), "tgt": b.column("tgt"),
+            "docs_xy": pc.cast(
+                pc.list_value_length(b.column("source_ids")), pa.int64()),
+        })
+
+    exy = edges.map_batches(edge_rows, batch_format="pyarrow")
+
+    def inc_rows(b: pa.Table) -> pa.Table:
+        sids = b.column("source_ids")
+        lens = pc.list_value_length(sids).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(b)), lens))
+        flat = pc.list_flatten(sids)
+        t1 = pa.table({"e": pc.take(b.column("src"), idx), "did": flat})
+        t2 = pa.table({"e": pc.take(b.column("tgt"), idx), "did": flat})
+        return pa.concat_tables([t1, t2]).combine_chunks()
+
+    inc = edges.map_batches(inc_rows, batch_format="pyarrow")
+    # distinct (e, did), then |D(e)| per entity — two segment passes
+    dist = sorted_count(inc, ["e", "did"], count_name="_m")
+    cnt = sorted_count(dist.select_columns(["e", "did"]), ["e"],
+                       count_name="docs_e")
+
+    def attach_side(edge_ds: ray.data.Dataset, side: str, out_name: str,
+                    edge_cols: list[tuple[str, pa.DataType]]) -> ray.data.Dataset:
+        """Ship |D(e)| onto edge rows keyed by ``side`` without a join:
+        union the edge rows (carrier marker 1, docs_e placeholder 0) with
+        the count rows (marker 0, null-padded to the edge schema), then
+        ``sorted_attach_first`` broadcasts each key's count — the unique
+        marker-0 carrier — onto its edge rows."""
+
+        def key_edges(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return (b.append_column("e", b.column(side))
+                     .append_column("_carrier", pa.array(
+                         np.ones(n, dtype=np.int8), pa.int8()))
+                     .append_column("docs_e", pa.array(
+                         np.zeros(n, dtype=np.int64), pa.int64())))
+
+        def key_counts(b: pa.Table) -> pa.Table:
+            n = len(b)
+            d: dict[str, object] = {name: pa.nulls(n, typ)
+                                    for name, typ in edge_cols}
+            d["e"] = b.column("e")
+            d["_carrier"] = pa.array(np.zeros(n, dtype=np.int8), pa.int8())
+            d["docs_e"] = pc.cast(b.column("docs_e"), pa.int64())
+            return pa.Table.from_pydict(d)
+
+        keyed = edge_ds.map_batches(key_edges, batch_format="pyarrow")
+        carriers = cnt.map_batches(key_counts, batch_format="pyarrow")
+        attached = sorted_attach_first(
+            keyed.union(carriers), ["e"], value_col="docs_e",
+            order_col="_carrier", attach_name=out_name)
+        return (attached.filter(expr="_carrier == 1")
+                .drop_columns(["e", "_carrier", "docs_e"]))
+
+    base_cols = [("src", pa.string()), ("tgt", pa.string()),
+                 ("docs_xy", pa.int64())]
+    out = attach_side(exy, "src", "docs_src", base_cols)
+    out = attach_side(out, "tgt", "docs_tgt",
+                      base_cols + [("docs_src", pa.int64())])
+    return out.map_batches(finish, batch_format="pyarrow")

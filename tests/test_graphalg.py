@@ -348,3 +348,74 @@ def test_kcore_bounded_rounds_match_reference(ray_session):
                                   rounds=rounds,
                                   local_threshold=thr).take_all()}
             assert got == want, (rounds, thr)
+
+
+# ---------------------------------------------------------------------------
+# edge lift (doc-co-occurrence association)
+# ---------------------------------------------------------------------------
+
+def _lift_ds(edges: list[tuple[str, str, list[str]]]) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table({
+        "kind": ["edge"] * len(edges) + ["node"],
+        "src": [a for a, _, _ in edges] + [None],
+        "tgt": [b for _, b, _ in edges] + [None],
+        "source_ids": [d for _, _, d in edges] + [None],
+        "entity_id": [None] * len(edges) + ["X"],
+    })).repartition(3)
+
+
+def _run_lift(edges, n_docs=10, **kw):
+    from go_light_rag_ray.stages.graphalg import edge_lift
+
+    out = edge_lift(_lift_ds(edges), n_docs=n_docs, **kw).take_all()
+    return {(r["src"], r["tgt"]): (r["docs_xy"], r["docs_src"],
+                                   r["docs_tgt"], r["lift"])
+            for r in out}
+
+
+def _reference_lift(edges, n_docs=10):
+    inc: dict[str, set] = {}
+    for a, b, docs in edges:
+        inc.setdefault(a, set()).update(docs)
+        inc.setdefault(b, set()).update(docs)
+    return {
+        (a, b): (len(set(docs)), len(inc[a]), len(inc[b]),
+                 float(np.floor(n_docs * len(set(docs))
+                                / (len(inc[a]) * len(inc[b])) * 1e6 + 0.5)
+                       / 1e6))
+        for a, b, docs in edges
+    }
+
+
+LIFT_EDGES = [
+    ("A", "B", ["d1", "d2"]),
+    ("A", "C", ["d1"]),
+    ("B", "C", ["d3"]),
+]
+
+
+def test_edge_lift_hand_computed(ray_session):
+    got = _run_lift(LIFT_EDGES)
+    # D(A)={d1,d2}, D(B)={d1,d2,d3}, D(C)={d1,d3}
+    assert got[("A", "B")] == (2, 2, 3, 3.333333)
+    assert got[("A", "C")] == (1, 2, 2, 2.5)
+    assert got[("B", "C")] == (1, 3, 2, 1.666667)
+    assert got == _reference_lift(LIFT_EDGES)
+
+
+def test_edge_lift_paths_agree(ray_session):
+    rng = np.random.RandomState(11)
+    names = [f"N{i:02d}" for i in range(12)]
+    docs = [f"doc-{i:03d}" for i in range(30)]
+    edges = []
+    seen = set()
+    for _ in range(40):
+        a, b = names[rng.randint(12)], names[rng.randint(12)]
+        if a == b or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        k = 1 + rng.randint(4)
+        edges.append((a, b, sorted({docs[rng.randint(30)] for _ in range(k)})))
+    local = _run_lift(edges, n_docs=30)
+    dist = _run_lift(edges, n_docs=30, local_threshold=0)
+    assert local == dist == _reference_lift(edges, n_docs=30)
