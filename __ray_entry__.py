@@ -806,6 +806,16 @@ def q_dedup_spans(sf_dir: str) -> ray.data.Dataset:
     return duplicate_spans(_raw_docs(sf_dir), k=8)
 
 
+def q_winnow_fp(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing document fingerprints (MOSS, Schleimer et al. 2003):
+    rightmost-min md5 per sliding window of 4 consecutive 4-gram hashes —
+    the ~2/(w+1)-rate local sampling for span-level near-dup detection
+    (stages/spandedup.winnow_fingerprints; shuffle-free)."""
+    from go_light_rag_ray.stages.spandedup import winnow_fingerprints
+
+    return winnow_fingerprints(_raw_docs(sf_dir), k=4, w=4)
+
+
 def q_dedup_clusters_dist(sf_dir: str) -> ray.data.Dataset:
     """The distributed min-label-propagation clustering path (forced via
     max_driver_pairs=0) — value-oracled against the same recursive-CTE
@@ -1184,6 +1194,37 @@ isl AS (
 SELECT doc_id, min(p)::BIGINT AS span_start, max(p)::BIGINT AS span_end,
        count(*)::BIGINT AS span_len
 FROM isl GROUP BY doc_id, grp
+"""
+
+# winnowing (k=4, w=4): min md5-hex per full window, rightmost tie-break
+# (max pos among rows attaining the window min), distinct selections.
+# Hex-string min == 128-bit numeric min, so the SELECTION itself is
+# oracle-exact, not just the output hashes.
+_WINNOW_FP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1 : i+4], ' ')) AS h
+  FROM toks, unnest(range(0, greatest(len(t) - 3, 0))) AS u(i)
+),
+gcnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+wins AS (
+  SELECT g0.doc_id, g0.pos AS wpos, min(g.h) AS mh
+  FROM grams g0
+  JOIN gcnt c ON c.doc_id = g0.doc_id
+  JOIN grams g ON g.doc_id = g0.doc_id AND g.pos BETWEEN g0.pos AND g0.pos + 3
+  WHERE g0.pos <= c.n - 4
+  GROUP BY g0.doc_id, g0.pos
+),
+sel AS (
+  SELECT w.doc_id, max(g.pos) AS pos, w.mh AS gh
+  FROM wins w
+  JOIN grams g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.wpos AND w.wpos + 3
+             AND g.h = w.mh
+  GROUP BY w.doc_id, w.wpos, w.mh
+)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, gh FROM sel
 """
 
 _DEDUP_EXACT_SQL = r"""
@@ -2573,6 +2614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
+        "winnow_fp": q_winnow_fp,
         "dedup_semantic": q_dedup_semantic,
         "pack_sequences": q_pack_sequences,
         "shard_manifest": q_shard_manifest,
@@ -2652,6 +2694,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
+        "winnow_fp": _WINNOW_FP_SQL,
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,

@@ -47,7 +47,8 @@ import ray.data
 from ..hashutil import crc32_vec
 from . import sortagg
 
-__all__ = ["positional_kgrams", "duplicate_gram_hits", "duplicate_spans"]
+__all__ = ["positional_kgrams", "duplicate_gram_hits", "duplicate_spans",
+           "winnow_fingerprints"]
 
 DEFAULT_K = 8
 
@@ -144,3 +145,89 @@ def duplicate_spans(
         })
 
     return hits.groupby("doc_id").map_groups(merge, batch_format="pyarrow")
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset, k: int = 4, w: int = 4
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS local fingerprinting scheme): → (doc_id, pos:int64, gh:string).
+
+    Every window of ``w`` consecutive positional k-gram hashes selects its
+    MINIMUM hash, ties broken by the RIGHTMOST position (robust winnowing);
+    the distinct selected (position, hash) pairs are the document's
+    fingerprint set.  Guarantees: every shared substring of length
+    ≥ ``k + w - 1`` tokens contributes at least one matching fingerprint in
+    both documents, while only ~2/(w+1) of grams are kept — the standard
+    local sampling for span-level near-dup detection at corpus scale
+    (complements ``duplicate_spans``'s exact every-gram pass).
+
+    Hashes are md5 hex (the dedup-family convention) so the DuckDB oracle
+    reproduces the SELECTION bit-exactly: min over hex strings == min over
+    the 128-bit value.  Docs with fewer than ``k + w - 1`` tokens have no
+    full window and emit nothing — full windows only, mirrored by the
+    oracle.
+
+    Scale shape: one stateless ``map_batches`` — grams built with the same
+    vectorized shifted-take kernel as ``positional_kgrams``, one md5 per
+    gram (the minhash cost model), window minima via a strided
+    sliding-window view over the batch-flat hash array with cross-doc
+    windows masked out; NO shuffle at all (fingerprints are per-doc).
+    Downstream consumers group by ``gh`` to find cross-doc matches — the
+    same ``sorted_attach_count`` pattern as ``duplicate_gram_hits``.
+    """
+    import hashlib
+
+    def fp(b: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict({
+            "doc_id": pa.array([], b.schema.field("doc_id").type),
+            "pos": pa.array([], pa.int64()),
+            "gh": pa.array([], pa.string()),
+        })
+        texts = b.column("text").to_pylist()
+        toks = [(t or "").split() for t in texts]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([x for t in toks for x in t], pa.string())
+        doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        gram_cum = np.concatenate(([0], np.cumsum(n_grams)))[:-1]
+        doc_idx = np.repeat(np.arange(len(toks)), n_grams)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(gram_cum, n_grams)
+        start = np.repeat(doc_start, n_grams) + pos
+        parts = [flat.take(pa.array(start + j)) for j in range(k)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        hashes = np.array(
+            [hashlib.md5(g.encode()).hexdigest()
+             for g in gram.to_pylist()], dtype="<U32")
+        if total < w:
+            return empty
+        # rank-encode the hex hashes (np.unique sorts lexicographically, so
+        # int ranks are order-isomorphic to the 128-bit values — numpy has
+        # no min-reduction over string dtypes)
+        _, codes = np.unique(hashes, return_inverse=True)
+        codes = codes.astype(np.int64)
+        # windows over the batch-flat code array; a window is valid iff its
+        # first and last gram belong to the same doc (full windows only)
+        view = np.lib.stride_tricks.sliding_window_view(codes, w)
+        valid = doc_idx[: total - w + 1] == doc_idx[w - 1:]
+        if not valid.any():
+            return empty
+        vwin = view[valid]
+        winmin = vwin.min(axis=1)
+        # rightmost position attaining the minimum (robust winnowing)
+        eq_rev = vwin[:, ::-1] == winmin[:, None]
+        off = (w - 1) - np.argmax(eq_rev, axis=1)
+        sel = np.flatnonzero(valid) + off
+        uniq = np.unique(sel)
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id").take(pa.array(doc_idx[uniq])),
+            "pos": pa.array(pos[uniq], pa.int64()),
+            "gh": pa.array(hashes[uniq], pa.string()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )

@@ -113,3 +113,67 @@ def test_randomized_equals_brute(k):
         for _ in range(25)
     ]
     assert _ray_spans(texts, k) == _brute_spans(texts, k)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def _brute_winnow(texts, k, w):
+    """Reference: per doc, hash every k-gram (md5 hex), slide a window of w
+    hashes, select the min with rightmost tie-break, dedupe selections."""
+    import hashlib
+
+    out = set()
+    for d, t in enumerate(texts):
+        toks = t.split()
+        hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+              for i in range(len(toks) - k + 1)]
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            m = min(win)
+            # rightmost index attaining the min
+            j = max(i for i, h in enumerate(win) if h == m)
+            out.add((f"d{d:03d}", s + j, m))
+    return out
+
+
+def _run_winnow(texts, k=4, w=4):
+    from go_light_rag_ray.stages.spandedup import winnow_fingerprints
+
+    rows = winnow_fingerprints(_docs(texts), k=k, w=w).take_all()
+    return {(r["doc_id"], r["pos"], r["gh"]) for r in rows}
+
+
+def test_winnow_matches_brute(ray_session):
+    rng = np.random.RandomState(5)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = [" ".join(vocab[rng.randint(6)] for _ in range(rng.randint(2, 40)))
+             for _ in range(30)]
+    assert _run_winnow(texts) == _brute_winnow(texts, 4, 4)
+
+
+def test_winnow_guarantee_shared_substring(ray_session):
+    # winnowing guarantee: a shared run of >= k+w-1 tokens yields at least
+    # one common fingerprint HASH in both docs
+    shared = "p q r s t u v"  # 7 tokens = k+w-1 for k=4, w=4
+    texts = ["x y z " + shared + " m n", shared + " j k l o"]
+    fps = _run_winnow(texts)
+    h0 = {h for d, _, h in fps if d == "d000"}
+    h1 = {h for d, _, h in fps if d == "d001"}
+    assert h0 & h1
+
+
+def test_winnow_short_docs_emit_nothing(ray_session):
+    # fewer than k+w-1 tokens -> no full window -> no fingerprints
+    assert _run_winnow(["a b c d e f", "a b", ""]) == set()
+
+
+def test_winnow_density(ray_session):
+    # expected selection rate ~2/(w+1) of grams; loose sanity bounds
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(50)]
+    text = " ".join(vocab[rng.randint(50)] for _ in range(2000))
+    fps = _run_winnow([text], k=4, w=8)
+    n_grams = 2000 - 4 + 1
+    assert 0.1 * n_grams < len(fps) < 0.4 * n_grams
