@@ -51,6 +51,19 @@ def chunk_text(
     stride = max_tokens - overlap_tokens
     if stride <= 0:
         raise ValueError("overlap_tokens must be smaller than max_tokens")
+    if len(tokens) <= stride:
+        # single-window fast path (≤ stride, NOT ≤ max_tokens: the
+        # reference loop advances by stride while start < len(tokens), so
+        # a doc in (stride, max_tokens] still emits an overlap-tail
+        # window), exact by the tokenizer losslessness contract
+        # ("".join(encode(s)) == s, tokenizer.py): the window is ALL
+        # tokens, so decode(tokens) == content and — when strip is a
+        # no-op (the chunker pre-cleans) — the reference's re-count equals
+        # len(tokens).  Skips the decode + second full tokenization that
+        # dominate the flagship chunk stage (~2× per-doc regex work).
+        piece = content.strip()
+        size = len(tokens) if piece == content else tokenizer.count(piece)
+        return [(piece, size, 0)]
     out: list[tuple[str, int, int]] = []
     index = 0
     for start in range(0, len(tokens), stride):

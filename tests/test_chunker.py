@@ -102,3 +102,24 @@ def test_chunker_batch_text_mode_with_prefix():
     row = out.to_pylist()[0]
     assert row["chunk_id"] == "doc-000000007-chunk-0"
     assert row["token_size"] == 3
+
+
+def test_overlap_tail_window_between_stride_and_max():
+    """A doc with stride < len(tokens) <= max_tokens emits TWO windows —
+    the reference loop advances by stride while start < len(tokens)
+    (handler/default.go:53-96).  Regression guard for the single-window
+    fast path: only docs at <= stride tokens may take it (the original
+    <= max_tokens condition silently dropped these tail windows; the
+    chunks value oracle caught it, the unit suite did not)."""
+    tok = RegexTokenizer()
+    words = " ".join(["ab"] * 30)  # 30 one-token words (letters only)
+    assert tok.count(words) == 30
+    out = chunk_text(words, tok, max_tokens=25, overlap_tokens=5)  # stride 20
+    assert [o[2] for o in out] == [0, 1]
+    # tail window covers tokens [20:30]; recount of the trimmed piece
+    assert out[1][1] == 10
+    # boundary cases: exactly stride -> one window; stride+1 -> two
+    exact = " ".join(["ab"] * 20)
+    assert len(chunk_text(exact, tok, max_tokens=25, overlap_tokens=5)) == 1
+    plus = " ".join(["ab"] * 21)
+    assert len(chunk_text(plus, tok, max_tokens=25, overlap_tokens=5)) == 2
