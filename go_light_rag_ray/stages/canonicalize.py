@@ -885,17 +885,20 @@ def canonicalize(mentions, salt_buckets: int = 8, batch_size: int = 8192,
 
 
 def _combine_width() -> int:
-    """Max concurrent combiner tasks: ~24 per node's worth of CPUs, never
+    """Max concurrent combiner tasks: ~8 per node's worth of CPUs, never
     more than the cluster's CPUs.
 
-    The cap is the measured memory-bandwidth saturation point of the
-    1M-row hash-aggregate kernel per memory system (node), an ABSOLUTE
-    task count, not a CPU fraction.  The string kernel saturated at ~8
-    concurrent tasks; the packed-int kernel hashes each distinct string
-    once and aggregates over int64, touching ~4× fewer bytes, and its
-    standalone probe (K procs × 1M-row bundle, 32-core box) peaks at
-    K=24 — 5.7 bundles/s vs 2.85 at K=8 and a collapse to 4.05 at K=32.
-    ``$GRAFT_COMBINE_WIDTH`` overrides for A/B probes."""
+    The cap is the measured IN-PIPELINE memory-bandwidth saturation point
+    per memory system (node) — an ABSOLUTE task count, not a CPU
+    fraction.  Standalone-probe trap, measured twice in r3: the packed-int
+    kernel alone (K procs × 1M-row bundle, idle box) peaks at K=24
+    (5.7 bundles/s vs 2.85 at K=8), but inside the pipeline the chunker /
+    extractor actors share the same memory channels, and the quiet-host
+    12M-doc A/B at 32 cpus reads width 8 = 166 s / 3,894 work-cpu-s vs
+    width 24 = 199 s / 5,106 work-cpu-s (stall cycles count as cpu time)
+    and width 4 = 241 s (pipeline starves, idle 3,819 cpu-s).  Tune the
+    cap only against the full pipeline; ``$GRAFT_COMBINE_WIDTH`` overrides
+    for A/B probes."""
     import os
 
     env = os.environ.get("GRAFT_COMBINE_WIDTH")
@@ -907,7 +910,7 @@ def _combine_width() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, min(24 * max(1, cpus // 32 + (1 if cpus % 32 else 0)),
+    return max(2, min(8 * max(1, cpus // 32 + (1 if cpus % 32 else 0)),
                       cpus))
 
 
