@@ -52,7 +52,7 @@ def _consume(result) -> int:
     return 0
 
 
-SCALE_REP_DEFAULT = "1600"
+SCALE_REP_DEFAULT = "2400"
 
 
 def _pipelines(sf_dir: str) -> dict:
@@ -246,26 +246,37 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same flagship job at 8 and 32 CPUs in fresh processes (the sandbox
-    proxy for the N-vs-4N-node criterion, per BASELINE.json).
+    """Same flagship job at two parallelism levels (default 8 and 32 CPUs,
+    ``$GRAFT_SCALE_CPUS="a,b"`` overrides) in fresh processes — the sandbox
+    proxy for the N-vs-4N-node criterion, per BASELINE.json.
 
-    The input is the sf corpus replicated ``$GRAFT_SCALE_REP``× (default
-    200) with distinct doc ids — identical for both runs — so per-CPU
-    compute dominates the fixed pipeline overhead that a 2 MB toy input
-    cannot amortize."""
+    The input is the sf corpus replicated ``$GRAFT_SCALE_REP``× with
+    distinct doc ids — identical for both runs — so per-CPU compute
+    dominates the fixed pipeline overhead a 2 MB toy input cannot amortize.
+
+    Proxy caveat, measured: both legs share ONE memory system, so once the
+    big leg reaches the box's bandwidth ceiling (~60-70k docs/s for this
+    pipeline; work-cpu inflation 1.6-2.1× from stall cycles at 32-way) the
+    8v32 ratio measures the BOX, not the engine — a real 4N-node cluster
+    brings 4× the memory channels.  The 4v16 pair keeps both legs in the
+    box's linear region and is the truer engine-scaling proxy; report
+    both."""
     import pyarrow.parquet as pq
 
-    # 1600× (8M docs): the r3 combiner/occ-cap vectorization cut the
-    # pipeline's parallel CPU work ~4× at fixed input, so the old 200×
-    # corpus no longer dominated the ~15 s non-scaling floor (sort /
-    # materialize rounds + pool spin-up) — the 8-CPU leg dropped to ~96 s
-    # and measured "efficiency" collapsed to the floor ratio, not the
-    # engine.  8M docs restores W/8 ≫ F (t8 back at round-2's ~300 s).
+    # Keep W/8 ≫ F (the non-scaling floor: sort/materialize rounds + pool
+    # spin-up, ~15 s): every round's kernel speedups shrink W at fixed
+    # input, collapsing the measured ratio toward the floor ratio (the
+    # 200×-corpus 0.277 incident).  1600× (8M docs) restored t8 ≈ 450 s
+    # after the combiner vectorization; the chunker fast path cut the
+    # pipeline another ~35 %, so 2400× (12M docs) holds t8 at that level.
+    cpu_lo, cpu_hi = (int(x) for x in os.environ.get(
+        "GRAFT_SCALE_CPUS", "8,32").split(","))
+    factor = cpu_hi / cpu_lo
     rep = int(os.environ.get("GRAFT_SCALE_REP", SCALE_REP_DEFAULT))
     reps32 = int(os.environ.get("GRAFT_SCALE_RUNS32", "3"))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * rep
 
-    def one_run(cpus: int) -> float:
+    def one_run(cpus: int) -> dict:
         # successive legs measured 81 → 107 → 124 s without this: leftover
         # raylet/object-store state from the previous session slows the
         # next one.  Hard-stop Ray before every leg so each starts clean.
@@ -290,19 +301,28 @@ def run_scaling(sf_dir: str) -> dict:
         env = dict(os.environ)
         env["GRAFT_SCALE_REP"] = str(rep)
         s0 = _cpu_sample()
+        t0 = time.monotonic()
         out = subprocess.run(cmd, capture_output=True, text=True,
                              env=env, timeout=3600)
+        wall = time.monotonic() - t0
         s1 = _cpu_sample()
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         sec = json.loads(line)["queries"]["__kg_scale__"]
         # /proc/stat deltas over the leg make every run auditable: `work`
         # (user+sys cpu-s) should be ~invariant for a given leg on a quiet
         # host (storms inflate it ~50 % via stall cycles), and `steal`
-        # directly measures external-tenant contention — the runs with
-        # steal ≈ 0 are the honest cluster-proxy observations.
+        # directly measures external-tenant contention.  `unaccounted` is
+        # 32·wall minus every accounted category — a SECOND interference
+        # mode observed on this box silently drops preempted time from
+        # /proc/stat (45 % of the budget vanished in one storm-hit leg
+        # while the steal field barely moved).  The honest observations
+        # are the runs where steal AND unaccounted are both ≈ 0.
+        d = [b - a for a, b in zip(s0, s1)]
+        accounted = sum(d)  # user+nice, sys, idle, steal
         return {"sec": sec,
-                "work_cpu_s": round(s1[0] - s0[0] + s1[1] - s0[1], 1),
-                "steal_cpu_s": round(s1[3] - s0[3], 1)}
+                "work_cpu_s": round(d[0] + d[1], 1),
+                "steal_cpu_s": round(d[3], 1),
+                "unaccounted_cpu_s": round(max(0.0, 32 * wall - accounted), 1)}
 
     # BOTH legs take the MINIMUM of K fresh processes: external storms are
     # strictly additive noise, so min-of-K is the unbiased "quiet machine"
@@ -310,39 +330,43 @@ def run_scaling(sf_dir: str) -> dict:
     # All runs are reported (runs8_sec / runs32_sec) so the spread is
     # auditable.
     reps8 = int(os.environ.get("GRAFT_SCALE_RUNS8", "2"))
-    runs8 = sorted((one_run(8) for _ in range(reps8)),
-                   key=lambda r: r["sec"])
-    sec8 = runs8[0]["sec"]
-    runs32 = sorted((one_run(32) for _ in range(reps32)),
-                    key=lambda r: r["sec"])
-    sec32 = runs32[0]["sec"]
-    points = {8: {"sec": sec8, "docs_per_sec": round(n_docs / sec8, 2)},
-              32: {"sec": sec32, "docs_per_sec": round(n_docs / sec32, 2)}}
-    eff = (points[8]["sec"] / points[32]["sec"]) / (32 / 8)
-    # steal-verified twin of the min-of-K estimator: pick each leg's
-    # LOWEST-STEAL run (the observation closest to an uncontended host)
-    # and report that pair's efficiency alongside.  min-of-K can go
-    # superlinear when one leg catches a quieter window than the other
-    # ever did; the quiet pair is the conservative, auditable number.
-    q8 = min(runs8, key=lambda r: r["steal_cpu_s"])
-    q32 = min(runs32, key=lambda r: r["steal_cpu_s"])
-    qeff = (q8["sec"] / q32["sec"]) / (32 / 8)
+    runs_lo = sorted((one_run(cpu_lo) for _ in range(reps8)),
+                     key=lambda r: r["sec"])
+    sec_lo = runs_lo[0]["sec"]
+    runs_hi = sorted((one_run(cpu_hi) for _ in range(reps32)),
+                     key=lambda r: r["sec"])
+    sec_hi = runs_hi[0]["sec"]
+    eff = (sec_lo / sec_hi) / factor
+    # contention-verified twin of the min-of-K estimator: pick each leg's
+    # lowest-interference run (steal + unaccounted preemption — the
+    # observation closest to an uncontended host) and report that pair's
+    # efficiency alongside.  min-of-K can go superlinear when one leg
+    # catches a quieter window than the other ever did; the quiet pair is
+    # the conservative, auditable number.
+    def noise(r):
+        return r["steal_cpu_s"] + r["unaccounted_cpu_s"]
+
+    q_lo = min(runs_lo, key=noise)
+    q_hi = min(runs_hi, key=noise)
+    qeff = (q_lo["sec"] / q_hi["sec"]) / factor
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "queries": {"kg_scale_cpus8": points[8]["sec"],
-                    "kg_scale_cpus32": points[32]["sec"]},
+        "queries": {f"kg_scale_cpus{cpu_lo}": sec_lo,
+                    f"kg_scale_cpus{cpu_hi}": sec_hi},
         "sf": _sf_of(sf_dir),
-        "num_cpus": 32,
+        "num_cpus": cpu_hi,
+        "cpu_pair": [cpu_lo, cpu_hi],
         "replication": rep,
         "n_docs": n_docs,
-        "runs8_sec": runs8,
-        "runs32_sec": runs32,
-        "quiet_pair": {"cpus8": q8, "cpus32": q32,
+        "runs8_sec": runs_lo,
+        "runs32_sec": runs_hi,
+        "quiet_pair": {f"cpus{cpu_lo}": q_lo, f"cpus{cpu_hi}": q_hi,
                        "efficiency": round(qeff, 3)},
-        "throughput": {"cpus8_docs_per_sec": points[8]["docs_per_sec"],
-                       "cpus32_docs_per_sec": points[32]["docs_per_sec"]},
+        "throughput": {
+            f"cpus{cpu_lo}_docs_per_sec": round(n_docs / sec_lo, 2),
+            f"cpus{cpu_hi}_docs_per_sec": round(n_docs / sec_hi, 2)},
     }
 
 
