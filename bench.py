@@ -309,14 +309,15 @@ def run_scaling(sf_dir: str) -> dict:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         sec = json.loads(line)["queries"]["__kg_scale__"]
         # /proc/stat deltas over the leg make every run auditable: `work`
-        # (user+sys cpu-s) should be ~invariant for a given leg on a quiet
-        # host (storms inflate it ~50 % via stall cycles), and `steal`
-        # directly measures external-tenant contention.  `unaccounted` is
-        # 32·wall minus every accounted category — a SECOND interference
-        # mode observed on this box silently drops preempted time from
-        # /proc/stat (45 % of the budget vanished in one storm-hit leg
-        # while the steal field barely moved).  The honest observations
-        # are the runs where steal AND unaccounted are both ≈ 0.
+        # (user+nice+sys cpu-s — Ray worker processes run NICED, so any
+        # sampler that reads the user field alone loses ~90 % of the work;
+        # that misattribution once masqueraded as a "second interference
+        # mode") should be ~invariant for a given leg on a quiet host
+        # (storms inflate it ~50 % via stall cycles), and `steal` directly
+        # measures external-tenant contention.  `unaccounted` is 32·wall
+        # minus every accounted category (residual: iowait/irq + any
+        # preemption not booked as steal).  The honest observations are
+        # the runs where steal and unaccounted are both ≈ 0.
         d = [b - a for a, b in zip(s0, s1)]
         accounted = sum(d)  # user+nice, sys, idle, steal
         return {"sec": sec,
