@@ -563,6 +563,17 @@ def q_ctx_global_entities(sf_dir: str) -> ray.data.Dataset:
     return global_entities(_graph(sf_dir), list(DEFAULT_HIGH_LEVEL))
 
 
+def q_ctx_fused_entities(sf_dir: str) -> ray.data.Dataset:
+    from go_light_rag_ray.pipelines.query import (
+        DEFAULT_HIGH_LEVEL,
+        DEFAULT_LOW_LEVEL,
+        fused_entities,
+    )
+
+    return fused_entities(
+        _graph(sf_dir), list(DEFAULT_LOW_LEVEL), list(DEFAULT_HIGH_LEVEL))
+
+
 # ---------------------------------------------------------------------------
 # event-time operators over the events table (custom operators Ray Data
 # lacks: windowed aggregate, sessionization, as-of join — stages/windows.py)
@@ -2588,6 +2599,40 @@ SELECT row_number() OVER (ORDER BY degree DESC, entity_id ASC)::INTEGER AS rank,
 FROM sel
 """
 
+# RRF fusion of the two entity rankings (pipelines/query.py fused_entities):
+# contributions are INTEGER floor divisions (1000000 // (60 + rank)), so the
+# sum is order-independent and matches the Ray side bit-exactly.
+_CTX_FUSED_ENTITIES_SQL = _CTX_BASE + f"""
+, loc AS (
+  SELECT entity_id,
+         row_number() OVER (ORDER BY degree DESC, entity_id ASC) AS r
+  FROM (SELECT n.entity_id, coalesce(d.degree, 0) AS degree
+        FROM nodes n LEFT JOIN deg d USING (entity_id)
+        WHERE n.entity_id IN {_LOW_KW_SQL})
+),
+matched AS (
+  SELECT * FROM edges
+  WHERE len(list_intersect(string_split(keywords, '<SEP>'), {_HIGH_KW_LIST})) > 0
+),
+glb AS (
+  SELECT entity_id,
+         row_number() OVER (ORDER BY degree DESC, entity_id ASC) AS r
+  FROM (SELECT e.entity_id, coalesce(d.degree, 0) AS degree
+        FROM (SELECT entity_id FROM (
+                SELECT src AS entity_id FROM matched
+                UNION ALL SELECT tgt FROM matched) GROUP BY entity_id) e
+        LEFT JOIN deg d USING (entity_id))
+),
+contribs AS (
+  SELECT entity_id, 1000000 // (60 + r) AS c FROM loc
+  UNION ALL
+  SELECT entity_id, 1000000 // (60 + r) FROM glb
+)
+SELECT row_number() OVER (ORDER BY s DESC, entity_id ASC)::INTEGER AS rank,
+       entity_id, s::BIGINT AS rrf_score
+FROM (SELECT entity_id, sum(c) AS s FROM contribs GROUP BY entity_id)
+"""
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
@@ -2637,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctx_local_sources": q_ctx_local_sources,
         "ctx_global_edges": q_ctx_global_edges,
         "ctx_global_entities": q_ctx_global_entities,
+        "ctx_fused_entities": q_ctx_fused_entities,
         "span_check": q_span_check,
         "entity_ann": q_entity_ann,
         "window_distinct": q_window_distinct,
@@ -2741,4 +2787,5 @@ def oracle_sql() -> dict[str, str]:
         "ctx_local_sources": _CTX_LOCAL_SOURCES_SQL,
         "ctx_global_edges": _CTX_GLOBAL_EDGES_SQL,
         "ctx_global_entities": _CTX_GLOBAL_ENTITIES_SQL,
+        "ctx_fused_entities": _CTX_FUSED_ENTITIES_SQL,
     }

@@ -323,6 +323,51 @@ def global_entities(graph: ray.data.Dataset, high_keywords: list[str]) -> ray.da
     )
 
 
+def fused_entities(
+    graph: ray.data.Dataset,
+    low_keywords: list[str],
+    high_keywords: list[str],
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of the local and global entity rankings —
+    the standard hybrid-retrieval merge (Cormack et al. 2009, RRF) over
+    the two context lists the reference assembles separately
+    (query.go:202-264 local seeds, query.go:480-517 global endpoints;
+    LightRAG's hybrid mode interleaves both into the final context).
+
+    score(e) = Σ_lists scale // (k + rank_e) — INTEGER floor-division
+    contributions, so summation order never matters and the DuckDB
+    oracle matches bit-exactly (no float accumulation anywhere).
+
+    Scale shape: both inputs are keyword-scoped context lists (small by
+    construction — the keyword match prunes at the unpivot), so the
+    fusion itself is one union + one groupby-sum + the shared rank pass;
+    the heavy work (degree aggregation over all edges) stays inside the
+    two upstream single-shuffle rankings."""
+
+    def contrib(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = b.column("rank").to_numpy().astype(np.int64)
+        c = np.int64(scale) // (r + np.int64(k))
+        return pa.Table.from_pydict({
+            "entity_id": b.column("entity_id"),
+            "c": pa.array(c, pa.int64()),
+        })
+
+    loc = local_entities(graph, low_keywords).map_batches(
+        contrib, batch_format="pyarrow")
+    glo = global_entities(graph, high_keywords).map_batches(
+        contrib, batch_format="pyarrow")
+    summed = loc.union(glo).groupby("entity_id").aggregate(
+        agg.Sum("c", alias_name="rrf_score"))
+    return _rank_single_group(
+        summed, [("rrf_score", True), ("entity_id", False)],
+        ["entity_id", "rrf_score"],
+    )
+
+
 def entity_similarity(
     graph: ray.data.Dataset, dims: int = 32, k: int = 3, sign_bits: int = 2,
 ) -> ray.data.Dataset:

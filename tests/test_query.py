@@ -90,6 +90,20 @@ def test_global_edges_and_entities(graph):
     assert ranks["CUSTOMER"] < ranks["SPARK"] < ranks["VECTOR"]  # deg tie → id asc
 
 
+def test_fused_entities_rrf(graph):
+    from go_light_rag_ray.pipelines.query import fused_entities
+
+    rows = fused_entities(graph, ["SPARK", "LONELY"], ["NEAR"]).take_all()
+    rows.sort(key=lambda r: r["rank"])
+    # local ranks: SPARK=1, LONELY=2; global (NEAR, all deg 2, id asc):
+    # CUSTOMER=1, SPARK=2, VECTOR=3.  Integer contributions 10^6//(60+r):
+    # SPARK both lists = 16393+16129 = 32522; CUSTOMER 16393; LONELY
+    # 16129; VECTOR 15873.  Ties impossible here; order by score desc.
+    assert [(r["rank"], r["entity_id"], r["rrf_score"]) for r in rows] == [
+        (1, "SPARK", 32522), (2, "CUSTOMER", 16393),
+        (3, "LONELY", 16129), (4, "VECTOR", 15873)]
+
+
 def test_query_context_end_to_end(graph):
     ctx = query_context(graph, "spark near the vector table")
     assert set(ctx) == {"local_entities", "local_relationships",
