@@ -338,6 +338,18 @@ def q_text_tfidf(sf_dir: str) -> ray.data.Dataset:
     return tfidf_top_terms(_raw_docs(sf_dir), k=3)
 
 
+_BM25_TERMS = ["merge", "dup", "scan"]
+
+
+def q_text_bm25(sf_dir: str) -> ray.data.Dataset:
+    """BM25 top-20 docs for a fixed bag-of-terms query (stages/bm25.py).
+    Oracle mode uses the rational (log-free) idf so every double on both
+    sides is the same fixed-order rational of exact integers."""
+    from go_light_rag_ray.stages.bm25 import bm25_topk
+
+    return bm25_topk(_raw_docs(sf_dir), _BM25_TERMS, k=20, idf="rational")
+
+
 def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     """Deterministic train/val/test assignment by md5 hash range — stable
     across runs, cluster sizes, and block layouts (stages/sampling.py)."""
@@ -1457,6 +1469,49 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, rank, word, tf, df, score FROM ranked WHERE rank <= 3
+"""
+
+# mirrors stages/bm25.py bm25_topk(idf="rational"): every double is the
+# same fixed-order rational of exact integers on both sides, and the
+# per-(doc,term) contribution is floor-quantized to micro-units BEFORE the
+# per-doc sum, so summation order never matters.
+_TEXT_BM25_SQL = r"""
+WITH d AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS dl,
+         regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+c AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM d),
+q(term) AS (VALUES ('merge'), ('dup'), ('scan')),
+tf AS (
+  SELECT d.doc_id, q.term,
+         len(list_filter(d.toks, w -> w = q.term))::BIGINT AS tf, d.dl
+  FROM d CROSS JOIN q
+),
+df AS (
+  SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::BIGINT AS df
+  FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT t.doc_id,
+         floor(((c.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+               * ((t.tf::DOUBLE * 2.5)
+                  / (t.tf::DOUBLE + 1.5 * (0.25
+                       + (0.75 * (t.dl::DOUBLE * c.n::DOUBLE))
+                         / c.sdl::DOUBLE)))
+               * 1000000 + 0.5)::BIGINT AS cmicro
+  FROM tf t, df f, c
+  WHERE t.term = f.term AND f.df > 0
+),
+s AS (
+  SELECT doc_id, sum(cmicro)::BIGINT AS score_micro
+  FROM contrib GROUP BY doc_id HAVING sum(cmicro) > 0
+)
+SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, score_micro
+FROM s
+ORDER BY rank
+LIMIT 20
 """
 
 # mirrors pipelines/curate.py: quality/lang filters then keep min doc_id
@@ -2669,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
         "curate": q_curate,
         "split_assign": q_split_assign,
         "hash_sample": q_hash_sample,
@@ -2750,6 +2806,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _TEXT_LANGID_SQL,
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
         "text_tfidf": _TEXT_TFIDF_SQL,
+        "text_bm25": _TEXT_BM25_SQL,
         "curate": _CURATE_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
