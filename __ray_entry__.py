@@ -481,6 +481,15 @@ def q_kg_components(sf_dir: str) -> ray.data.Dataset:
     return components(_graph(sf_dir))
 
 
+def q_kg_hops(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-depth BFS hop distance from the retrieval seed entities —
+    multi-hop context expansion (stages/graphalg.hop_distance)."""
+    from go_light_rag_ray.pipelines.query import DEFAULT_LOW_LEVEL
+    from go_light_rag_ray.stages.graphalg import hop_distance
+
+    return hop_distance(_graph(sf_dir), list(DEFAULT_LOW_LEVEL), max_depth=3)
+
+
 def q_kg_kcore(sf_dir: str) -> ray.data.Dataset:
     """2-core of the canonical graph (stages/graphalg.kcore — simultaneous
     Jacobi peel, two keyed sorts per round, no driver-side state); rounds
@@ -2577,6 +2586,27 @@ reach AS (
 SELECT src AS entity_id, min(dst) AS component_id FROM reach GROUP BY src
 """
 
+# mirrors stages/graphalg.hop_distance: bounded-depth BFS from the retrieval
+# seeds over the undirected canonical graph; hops = min over paths.  The
+# recursive CTE's UNION (set semantics) dedupes (node, d) pairs, and d < 3
+# bounds the walk; min(d) per node is the BFS distance.
+_KG_HOPS_SQL = _GRAPH_TOPOLOGY_CTE + r""",
+edges2 AS (
+  SELECT src AS s, tgt AS d FROM edges_d
+  UNION ALL SELECT tgt, src FROM edges_d
+),
+walk AS (
+  WITH RECURSIVE w(node, d) AS (
+    SELECT node, 0 FROM allnodes
+    WHERE node IN ('SPARK','CUSTOMER','VECTOR')
+    UNION
+    SELECT e.d, w.d + 1 FROM w JOIN edges2 e ON w.node = e.s WHERE w.d < 3
+  )
+  SELECT * FROM w
+)
+SELECT node AS entity_id, min(d)::BIGINT AS hops FROM walk GROUP BY node
+"""
+
 
 # ---------------------------------------------------------------------------
 # oracle SQL for the retrieval path — built over the same graph the
@@ -2702,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_ppr": q_kg_ppr,
         "kg_components": q_kg_components,
+        "kg_hops": q_kg_hops,
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
@@ -2784,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_ppr": _KG_PPR_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
+        "kg_hops": _KG_HOPS_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
         "kg_kcore": _KG_KCORE_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,

@@ -35,7 +35,8 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["pagerank", "components", "triangles", "neighbor_jaccard",
-           "kcore", "edge_lift", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
+           "kcore", "edge_lift", "hop_distance",
+           "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
 
 PAGERANK_SCALE = 1_000_000
 PAGERANK_DAMPING_PCT = 85
@@ -938,3 +939,177 @@ def edge_lift(
     out = attach_side(out, "tgt", "docs_tgt",
                       base_cols + [("docs_src", pa.int64())])
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def hop_distance(
+    graph: ray.data.Dataset,
+    seeds: list[str],
+    max_depth: int = 3,
+    local_threshold: int = 1 << 20,
+    broadcast_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """Bounded-depth BFS hop distance from a seed entity set over the
+    undirected canonical graph — the multi-hop generalization of the
+    retrieval path's 1-hop expand (J6, reference query.go:349-417):
+    depth-2/3 context expansion around the query keywords.  Returns
+    ``(entity_id, hops)`` for every entity reachable within ``max_depth``
+    (seeds at 0, unreachable entities absent); hops = min over paths,
+    integer-exact and deterministic.
+
+    Scale plan, per round (one round per depth level, early-stop when no
+    new entity appears — the reached count is monotone):
+
+    - frontier ≤ ``broadcast_cap`` (the normal retrieval case: the k-hop
+      ball around query keywords is query-scoped): the frontier ships
+      once via ``ray.put`` and the round is ONE vectorized semi-join scan
+      of the edge table — no shuffle at all.
+    - frontier above the cap (dense small-world expansions): a join-free
+      segment attach (``sorted_attach_first`` over union(edges, frontier
+      markers)) marks edges whose source is in the frontier — the same
+      round shape as the distributed PageRank — followed by the shared
+      groupby-min fold.
+
+    The dist table re-materializes per round so lineage stays one round
+    deep.  Graphs under ``local_threshold`` short-circuit to one task
+    (bit-identical output; dedup._cc_min_label's measured
+    scheduling-cost lesson)."""
+    import ray
+    import ray.data.aggregate as agg
+
+    from .sortagg import sorted_attach_first
+
+    sset = frozenset(seeds)
+    nodes, edges = _graph_sides(graph)
+
+    if edges.count() <= local_threshold and nodes.count() <= local_threshold:
+        def tag_nodes(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"u": b.column("entity_id"),
+                 "v": pa.nulls(len(b), pa.string())})
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"u": b.column("src"), "v": b.column("tgt")})
+
+        both = (
+            nodes.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+            .repartition(1)
+        )
+
+        def local_bfs(b: pa.Table) -> pa.Table:
+            is_node = pc.is_null(b.column("v"))
+            names = b.filter(is_node).column("u").to_pylist()
+            e = b.filter(pc.invert(is_node))
+            adj: dict[str, list[str]] = {}
+            for s, t in zip(e.column("u").to_pylist(),
+                            e.column("v").to_pylist()):
+                adj.setdefault(s, []).append(t)
+                adj.setdefault(t, []).append(s)
+            dist = {n: 0 for n in names if n in sset}
+            frontier = list(dist)
+            for d in range(1, max_depth + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                if not nxt:
+                    break
+                frontier = nxt
+            items = sorted(dist.items())
+            return pa.Table.from_pydict(
+                {"entity_id": pa.array([k for k, _ in items], pa.string()),
+                 "hops": pa.array([v for _, v in items], pa.int64())})
+
+        return both.map_batches(local_bfs, batch_format="pyarrow",
+                                batch_size=None)
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        a = pa.concat_arrays([b.column("src").combine_chunks(),
+                              b.column("tgt").combine_chunks()])
+        c = pa.concat_arrays([b.column("tgt").combine_chunks(),
+                              b.column("src").combine_chunks()])
+        return pa.Table.from_arrays([a, c], names=["a", "b"])
+
+    und = edges.map_batches(und_rows, batch_format="pyarrow").materialize()
+
+    seed_arr = pa.array(sorted(sset), pa.string())
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b.column("entity_id"), value_set=seed_arr))
+        return pa.Table.from_pydict(
+            {"entity_id": hit.column("entity_id"),
+             "hops": pa.nulls(len(hit), pa.int64()).fill_null(0)})
+
+    dist = nodes.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    prev = dist.count()
+
+    for d in range(1, max_depth + 1):
+        frontier = dist.filter(expr=f"hops == {d - 1}")
+        fcount = frontier.count()
+        if fcount == 0:
+            break
+
+        if fcount <= broadcast_cap:
+            # query-scoped frontier: broadcast once, one semi-join scan
+            # (take_all is capped at broadcast_cap rows by the branch)
+            fref = ray.put(pa.array(
+                sorted(r["entity_id"] for r in frontier.take_all()),
+                pa.string()))
+
+            def semi(b: pa.Table, _d: int = d, _ref=fref) -> pa.Table:
+                fset = ray.get(_ref)
+                hit = b.filter(pc.is_in(b.column("a"), value_set=fset))
+                return pa.Table.from_pydict(
+                    {"entity_id": hit.column("b"),
+                     "hops": pa.nulls(len(hit), pa.int64()).fill_null(_d)})
+
+            cand = und.map_batches(semi, batch_format="pyarrow")
+        else:
+            def mark_rows(b: pa.Table, _d: int = d) -> pa.Table:
+                n = len(b)
+                return pa.Table.from_pydict(
+                    {"a": b.column("entity_id"),
+                     "b": pa.nulls(n, pa.string()).fill_null(""),
+                     "_carrier": pa.nulls(n, pa.int8()).fill_null(0),
+                     "mk": pa.nulls(n, pa.int64()).fill_null(1)})
+
+            def edge_rows2(b: pa.Table) -> pa.Table:
+                n = len(b)
+                return (b.append_column(
+                            "_carrier",
+                            pa.nulls(n, pa.int8()).fill_null(1))
+                         .append_column(
+                            "mk", pa.nulls(n, pa.int64()).fill_null(0)))
+
+            att = sorted_attach_first(
+                und.map_batches(edge_rows2, batch_format="pyarrow")
+                .union(frontier.map_batches(mark_rows,
+                                            batch_format="pyarrow")),
+                ["a"], value_col="mk", order_col="_carrier",
+                attach_name="in_frontier")
+
+            def to_cand(b: pa.Table, _d: int = d) -> pa.Table:
+                keep = pc.and_(pc.equal(b.column("_carrier"), 1),
+                               pc.equal(b.column("in_frontier"), 1))
+                hit = b.filter(keep)
+                return pa.Table.from_pydict(
+                    {"entity_id": hit.column("b"),
+                     "hops": pa.nulls(len(hit), pa.int64()).fill_null(_d)})
+
+            cand = att.map_batches(to_cand, batch_format="pyarrow")
+
+        dist = (
+            dist.union(cand)
+            .groupby("entity_id")
+            .aggregate(agg.Min("hops", alias_name="hops"))
+            .materialize()
+        )
+        c = dist.count()
+        if c == prev:
+            break
+        prev = c
+
+    return dist

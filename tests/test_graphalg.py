@@ -419,3 +419,45 @@ def test_edge_lift_paths_agree(ray_session):
     local = _run_lift(edges, n_docs=30)
     dist = _run_lift(edges, n_docs=30, local_threshold=0)
     assert local == dist == _reference_lift(edges, n_docs=30)
+
+
+# ---------------------------------------------------------------------------
+# hop_distance: bounded BFS from seeds, all three execution paths
+# ---------------------------------------------------------------------------
+
+HOP_NODES = ["A", "B", "C", "D", "E", "F", "G"]
+HOP_EDGES = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("F", "G")]
+# chain A-B-C-D-E plus isolated pair F-G
+
+
+def _hops(**kw):
+    from go_light_rag_ray.stages.graphalg import hop_distance
+
+    out = hop_distance(_graph_ds(HOP_NODES, HOP_EDGES), **kw).take_all()
+    return {r["entity_id"]: r["hops"] for r in out}
+
+
+def test_hop_distance_local(ray_session):
+    assert _hops(seeds=["A"], max_depth=3) == {"A": 0, "B": 1, "C": 2, "D": 3}
+    # undirected: seeding the middle reaches both sides
+    assert _hops(seeds=["C"], max_depth=1) == {"B": 1, "C": 0, "D": 1}
+    # two seeds, min over paths; unreachable F/G absent from the E seed
+    assert _hops(seeds=["A", "E"], max_depth=2) == {
+        "A": 0, "B": 1, "C": 2, "D": 1, "E": 0}
+    assert _hops(seeds=["F"], max_depth=3) == {"F": 0, "G": 1}
+
+
+def test_hop_distance_distributed_paths_match_local(ray_session):
+    want = _hops(seeds=["A", "F"], max_depth=2)
+    # force the distributed round loop, broadcast-frontier flavor
+    got_bcast = _hops(seeds=["A", "F"], max_depth=2, local_threshold=0)
+    # force the shuffle (segment-attach) flavor
+    got_shuf = _hops(seeds=["A", "F"], max_depth=2, local_threshold=0,
+                     broadcast_cap=0)
+    assert got_bcast == want
+    assert got_shuf == want
+
+
+def test_hop_distance_nonexistent_seed_ignored(ray_session):
+    assert _hops(seeds=["ZZZ"], max_depth=3) == {}
+    assert _hops(seeds=["ZZZ", "A"], max_depth=1) == {"A": 0, "B": 1}
