@@ -350,6 +350,16 @@ def q_text_bm25(sf_dir: str) -> ray.data.Dataset:
     return bm25_topk(_raw_docs(sf_dir), _BM25_TERMS, k=20, idf="rational")
 
 
+def q_hybrid_topk(sf_dir: str) -> ray.data.Dataset:
+    """Hybrid document retrieval: BM25 lexical leg ⊕ cosine-ANN vector leg
+    (query = embedding row 0), fused by integer RRF (stages/bm25.py)."""
+    from go_light_rag_ray.stages.bm25 import hybrid_doc_topk
+
+    return hybrid_doc_topk(
+        _raw_docs(sf_dir), _raw_embeddings(sf_dir), _BM25_TERMS,
+        k_leg=20, k=10, idf="rational")
+
+
 def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     """Deterministic train/val/test assignment by md5 hash range — stable
     across runs, cluster sizes, and block layouts (stages/sampling.py)."""
@@ -1484,8 +1494,7 @@ SELECT doc_id, rank, word, tf, df, score FROM ranked WHERE rank <= 3
 # same fixed-order rational of exact integers on both sides, and the
 # per-(doc,term) contribution is floor-quantized to micro-units BEFORE the
 # per-doc sum, so summation order never matters.
-_TEXT_BM25_SQL = r"""
-WITH d AS (
+_BM25_CTES = r"""d AS (
   SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS dl,
          regexp_extract_all(text, '\S+') AS toks
   FROM documents
@@ -1515,12 +1524,46 @@ contrib AS (
 s AS (
   SELECT doc_id, sum(cmicro)::BIGINT AS score_micro
   FROM contrib GROUP BY doc_id HAVING sum(cmicro) > 0
-)
+)"""
+
+_TEXT_BM25_SQL = "WITH " + _BM25_CTES + r"""
 SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)::INTEGER AS rank,
        doc_id, score_micro
 FROM s
 ORDER BY rank
 LIMIT 20
+"""
+
+# mirrors stages/bm25.py hybrid_doc_topk(idf="rational"): RRF over the two
+# legs' RANKS only — integer contributions, so each leg's float story stays
+# internal (BM25 micro-units; ANN's round-6 cosine already oracle-proven)
+_HYBRID_TOPK_SQL = "WITH " + _BM25_CTES + r""",
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
+  FROM s
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+ann AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cs
+  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> 0
+),
+annr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS r
+  FROM ann
+),
+fused AS (
+  SELECT doc_id, 1000000 // (60 + r) AS c FROM bmr WHERE r <= 20
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + r) FROM annr WHERE r <= 20
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::INTEGER AS rank,
+       doc_id, rrf::BIGINT AS rrf_score
+FROM (SELECT doc_id, sum(c) AS rrf FROM fused GROUP BY doc_id)
+ORDER BY rank
+LIMIT 10
 """
 
 # mirrors pipelines/curate.py: quality/lang filters then keep min doc_id
@@ -2756,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
+        "hybrid_topk": q_hybrid_topk,
         "curate": q_curate,
         "split_assign": q_split_assign,
         "hash_sample": q_hash_sample,
@@ -2839,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
         "text_tfidf": _TEXT_TFIDF_SQL,
         "text_bm25": _TEXT_BM25_SQL,
+        "hybrid_topk": _HYBRID_TOPK_SQL,
         "curate": _CURATE_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,

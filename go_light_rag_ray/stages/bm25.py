@@ -154,3 +154,66 @@ def bm25_topk(
         .groupby("_g")
         .map_groups(final_rank, batch_format="pyarrow")
     )
+
+
+def hybrid_doc_topk(
+    docs: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    terms: list[str],
+    k_leg: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 1_000_000,
+    idf: str = "lucene",
+) -> ray.data.Dataset:
+    """Hybrid document retrieval: BM25 lexical top-``k_leg`` ⊕ cosine-ANN
+    vector top-``k_leg`` (query = the first embedding row), fused by
+    reciprocal-rank fusion — the doc-level twin of
+    ``pipelines/query.fused_entities`` and the standard
+    keyword-plus-vector hybrid of production RAG stacks (the reference
+    pairs keyword-derived graph context with vector search,
+    query.go:92-190 + chromem.go:99-147; this operator is the same merge
+    at document granularity).
+
+    Fusion is rank-only: contribution = scale // (rrf_k + rank) in int64,
+    so the fused score is order-independent and bit-exact against the SQL
+    oracle regardless of each leg's internal float story.  Both legs are
+    already top-k-pruned (≤ 2·k_leg rows reach the fusion), so the merge
+    is one tiny union + groupby-sum + single-group rank.
+    Returns (rank, doc_id, rrf_score)."""
+    from .similarity import ann_topk
+
+    def contrib(b: pa.Table, id_name: str) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.int64(scale) // (r + np.int64(rrf_k))
+        return pa.table({
+            "doc_id": pc.cast(b.column(id_name).combine_chunks(),
+                              pa.int64()),
+            "c": pa.array(c, pa.int64()),
+        })
+
+    lex = bm25_topk(docs, terms, k=k_leg, idf=idf).map_batches(
+        lambda b: contrib(b, "doc_id"), batch_format="pyarrow")
+    vec = ann_topk(embeddings, n_queries=1, k=k_leg).map_batches(
+        lambda b: contrib(b, "neighbor_id"), batch_format="pyarrow")
+    summed = lex.union(vec).groupby("doc_id").aggregate(
+        agg.Sum("c", alias_name="rrf_score"))
+
+    order = [("rrf_score", "descending"), ("doc_id", "ascending")]
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_g", pa.nulls(len(b), pa.int32()).fill_null(0))
+
+    def final_rank(group: pa.Table) -> pa.Table:
+        group = group.sort_by(order).slice(0, k)
+        out = group.select(["doc_id", "rrf_score"])
+        return out.add_column(
+            0, pa.field("rank", pa.int32()),
+            pa.array(range(1, len(group) + 1), pa.int32()))
+
+    return (
+        summed.map_batches(add_key, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(final_rank, batch_format="pyarrow")
+    )

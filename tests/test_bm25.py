@@ -83,3 +83,36 @@ def test_bm25_single_term_rank_order_mode_invariant(ray_session):
     luc = bm25_topk(_docs(CORPUS), ["scan"], k=10, idf="lucene").take_all()
     order = lambda rows: [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert order(rat) == order(luc)
+
+
+def test_hybrid_doc_topk_fuses_leg_ranks(ray_session):
+    """Fused score must equal integer RRF over the two legs' own ranks."""
+    from go_light_rag_ray.stages.bm25 import hybrid_doc_topk
+    from go_light_rag_ray.stages.similarity import ann_topk
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": ["merge merge merge", "merge x", "x y",
+                 "merge merge x x", "z"],
+    }))
+    embs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                      [0.0, 1.0], [-1.0, 0.0]],
+    }))
+    lex = bm25_topk(docs, ["merge"], k=3, idf="rational").take_all()
+    vec = ann_topk(embs, n_queries=1, k=3).take_all()
+    assert len(lex) == 3 and len(vec) == 3
+    want: dict[int, int] = {}
+    for r in lex:
+        want[r["doc_id"]] = want.get(r["doc_id"], 0) + 10**6 // (60 + r["rank"])
+    for r in vec:
+        d = r["neighbor_id"]
+        want[d] = want.get(d, 0) + 10**6 // (60 + r["rank"])
+
+    got = hybrid_doc_topk(docs, embs, ["merge"], k_leg=3, k=10,
+                          idf="rational").take_all()
+    assert {r["doc_id"]: r["rrf_score"] for r in got} == want
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["rank"], r["doc_id"]) for r in sorted(got, key=lambda r: r["rank"])] \
+        == [(i + 1, d) for i, (d, _) in enumerate(order)]
