@@ -605,6 +605,19 @@ def q_ctx_fused_entities(sf_dir: str) -> ray.data.Dataset:
         _graph(sf_dir), list(DEFAULT_LOW_LEVEL), list(DEFAULT_HIGH_LEVEL))
 
 
+def q_events_hll(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog registers over events.user_id (stages/hll.py) — the
+    mergeable approximate companion to window_distinct's exact path.  The
+    oracle checks the int-exact REGISTER table; the float estimator is a
+    driver-side function over ≤4096 rows."""
+    from go_light_rag_ray.stages.hll import hll_registers
+
+    return hll_registers(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id"]),
+        "user_id")
+
+
 # ---------------------------------------------------------------------------
 # event-time operators over the events table (custom operators Ray Data
 # lacks: windowed aggregate, sessionization, as-of join — stages/windows.py)
@@ -2134,6 +2147,24 @@ FROM spans GROUP BY did
 
 # event-time oracles: integer-cent sums (float sums are order-dependent);
 # window ids are pure epoch-µs arithmetic on both sides
+# mirrors stages/hll.py hll_registers: bucket = first 12 bits of
+# md5('hll' || value), rank = 49 - bit_length of the next 48 bits (49 for
+# zero); length(bin(w)) is DuckDB's bit_length.  All-int64 — bit-exact.
+_EVENTS_HLL_SQL = r"""
+WITH v AS (SELECT DISTINCT user_id::VARCHAR AS s FROM events
+           WHERE user_id IS NOT NULL),
+h AS (SELECT md5('hll' || s) AS h FROM v),
+parts AS (
+  SELECT ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(h, 4, 12))::BIGINT AS w
+  FROM h
+)
+SELECT bucket,
+       max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END)::BIGINT
+         AS max_rank
+FROM parts GROUP BY bucket
+"""
+
 _WINDOW_DISTINCT_SQL = r"""
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        count(*)::BIGINT AS n_events,
@@ -2817,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_check": q_span_check,
         "entity_ann": q_entity_ann,
         "window_distinct": q_window_distinct,
+        "events_hll": q_events_hll,
         "window_tumbling": q_window_tumbling,
         "window_hopping": q_window_hopping,
         "sessions": q_sessions,
@@ -2894,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_SQL,
         "span_check": _SPAN_CHECK_SQL,
         "window_distinct": _WINDOW_DISTINCT_SQL,
+        "events_hll": _EVENTS_HLL_SQL,
         "window_tumbling": _WINDOW_TUMBLING_SQL,
         "window_hopping": _WINDOW_HOPPING_SQL,
         "sessions": _SESSIONS_SQL,
