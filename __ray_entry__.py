@@ -709,6 +709,19 @@ def q_decontam(sf_dir: str) -> ray.data.Dataset:
     return decontaminate(corpus, eval_docs, shingle_k=3, min_matches=1)
 
 
+def q_decontam_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-filter decontamination twin: the broadcast side is a fixed
+    128 KiB bit array instead of the shingle set; matches may include
+    deterministic Bloom false positives (the SQL oracle rebuilds the
+    same bit positions, so the comparison is still bit-exact)."""
+    from go_light_rag_ray.stages.decontam import decontaminate_bloom
+
+    corpus = _raw_docs(sf_dir)
+    eval_docs = corpus.filter(expr="doc_id < 20")
+    return decontaminate_bloom(corpus, eval_docs, shingle_k=3,
+                               min_matches=1)
+
+
 def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     """Corpus-trained unigram LM scoring: train (one small shuffle) →
     broadcast model → vectorized per-doc scoring.  The LM-quality member
@@ -1684,6 +1697,38 @@ stats AS (
            AS matched_shingles
   FROM shingles sh LEFT JOIN eval_sh e ON sh.s = e.s
   GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, matched_shingles,
+       floor(matched_shingles::DOUBLE / n_shingles * 1000000 + 0.5) / 1000000
+         AS contamination
+FROM stats WHERE matched_shingles >= 1
+"""
+
+# mirrors stages/decontam.py decontaminate_bloom: probe j of shingle s is
+# bit ('0x' || substr(md5(s), 1+8j, 8))::BIGINT % 2^20; a shingle "matches"
+# iff all 4 probe bits are set by some eval shingle.  False positives are
+# part of the (deterministic) contract on both sides.
+_DECONTAM_BLOOM_SQL = _SHINGLES_CTE + r"""
+, eval_sh AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 20),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(s), 1 + 8 * j, 8))::BIGINT % 1048576 AS pos
+  FROM eval_sh, unnest([0, 1, 2, 3]) AS pr(j)
+),
+probes AS (
+  SELECT sh.doc_id, sh.s,
+         ('0x' || substr(md5(sh.s), 1 + 8 * j, 8))::BIGINT % 1048576 AS pos
+  FROM shingles sh, unnest([0, 1, 2, 3]) AS pr(j)
+),
+hits AS (
+  SELECT p.doc_id, p.s,
+         CASE WHEN count(b.pos) = 4 THEN 1 ELSE 0 END AS hit
+  FROM probes p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.s
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_shingles, sum(hit)::BIGINT AS matched_shingles
+  FROM hits GROUP BY doc_id
 )
 SELECT doc_id, n_shingles, matched_shingles,
        floor(matched_shingles::DOUBLE / n_shingles * 1000000 + 0.5) / 1000000
@@ -2869,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
         "decontam": q_decontam,
+        "decontam_bloom": q_decontam_bloom,
         "scrub": q_scrub,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
@@ -2947,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "event_quantiles": _EVENT_QUANTILES_SQL,
         "decontam": _DECONTAM_SQL,
+        "decontam_bloom": _DECONTAM_BLOOM_SQL,
         "scrub": _SCRUB_SQL,
         "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,
         "ctx_local_entities": _CTX_LOCAL_ENTITIES_SQL,

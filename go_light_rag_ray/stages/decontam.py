@@ -31,7 +31,12 @@ import ray.data
 from ..pool import auto_pool
 from .dedup import _shingles
 
-__all__ = ["eval_shingle_set", "decontaminate"]
+__all__ = ["eval_shingle_set", "decontaminate",
+           "eval_bloom_filter", "decontaminate_bloom",
+           "BLOOM_BITS", "BLOOM_PROBES"]
+
+BLOOM_BITS = 1 << 20    # 128 KiB packed — the broadcast is THIS, fixed
+BLOOM_PROBES = 4        # md5's 32 hex chars = 4 disjoint 8-hex probes
 
 
 def eval_shingle_set(
@@ -110,6 +115,117 @@ def decontaminate(
         Decontaminator,
         fn_constructor_kwargs={"shingle_ref": shingle_ref,
                                "shingle_k": shingle_k,
+                               "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=auto_pool(concurrency),
+    )
+    if flag_only:
+        scored = scored.filter(expr=f"matched_shingles >= {min_matches}")
+    return scored
+
+
+def _bloom_positions(shingle: str, m_bits: int, k_probes: int) -> list[int]:
+    """Probe j's bit = int(md5(s)[8j : 8j+8], 16) % m_bits — hex-aligned
+    slices so the DuckDB oracle replicates each position exactly."""
+    import hashlib
+
+    h = hashlib.md5(shingle.encode()).hexdigest()
+    return [int(h[8 * j: 8 * j + 8], 16) % m_bits for j in range(k_probes)]
+
+
+def eval_bloom_filter(
+    eval_docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    m_bits: int = BLOOM_BITS,
+    k_probes: int = BLOOM_PROBES,
+) -> np.ndarray:
+    """Packed-uint64 Bloom bit array of the eval shingle set.
+
+    The scale story vs the exact ``is_in`` set: the broadcast is a FIXED
+    ``m_bits/8`` bytes (128 KiB at the default) no matter how many
+    benchmarks the decontam sweep covers — a thousand-benchmark eval
+    union whose distinct-shingle set reaches GBs still ships as one
+    object-store put.  The price is a deterministic false-positive rate
+    (~(1-e^{-kn/m})^k; size ``m_bits`` ≥ ~15 bits/shingle for <1 %);
+    flagged docs can be re-checked exactly with ``decontaminate``."""
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for s in eval_shingle_set(eval_docs, shingle_k, text_col).to_pylist():
+        for pos in _bloom_positions(s, m_bits, k_probes):
+            bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+    return bits
+
+
+class BloomDecontaminator:
+    """Actor-pool stage: corpus batch → per-doc contamination stats via
+    the broadcast Bloom filter (same output schema as Decontaminator)."""
+
+    def __init__(self, bloom_ref, shingle_k: int, m_bits: int,
+                 k_probes: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        self.bits = ray.get(bloom_ref)
+        self.shingle_k = shingle_k
+        self.m_bits = m_bits
+        self.k_probes = k_probes
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        pos_rows: list[list[int]] = []
+        par: list[int] = []
+        totals = np.zeros(b.num_rows, dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _shingles(t or "", self.shingle_k)
+            totals[i] = len(sh)
+            for s in sh:
+                pos_rows.append(
+                    _bloom_positions(s, self.m_bits, self.k_probes))
+            par.extend([i] * len(sh))
+        if pos_rows:
+            pos = np.asarray(pos_rows, dtype=np.int64)  # (n_shingles, k)
+            words = self.bits[pos >> 6]
+            hit = ((words >> (pos & 63).astype(np.uint64))
+                   & np.uint64(1)).astype(bool).all(axis=1)
+            par_arr = np.asarray(par, dtype=np.int64)
+            matched = np.bincount(
+                par_arr[hit], minlength=b.num_rows).astype(np.int64)
+        else:
+            matched = np.zeros(b.num_rows, dtype=np.int64)
+        safe = np.maximum(totals, 1)
+        ratio = np.floor(matched.astype(np.float64) / safe * 1e6 + 0.5) / 1e6
+        ratio[totals == 0] = 0.0
+        return pa.Table.from_pydict({
+            "doc_id": b.column(self.id_col),
+            "n_shingles": pa.array(totals),
+            "matched_shingles": pa.array(matched),
+            "contamination": pa.array(ratio),
+        })
+
+
+def decontaminate_bloom(
+    corpus: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    min_matches: int = 1,
+    m_bits: int = BLOOM_BITS,
+    k_probes: int = BLOOM_PROBES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] | None = None,
+    flag_only: bool = True,
+) -> ray.data.Dataset:
+    """Bloom-filter decontamination: identical contract to
+    ``decontaminate`` but the broadcast side is the fixed-size bit array
+    (matches may include Bloom false positives — deterministic and
+    oracle-replicable, re-checkable exactly downstream)."""
+    bloom_ref = ray.put(eval_bloom_filter(
+        eval_docs, shingle_k, text_col, m_bits, k_probes))
+    scored = corpus.map_batches(
+        BloomDecontaminator,
+        fn_constructor_kwargs={"bloom_ref": bloom_ref,
+                               "shingle_k": shingle_k,
+                               "m_bits": m_bits, "k_probes": k_probes,
                                "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
         concurrency=auto_pool(concurrency),

@@ -279,6 +279,48 @@ def test_decontamination_flags_overlap():
     assert strict == {2}
 
 
+def test_decontamination_bloom_matches_exact():
+    """At the default 2^20-bit filter the false-positive probability on a
+    fixture-sized shingle set is ~1e-14 AND deterministic, so the Bloom
+    twin reproduces the exact path row-for-row; a degenerate 64-bit
+    filter must over-flag (superset), never under-flag."""
+    from go_light_rag_ray.stages.decontam import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    eval_docs = ray.data.from_arrow(pa.table({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "intro words then the quick brown fox appears verbatim",
+            "completely unrelated clean text with other words",
+            "the quick brown fox jumps over the lazy dog",
+        ],
+    }))
+    exact = {r["doc_id"]: (r["n_shingles"], r["matched_shingles"],
+                           r["contamination"])
+             for r in decontaminate(corpus, eval_docs,
+                                    shingle_k=3).take_all()}
+    bloom = {r["doc_id"]: (r["n_shingles"], r["matched_shingles"],
+                           r["contamination"])
+             for r in decontaminate_bloom(corpus, eval_docs,
+                                          shingle_k=3).take_all()}
+    assert bloom == exact
+
+    # degenerate filter: everything collides → flags are a superset and
+    # per-doc matched counts never drop below the exact counts
+    tiny = {r["doc_id"]: r["matched_shingles"]
+            for r in decontaminate_bloom(corpus, eval_docs, shingle_k=3,
+                                         m_bits=64).take_all()}
+    assert set(tiny) >= set(exact)
+    for d, (_, m, _) in exact.items():
+        assert tiny[d] >= m
+
+
 # ---------------------------------------------------------------------------
 # semantic_dedup (SemDeDup)
 # ---------------------------------------------------------------------------
