@@ -360,6 +360,36 @@ def q_hybrid_topk(sf_dir: str) -> ray.data.Dataset:
         k_leg=20, k=10, idf="rational")
 
 
+def q_corpus_diff(sf_dir: str) -> ray.data.Dataset:
+    """Snapshot diff between two deterministic views of the documents
+    table (old = ids with id%11 != 3; new = ids with id%7 != 2, text
+    suffixed ' v2' when id%5 == 0) — added/removed/changed by content
+    hash (stages/diff.py)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from go_light_rag_ray.stages.diff import corpus_diff
+
+    docs = _raw_docs(sf_dir)
+
+    def old_side(b: _pa.Table) -> _pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(_pa.array(ids % 11 != 3))
+
+    def new_side(b: _pa.Table) -> _pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        b = b.filter(_pa.array(ids % 7 != 2))
+        ids = b.column("doc_id").to_numpy()
+        bumped = _pc.binary_join_element_wise(
+            b.column("text"), _pa.nulls(len(b), _pa.string()).fill_null(" v2"),
+            "")
+        text = _pc.if_else(_pa.array(ids % 5 == 0), bumped, b.column("text"))
+        return b.set_column(b.column_names.index("text"), "text", text)
+
+    return corpus_diff(docs.map_batches(old_side, batch_format="pyarrow"),
+                       docs.map_batches(new_side, batch_format="pyarrow"))
+
+
 def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     """Deterministic train/val/test assignment by md5 hash range — stable
     across runs, cluster sizes, and block layouts (stages/sampling.py)."""
@@ -1642,6 +1672,27 @@ SELECT doc_id,
 FROM documents
 """
 
+# mirrors stages/diff.py corpus_diff over the two deterministic snapshot
+# views in q_corpus_diff; text equality stands in for the md5 compare
+_CORPUS_DIFF_SQL = r"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 2
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.text AS ot, n.text AS nt
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ot IS NULL THEN 'added'
+            WHEN nt IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE ot IS NULL OR nt IS NULL OR ot <> nt
+"""
+
 _HASH_SAMPLE_SQL = """
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 8))::BIGINT < 1073741824
@@ -2876,6 +2927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "hybrid_topk": q_hybrid_topk,
+        "corpus_diff": q_corpus_diff,
         "curate": q_curate,
         "split_assign": q_split_assign,
         "hash_sample": q_hash_sample,
@@ -2962,6 +3014,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": _TEXT_TFIDF_SQL,
         "text_bm25": _TEXT_BM25_SQL,
         "hybrid_topk": _HYBRID_TOPK_SQL,
+        "corpus_diff": _CORPUS_DIFF_SQL,
         "curate": _CURATE_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
