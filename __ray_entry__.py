@@ -781,6 +781,25 @@ def q_embed_quantize(sf_dir: str) -> ray.data.Dataset:
     return quantize_embeddings(_raw_embeddings(sf_dir)).drop_columns(["q"])
 
 
+def q_embed_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization codes (4 subspaces × 8 seed centroids over the
+    64-dim embeddings): integer argmin over micro-quantized subspace
+    distances — 64× compression, bit-stable (stages/quantize.pq_codes)."""
+    from go_light_rag_ray.stages.quantize import pq_codes
+
+    return pq_codes(_raw_embeddings(sf_dir), n_subspaces=4, n_centroids=8)
+
+
+def q_ann_topk_pq(sf_dir: str) -> ray.data.Dataset:
+    """ADC approximate top-5 for query = embedding row 0: integer sums of
+    squared micro-distance LUT entries over PQ codes — the scan never
+    touches the original vectors (stages/quantize.pq_ann_topk)."""
+    from go_light_rag_ray.stages.quantize import pq_ann_topk
+
+    return pq_ann_topk(_raw_embeddings(sf_dir), n_subspaces=4,
+                       n_centroids=8, k=5)
+
+
 def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     """Per-language top-3 documents by quality score — the per-domain
     selection step of a curation recipe, via the segment-limit operator
@@ -2161,6 +2180,56 @@ SELECT vec_id, ci::INTEGER AS cluster_id, cos_sim
 FROM ranked WHERE rn = 1
 """
 
+# mirrors stages/quantize.pq_codes / pq_ann_topk: subspace s of a 64-dim
+# vector is elements [16s+1 : 16s+16] (1-based inclusive slice); distances
+# quantize to integer micro-units floor(d*1e6 + 0.5) BEFORE any compare or
+# sum, so assignment (integer argmin, ties -> lower centroid id) and the
+# ADC distance (integer sum of squared LUT entries) are bit-exact.
+_PQ_CTES = r"""cents AS (
+  SELECT s.j AS s, c.vec_id AS ci,
+         (c.embedding::DOUBLE[])[s.j*16+1 : s.j*16+16] AS cvec
+  FROM (SELECT unnest([0,1,2,3]) AS j) s
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c
+),
+vsub AS (
+  SELECT e.vec_id, s.j AS s,
+         (e.embedding::DOUBLE[])[s.j*16+1 : s.j*16+16] AS v
+  FROM embeddings e CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) s
+),
+dists AS (
+  SELECT v.vec_id, v.s, c.ci,
+         floor(list_distance(v.v, c.cvec) * 1000000 + 0.5)::BIGINT AS m
+  FROM vsub v JOIN cents c ON v.s = c.s
+),
+codes AS (
+  SELECT vec_id, s, ci AS code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, s ORDER BY m ASC, ci ASC) AS rn
+    FROM dists) WHERE rn = 1
+)"""
+
+_EMBED_PQ_CODES_SQL = "WITH " + _PQ_CTES + r"""
+SELECT vec_id,
+       max(CASE WHEN s = 0 THEN code END)::BIGINT AS code_0,
+       max(CASE WHEN s = 1 THEN code END)::BIGINT AS code_1,
+       max(CASE WHEN s = 2 THEN code END)::BIGINT AS code_2,
+       max(CASE WHEN s = 3 THEN code END)::BIGINT AS code_3
+FROM codes GROUP BY vec_id
+"""
+
+_ANN_TOPK_PQ_SQL = "WITH " + _PQ_CTES + r""",
+lut AS (SELECT s, ci, m * m AS sq FROM dists WHERE vec_id = 0),
+adist AS (
+  SELECT c.vec_id, sum(l.sq)::BIGINT AS adist
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.ci
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+)
+SELECT row_number() OVER (ORDER BY adist ASC, vec_id ASC)::INTEGER AS rank,
+       vec_id, adist
+FROM adist ORDER BY rank LIMIT 5
+"""
+
 _ANN_TOPK_IVF_SQL = r"""
 WITH cents AS (
   SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
@@ -2957,6 +3026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_weights": q_importance_weights,
         "quality_buckets": q_quality_buckets,
         "embed_quantize": q_embed_quantize,
+        "embed_pq_codes": q_embed_pq_codes,
+        "ann_topk_pq": q_ann_topk_pq,
         "top_docs_per_lang": q_top_docs_per_lang,
         "langid_confusion": q_langid_confusion,
         "mix_corpora": q_mix_corpora,
@@ -3037,6 +3108,8 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": _IMPORTANCE_WEIGHTS_SQL,
         "quality_buckets": _QUALITY_BUCKETS_SQL,
         "embed_quantize": _EMBED_QUANTIZE_SQL,
+        "embed_pq_codes": _EMBED_PQ_CODES_SQL,
+        "ann_topk_pq": _ANN_TOPK_PQ_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "langid_confusion": _LANGID_CONFUSION_SQL,
         "mix_corpora": _MIX_CORPORA_SQL,

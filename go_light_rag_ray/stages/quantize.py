@@ -26,7 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["quantize_embeddings"]
+__all__ = ["quantize_embeddings", "pq_seed_codebooks", "pq_codes",
+           "pq_ann_topk"]
 
 
 def quantize_embeddings(
@@ -84,3 +85,159 @@ def quantize_embeddings(
         })
 
     return embeddings.map_batches(quant, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (FAISS IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+def pq_seed_codebooks(
+    embeddings: ray.data.Dataset,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(S, K, D/S) float64 codebooks seeded from the first ``n_centroids``
+    vectors by id — the deterministic oracle mode, mirroring the IVF
+    seed-centroid convention (similarity.load_query_matrix).  The trained
+    scale path plugs externally trained codebooks (e.g. per-subspace
+    Lloyd over a sample) into ``pq_codes(codebooks=…)``; seed mode alone
+    already exercises the full encode/search machinery."""
+    rows = (
+        embeddings.filter(expr=f"{id_col} < {n_centroids}")
+        .select_columns([id_col, vec_col])
+        .take_all()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    d = mat.shape[1] // n_subspaces
+    return np.stack([mat[:, s * d:(s + 1) * d] for s in range(n_subspaces)])
+
+
+def _sub_micro_dists(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, S, K) int64 micro-quantized subspace euclidean distances —
+    floor(d·1e6 + 0.5), the engine's tie-stable quantization, identical
+    to the SQL ``floor(list_distance(...)·1000000 + 0.5)``.  After this
+    every PQ comparison and sum is integer-exact."""
+    n_sub, n_cent, d = cb.shape
+    out = np.empty((x.shape[0], n_sub, n_cent), dtype=np.int64)
+    for s in range(n_sub):
+        xs = x[:, s * d:(s + 1) * d]
+        diff = xs[:, None, :] - cb[s][None, :, :]
+        dist = np.sqrt((diff * diff).sum(-1))
+        out[:, s, :] = np.floor(dist * 1e6 + 0.5).astype(np.int64)
+    return out
+
+
+def pq_codes(
+    embeddings: ray.data.Dataset,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Product-quantization codes: each vector compresses to S small ints
+    (64 dims f32 → 4 bytes at the defaults, a 64× cut — the difference
+    between an in-RAM and an on-disk ANN index at 10⁹ vectors).  Returns
+    ``(vec_id, code_0 … code_{S-1})`` wide int64 columns.
+
+    code_s = argmin over centroids of the micro-quantized subspace
+    euclidean distance — an INTEGER argmin (ties → lower centroid id), so
+    assignment is bit-stable and the DuckDB oracle replicates it exactly.
+    Codebooks broadcast via ``ray.put``; the encode is one stateless
+    vectorized scan (no shuffle)."""
+    import ray as _ray
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(
+            embeddings, n_subspaces, n_centroids, id_col, vec_col)
+    cb_ref = _ray.put(np.ascontiguousarray(codebooks, dtype=np.float64))
+    n_sub = codebooks.shape[0]
+
+    def encode(b: pa.Table) -> pa.Table:
+        cb = _ray.get(cb_ref)
+        x = np.asarray(
+            b.column(vec_col).combine_chunks().to_numpy(
+                zero_copy_only=False).tolist(), dtype=np.float64)
+        if x.size == 0:
+            x = x.reshape(0, cb.shape[0] * cb.shape[2])
+        m = _sub_micro_dists(x, cb)           # (n, S, K) int64
+        codes = m.argmin(axis=2)              # first-min = lowest id
+        cols = {id_col: b.column(id_col)}
+        for s in range(n_sub):
+            cols[f"code_{s}"] = pa.array(codes[:, s], pa.int64())
+        return pa.table(cols)
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_ann_topk(
+    embeddings: ray.data.Dataset,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    k: int = 5,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Asymmetric-distance (ADC) approximate top-k for the query = the
+    first embedding row: the query builds an (S × K) lookup table of
+    SQUARED micro-distances to every centroid once; each corpus vector's
+    approximate distance is then the INTEGER sum of S table entries over
+    its PQ codes — order-independent, bit-exact, and the scan never
+    touches the original vectors (the real IVF-PQ memory story).
+    Returns (rank, vec_id, adist) ascending."""
+    import ray as _ray
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(
+            embeddings, n_subspaces, n_centroids, id_col, vec_col)
+    qrows = (embeddings.filter(expr=f"{id_col} < 1")
+             .select_columns([id_col, vec_col]).take_all())
+    q = np.asarray(qrows[0][vec_col], dtype=np.float64)[None, :]
+    lut = _sub_micro_dists(q, codebooks)[0]   # (S, K) micro-euclid
+    lut = lut * lut                           # squared, still int64
+    lut_ref = _ray.put(lut)
+    cb_ref = _ray.put(np.ascontiguousarray(codebooks, dtype=np.float64))
+    n_sub = codebooks.shape[0]
+
+    def scan(b: pa.Table) -> pa.Table:
+        cb = _ray.get(cb_ref)
+        lt = _ray.get(lut_ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        x = np.asarray(
+            b.column(vec_col).combine_chunks().to_numpy(
+                zero_copy_only=False).tolist(), dtype=np.float64)
+        if x.size == 0:
+            x = x.reshape(0, cb.shape[0] * cb.shape[2])
+        m = _sub_micro_dists(x, cb)
+        codes = m.argmin(axis=2)
+        adist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(n_sub):
+            adist += lt[s][codes[:, s]]
+        keep = ids != 0                       # self-exclude the query row
+        out = pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "adist": pa.array(adist[keep], pa.int64()),
+        })
+        return out.sort_by([("adist", "ascending"),
+                            (id_col, "ascending")]).slice(0, k)
+
+    part = embeddings.map_batches(scan, batch_format="pyarrow")
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_g", pa.nulls(len(b), pa.int32()).fill_null(0))
+
+    def final_rank(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("adist", "ascending"),
+                               (id_col, "ascending")]).slice(0, k)
+        out = group.select([id_col, "adist"])
+        return out.add_column(
+            0, pa.field("rank", pa.int32()),
+            pa.array(range(1, len(group) + 1), pa.int32()))
+
+    return (part.map_batches(add_key, batch_format="pyarrow")
+            .groupby("_g").map_groups(final_rank, batch_format="pyarrow"))

@@ -44,3 +44,71 @@ def test_quantize_matches_reference_kernel(ray_session):
 def test_quantize_code_dtype(ray_session):
     sch = quantize_embeddings(_emb([[1.0]])).schema()
     assert sch.types[sch.names.index("q")] == pa.list_(pa.int8())
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def _emb_ds(mat, parts=1):
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": [list(map(float, row)) for row in mat],
+    }))
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def test_pq_codes_seed_vectors_encode_to_themselves(ray_session):
+    """Each seed centroid vector is distance 0 from its own subvector in
+    every subspace, so it must encode to its own index."""
+    import numpy as np
+
+    from go_light_rag_ray.stages.quantize import pq_codes
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(32, 16)
+    rows = {r["vec_id"]: r
+            for r in pq_codes(_emb_ds(mat, parts=3), n_subspaces=4,
+                              n_centroids=8).take_all()}
+    assert len(rows) == 32
+    for i in range(8):
+        assert [rows[i][f"code_{s}"] for s in range(4)] == [i, i, i, i]
+    for r in rows.values():
+        assert all(0 <= r[f"code_{s}"] < 8 for s in range(4))
+
+
+def test_pq_adc_finds_the_planted_neighbor(ray_session):
+    """A corpus vector equal to the query encodes to the query's own codes
+    -> ADC distance 0 -> rank 1."""
+    import numpy as np
+
+    from go_light_rag_ray.stages.quantize import pq_ann_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(40, 16) * 10
+    mat[25] = mat[0]  # plant an exact duplicate of the query
+    got = pq_ann_topk(_emb_ds(mat, parts=4), n_subspaces=4, n_centroids=8,
+                      k=3).take_all()
+    got.sort(key=lambda r: r["rank"])
+    assert got[0]["vec_id"] == 25 and got[0]["adist"] == 0
+
+
+def test_pq_codes_layout_invariant(ray_session):
+    import numpy as np
+
+    from go_light_rag_ray.stages.quantize import pq_codes
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(24, 8)
+    a = sorted(map(tuple, (
+        (r["vec_id"], r["code_0"], r["code_1"])
+        for r in pq_codes(_emb_ds(mat), n_subspaces=2,
+                          n_centroids=4).take_all())))
+    b = sorted(map(tuple, (
+        (r["vec_id"], r["code_0"], r["code_1"])
+        for r in pq_codes(_emb_ds(mat, parts=5), n_subspaces=2,
+                          n_centroids=4).take_all())))
+    assert a == b
