@@ -883,6 +883,16 @@ def q_corpus_top_words(sf_dir: str) -> ray.data.Dataset:
     return corpus_top_words(_raw_docs(sf_dir), k=20)
 
 
+def q_words_cms(sf_dir: str) -> ray.data.Dataset:
+    """Count-Min sketch cells over the corpus word stream — the mergeable
+    frequency-estimate companion to the Misra-Gries heavy-hitter sketch
+    (stages/heavyhitters.cms_cells); bounded per-batch emission, one
+    cell-keyed groupby-sum, all-integer."""
+    from go_light_rag_ray.stages.heavyhitters import cms_cells
+
+    return cms_cells(_raw_docs(sf_dir))
+
+
 def q_text_repetition(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style per-doc repetition signals (dup/top word and bigram
     fractions) — the within-document member of the quality family.
@@ -1937,6 +1947,23 @@ rn AS (
 SELECT doc_id, mean_token_freq, doc_rank,
        (doc_rank * 3 // total)::BIGINT AS bucket
 FROM rn
+"""
+
+# mirrors stages/heavyhitters.cms_cells: row j's counter for word w is
+# int(md5(w)[8j:8j+8], 16) % 16384 (the Bloom-probe hex slicing); cells are
+# the nonzero (row, pos) sums — all-integer, bit-exact.
+_WORDS_CMS_SQL = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+wc AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w),
+cells AS (
+  SELECT j::BIGINT AS row_j,
+         ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT % 16384 AS pos,
+         c
+  FROM wc, unnest([0, 1, 2, 3]) AS pr(j)
+)
+SELECT row_j, pos, sum(c)::BIGINT AS cnt FROM cells GROUP BY row_j, pos
 """
 
 _CORPUS_TOP_WORDS_SQL = r"""
@@ -3033,6 +3060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora": q_mix_corpora,
         "text_bigram": q_text_bigram,
         "corpus_top_words": q_corpus_top_words,
+        "words_cms": q_words_cms,
         "text_repetition": q_text_repetition,
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
@@ -3115,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpora": _MIX_CORPORA_SQL,
         "text_bigram": _TEXT_BIGRAM_SQL,
         "corpus_top_words": _CORPUS_TOP_WORDS_SQL,
+        "words_cms": _WORDS_CMS_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "event_quantiles": _EVENT_QUANTILES_SQL,

@@ -26,7 +26,8 @@ import ray.data.aggregate as agg
 
 from .lm import _flat_words
 
-__all__ = ["corpus_top_words", "MisraGries", "mg_top_words"]
+__all__ = ["corpus_top_words", "MisraGries", "mg_top_words",
+           "cms_cells", "cms_estimate", "CMS_WIDTH", "CMS_DEPTH"]
 
 
 def corpus_top_words(
@@ -140,3 +141,78 @@ def mg_top_words(
         part.n = int(row["n"])
         merged.merge(part)
     return merged.top(k)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4          # md5's 32 hex chars = 4 disjoint 8-hex row hashes
+CMS_WIDTH = 1 << 14    # 16384 counters/row → 512 KiB of int64 total
+
+
+def _cms_positions(word: str, width: int, depth: int) -> list[int]:
+    """Row j's counter = int(md5(w)[8j : 8j+8], 16) % width — hex-aligned
+    so the DuckDB oracle replicates every position (the same slicing as
+    the Bloom decontam probes)."""
+    import hashlib
+
+    h = hashlib.md5(word.encode()).hexdigest()
+    return [int(h[8 * j: 8 * j + 8], 16) % width for j in range(depth)]
+
+
+def cms_cells(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> ray.data.Dataset:
+    """Count-Min sketch of the corpus word stream as nonzero cells
+    ``(row_j, pos, cnt)`` — the mergeable frequency-estimate companion to
+    MisraGries (which keeps only the heavy survivors; CMS answers point
+    queries for EVERY word with additive error ≤ n/width at depth-many
+    independent chances).
+
+    Scale shape: each batch folds its word counts into a local
+    (depth × width) array and emits only nonzero cells — emission is
+    bounded by depth·width per batch no matter the token count — and one
+    cell-keyed groupby-sum folds batches.  Cells merge across corpora /
+    snapshots by the same sum.  All-integer → bit-exact oracle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_words(b, text_col)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        if len(flat):
+            vc = flat.value_counts()
+            words = vc.field("values").to_pylist()
+            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            for w, c in zip(words, counts):
+                for j, pos in enumerate(_cms_positions(w, width, depth)):
+                    grid[j, pos] += int(c)
+        jj, pp = np.nonzero(grid)
+        return pa.Table.from_pydict({
+            "row_j": pa.array(jj.astype(np.int64), pa.int64()),
+            "pos": pa.array(pp.astype(np.int64), pa.int64()),
+            "cnt": pa.array(grid[jj, pp], pa.int64()),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_j", "pos"])
+        .aggregate(agg.Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_estimate(
+    cells: ray.data.Dataset, word: str,
+    width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
+) -> int:
+    """Point frequency estimate: min over rows of the word's counter
+    (driver-side over the ≤ depth·width-row cell table)."""
+    want = {(j, pos) for j, pos in
+            enumerate(_cms_positions(word, width, depth))}
+    vals = {j: 0 for j in range(depth)}
+    for r in cells.take_all():
+        if (r["row_j"], r["pos"]) in want:
+            vals[r["row_j"]] = r["cnt"]
+    return min(vals.values())

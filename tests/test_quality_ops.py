@@ -219,3 +219,54 @@ def test_corpus_top_words_and_mg_agree_on_heavies(ray_session):
         [(1, "the", 150), (2, "fox", 50), (3, "lazy", 50)]
     sketch = mg_top_words(docs, k=2, m=8)
     assert sketch[0][0] == "the"
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_point_estimates(ray_session):
+    """On a tiny vocabulary (no cell collisions at width 2^14) the CMS
+    estimate equals the exact count; in general it never undercounts."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.heavyhitters import cms_cells, cms_estimate
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["a b a c", "b a", "c c c a"],
+    })).repartition(3)
+    cells = cms_cells(docs).materialize()
+    exact = {"a": 4, "b": 2, "c": 4}
+    for w, n in exact.items():
+        assert cms_estimate(cells, w) == n
+    assert cms_estimate(cells, "zzz") == 0
+
+
+def test_cms_merges_across_corpora(ray_session):
+    """Cells from two corpus halves merged by per-cell sum equal the
+    whole-corpus sketch (the mergeable-summary property)."""
+    import pyarrow as pa
+    import ray.data
+    import ray.data.aggregate as agg
+
+    from go_light_rag_ray.stages.heavyhitters import cms_cells
+
+    texts = [f"w{i % 17} w{i % 5} common" for i in range(40)]
+
+    def mk(rows, off=0):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(off, off + len(rows)), pa.int64()),
+            "text": pa.array(rows, pa.string()),
+        }))
+
+    whole = {(r["row_j"], r["pos"]): r["cnt"]
+             for r in cms_cells(mk(texts)).take_all()}
+    merged_ds = (
+        cms_cells(mk(texts[:15])).union(cms_cells(mk(texts[15:], off=15)))
+        .groupby(["row_j", "pos"])
+        .aggregate(agg.Sum("cnt", alias_name="cnt"))
+    )
+    merged = {(r["row_j"], r["pos"]): r["cnt"] for r in merged_ds.take_all()}
+    assert merged == whole
