@@ -712,6 +712,18 @@ def q_asof_salted(sf_dir: str) -> ray.data.Dataset:
                             salt_bucket_s=86400)
 
 
+def q_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-range interval join (stages/windows.range_join_count): per
+    event, the count of same-user 'error' events in the 5-minute lookback
+    window.  Bucket-replication pattern: marks copy to at most 2 time
+    buckets, one keyed shuffle, per-group double bisect — no cross join,
+    group size bounded by per-user traffic per window, not history."""
+    from go_light_rag_ray.stages.windows import range_join_count
+
+    return range_join_count(_raw_events(sf_dir), mark_type="error",
+                            window_s=300)
+
+
 def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
     """Vector search with the reference's cosine radius filter
     (milvus.go:31 RangeFilter): only neighbors with cos ≥ 0.2 rank."""
@@ -2417,6 +2429,16 @@ SELECT e.event_id, e.user_id,
 FROM events e
 """
 
+# inclusive lookback [ts - 300s, ts]; integer count → bit-exact
+_RANGE_JOIN_SQL = r"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(*)::BIGINT FROM events m
+        WHERE m.user_id = e.user_id AND m.event_type = 'error'
+          AND m.ts <= e.ts
+          AND m.ts >= e.ts - INTERVAL 300 SECOND) AS n_marks
+FROM events e
+"""
+
 
 # degree = 0 per node row + 1 per incident edge endpoint, over the same
 # graph the kg_nodes/kg_edges oracles define
@@ -3046,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": q_window_hopping,
         "sessions": q_sessions,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessions_salted": q_sessions_salted,
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
@@ -3129,6 +3152,7 @@ def oracle_sql() -> dict[str, str]:
         "window_hopping": _WINDOW_HOPPING_SQL,
         "sessions": _SESSIONS_SQL,
         "asof_join": _ASOF_JOIN_SQL,
+        "range_join": _RANGE_JOIN_SQL,
         "sessions_salted": _SESSIONS_SQL,
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,

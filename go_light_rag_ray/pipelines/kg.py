@@ -28,7 +28,11 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources import io as table_io
-from ..stages.canonicalize import canonicalize
+from ..stages.canonicalize import (
+    _merge_and_finalize,
+    canonicalize,
+    combine_mentions,
+)
 from ..stages.chunker import Chunker, ChunkerConfig
 from ..stages.extractor import Extractor
 from ..stages.summarize import (
@@ -83,7 +87,34 @@ class Handler:
     # (423 s).  1M-row bundles restore ~12× pre-shuffle compression while
     # still yielding ≥ cluster-CPU tasks at ≥32M mentions.
     mention_batch_size: int = 1 << 20
+    # fused flagship path: chunk → extract → combine inside ONE actor call,
+    # so raw chunk and mention rows never round-trip the object store (the
+    # unfused pipeline ships ~33 mention rows per doc — strings — between
+    # three unfused operators; at 12M docs that is tens of GB of store
+    # traffic the combiner immediately compresses away).  Output is
+    # bit-identical: combine/merge are associative over global occurrence
+    # keys, so batching boundaries cannot change the result (equivalence
+    # tested).  The DEFAULT flagship path (measured at 12M docs / 32 cpus:
+    # 130.6 s fused vs 162.1 s unfused, work-cpu 2760 vs 3713 — the
+    # interchange was pure bandwidth demand).  The staged/checkpointed
+    # path (run_kg) materializes chunks and mentions on purpose and does
+    # not route through it.
+    fused: bool = True
+    # documents per fused call — sized so mentions-per-combine stays near
+    # mention_batch_size (the merge_cap compression window; small windows
+    # never fire the cap and ship every occurrence through the sort).
+    # Measured bracket at 12M docs / 32 cpus: 16k = 156 s, 32k = 136 s,
+    # 64k = 131 s; at 8 cpus 64k = 329 s vs 16k = 364 s — big batches win
+    # once the task count clears ~4× the actor pool.
+    fused_batch_docs: int = 1 << 16
     extra: dict = field(default_factory=dict)
+
+
+def _fused_pool(configured) -> tuple[int, int]:
+    from ..pool import auto_pool
+
+    frac = float(os.environ.get("GRAFT_FUSED_POOL_FRAC", "0.9"))
+    return auto_pool(configured, frac, per_node_cap=24)
 
 
 def _pool(configured, frac: float) -> tuple[int, int]:
@@ -96,14 +127,18 @@ def _pool(configured, frac: float) -> tuple[int, int]:
     return auto_pool(configured, frac)
 
 
-def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
-    cfg = ChunkerConfig(
+def _chunker_cfg(handler: Handler) -> ChunkerConfig:
+    return ChunkerConfig(
         max_tokens=handler.chunk_max_tokens,
         overlap_tokens=handler.chunk_overlap_tokens,
         tokenizer=handler.tokenizer,
         content_mode=handler.content_mode,
         doc_id_format=handler.doc_id_format,
     )
+
+
+def chunk_documents(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    cfg = _chunker_cfg(handler)
     return docs.map_batches(
         Chunker,
         fn_constructor_kwargs={"config": cfg},
@@ -151,8 +186,70 @@ def _summarize_stage(graph: ray.data.Dataset, handler: Handler) -> ray.data.Data
     )
 
 
+class FusedExtractCombine:
+    """chunk → extract → combine inside ONE actor call.
+
+    The unfused flagship ships every chunk row and every raw mention row
+    (~33 string rows per doc) through the object store between three
+    operators Ray Data cannot fuse (distinct actor pools / task pools),
+    then the combiner compresses them to a few partial rows per key.  At
+    12M docs that interchange is tens of GB of store write+read — pure
+    memory-bandwidth demand on data that never survives the next stage.
+    Fusing chains the same three kernels over the same batches in-heap, so
+    the only store traffic the narrow phase produces is combiner partials.
+
+    Correctness: stage-A partials merge associatively over global
+    occurrence keys ``(doc_id, order_index, mention_index)``, so the
+    different batching boundary (docs-per-call instead of
+    mentions-per-bundle) cannot change the merged graph — equivalence is
+    asserted row-for-row in test_fused.  The combiner's bandwidth-width
+    cap (canonicalize._combine_width) is inherently respected: the
+    hash-aggregate is ~1/3 of each fused task's wall, so expected
+    concurrent combines ≈ pool/3, under the measured 8-per-node wall.
+    """
+
+    def __init__(self, config: ChunkerConfig, rules: str, glean_count: int,
+                 salt_buckets: int, merge_cap: int) -> None:
+        self._chunk = Chunker(config=config)
+        self._extract = Extractor(rules=rules, glean_count=glean_count)
+        self._salt = salt_buckets
+        self._cap = merge_cap
+
+    def __call__(self, batch):
+        return combine_mentions(
+            self._extract(self._chunk(batch)), self._salt, self._cap)
+
+
+def fused_partials(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
+    """documents → combiner partials via the fused actor stage."""
+    return docs.map_batches(
+        FusedExtractCombine,
+        fn_constructor_kwargs={
+            "config": _chunker_cfg(handler),
+            "rules": handler.rules,
+            "glean_count": handler.glean_count,
+            "salt_buckets": handler.salt_buckets,
+            "merge_cap": handler.merge_cap,
+        },
+        batch_format="pyarrow",
+        batch_size=handler.fused_batch_docs,
+        # the fused stage is the ONLY heavy phase (no downstream combiner
+        # tasks competing for cores), so it takes 0.9 of the cores, capped
+        # at 24 actors per node — the measured memory-bandwidth saturation
+        # of the fused kernel chain (see pool.auto_pool's numbers); (1, N)
+        # autoscaling keeps read tasks alive (the round-1 deadlock rule).
+        # GRAFT_FUSED_POOL_FRAC is the A/B probe knob.
+        concurrency=_fused_pool(handler.chunker_concurrency),
+    )
+
+
 def kg_pipeline(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:
     """documents → graph, fully lazy (no checkpoint)."""
+    if handler.fused:
+        graph = _merge_and_finalize(
+            fused_partials(docs, handler), handler.salt_buckets,
+            handler.merge_cap, handler.canonicalize_strategy)
+        return _summarize_stage(graph, handler)
     return build_graph(extract_mentions(chunk_documents(docs, handler), handler), handler)
 
 

@@ -416,3 +416,90 @@ def _asof_join_salted(
         .map_groups(carry_fix, batch_format="pyarrow")
     )
     return resolved.union(fixed)
+
+
+def range_join_count(
+    events: ray.data.Dataset,
+    mark_type: str = "error",
+    window_s: int = 300,
+) -> ray.data.Dataset:
+    """Bounded-range interval join: for every event, how many ``mark_type``
+    events of the SAME user fall in the lookback window
+    ``[ts - window_s, ts]`` (inclusive both ends — a mark event counts
+    itself).  Returns (event_id, user_id, n_marks int64).
+
+    Neither Ray Data nor the reference has a range/interval join
+    (SURVEY.md §2.9); at scale the classic implementation is the
+    bounded-interval bucket replication pattern:
+
+    - every event lands in time bucket ``floor(ts / W)``;
+    - every MARK additionally replicates to bucket+1 — a window of width
+      W crosses at most one bucket boundary, so 2 copies always suffice
+      (this is the partitioning assumption: window length must be ≤ the
+      bucket width, which holds by construction here since bucket = W);
+    - ONE keyed shuffle on (user, bucket), then a per-group vectorized
+      double bisect (``np.searchsorted`` over the group's sorted mark
+      timestamps) counts each event's in-window marks — O((n+m)·log m)
+      per group, never a cross join, never a whale-sized group (group
+      size is bounded by one user's traffic per W seconds, not their
+      whole history).
+
+    Counts are integers, so the DuckDB oracle (LEFT JOIN ... BETWEEN)
+    matches bit-exactly.
+    """
+    w_us = window_s * US
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        eid = b.column("event_id").combine_chunks()
+        uid = b.column("user_id").combine_chunks()
+        is_mark = pc.equal(b.column("event_type"), mark_type).to_numpy(
+            zero_copy_only=False)
+        bucket = ts // w_us
+        base = pa.Table.from_pydict(
+            {"event_id": eid, "user_id": uid,
+             "ts_us": pa.array(ts, pa.int64()),
+             "bucket": pa.array(bucket, pa.int64()),
+             # role: 0 = probe event, 1 = mark available to this bucket
+             "role": pa.array(is_mark.astype(np.int8), pa.int8())}
+        )
+        # marks replicate to the NEXT bucket as mark-only rows (role=1,
+        # not probes there); within their own bucket they are both probe
+        # and mark, encoded role=1 on the original row
+        midx = np.nonzero(is_mark)[0]
+        if len(midx):
+            rep = pa.Table.from_pydict(
+                {"event_id": pc.take(eid, pa.array(midx, pa.int64())),
+                 "user_id": pc.take(uid, pa.array(midx, pa.int64())),
+                 "ts_us": pa.array(ts[midx], pa.int64()),
+                 "bucket": pa.array(bucket[midx] + 1, pa.int64()),
+                 "role": pa.array(np.full(len(midx), 2, np.int8), pa.int8())}
+            )
+            return pa.concat_tables([base, rep])
+        return base
+
+    def count_group(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = group.column("ts_us").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        role = group.column("role").to_numpy()
+        bucket = group.column("bucket")[0].as_py()
+        # probes: original rows only (role 0/1) that BELONG to this bucket
+        probe = role != 2
+        mark_ts = np.sort(ts[role != 0])  # marks: originals + replicas
+        e_ts, e_id = ts[probe], eid[probe]
+        hi = np.searchsorted(mark_ts, e_ts, side="right")
+        lo = np.searchsorted(mark_ts, e_ts - w_us, side="left")
+        n = len(e_ts)
+        return pa.Table.from_pydict(
+            {"event_id": pa.array(e_id.astype(np.int64), pa.int64()),
+             "user_id": pa.array([uid] * n, pa.int64()),
+             "n_marks": pa.array((hi - lo).astype(np.int64), pa.int64())}
+        )
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(count_group, batch_format="pyarrow")
+    )

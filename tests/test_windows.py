@@ -154,3 +154,46 @@ def test_tumbling_distinct_users(ray_session):
            for r in tumbling_distinct_users(ev, window_s=10).take_all()}
     assert out[0]["n_events"] == 3 and out[0]["n_users"] == 2
     assert out[10_000_000]["n_events"] == 2 and out[10_000_000]["n_users"] == 2
+
+
+def test_range_join_count_window_edges():
+    from go_light_rag_ray.stages.windows import range_join_count
+
+    ev = _events([
+        (0, 0, 1, "error", 0.0),
+        (1, 100, 1, "click", 0.0),      # error@0 in [t-300, t] → 1
+        (2, 300, 1, "click", 0.0),      # errors @0 (inclusive edge) + @250 → 2
+        (3, 301, 1, "click", 0.0),      # error@0 now out; error@250 in → 1
+        (4, 250, 1, "error", 0.0),      # error counts ITSELF + error@0 → 2
+        (5, 100, 2, "click", 0.0),      # other user sees no errors → 0
+        (6, 550, 1, "click", 0.0),      # error@250 in window (300s) → 1
+    ])
+    got = {r["event_id"]: r["n_marks"]
+           for r in range_join_count(ev, "error", window_s=300).take_all()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 2, 5: 0, 6: 1}
+
+
+def test_range_join_count_matches_bruteforce_across_buckets():
+    # events straddling many W-buckets; brute-force O(n²) reference
+    from go_light_rag_ray.stages.windows import range_join_count
+
+    rows, eid = [], 0
+    for u in (1, 2):
+        for s in (0, 7, 290, 300, 305, 599, 600, 601, 900, 1499, 1500, 2100):
+            rows.append((eid, s + u, u, "error" if (eid % 3 == 0) else "click",
+                         0.0))
+            eid += 1
+    got = {r["event_id"]: r["n_marks"]
+           for r in range_join_count(_events(rows), "error",
+                                     window_s=300).take_all()}
+    w_us = 300 * 1_000_000
+
+    def us(s):
+        return int(T0.timestamp()) * 1_000_000 + s * 1_000_000
+
+    for e_id, e_s, e_u, _, _ in rows:
+        want = sum(1 for (m_id, m_s, m_u, m_t, _) in rows
+                   if m_u == e_u and m_t == "error"
+                   and us(e_s) - w_us <= us(m_s) <= us(e_s))
+        assert got[e_id] == want, (e_id, got[e_id], want)
+    assert len(got) == len(rows)
