@@ -724,6 +724,37 @@ def q_range_join(sf_dir: str) -> ray.data.Dataset:
                             window_s=300)
 
 
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape over lineitem (stages/relational.pricing_summary):
+    per-batch Arrow partial aggregation → tiny keyed groupby; the exchange
+    carries #batches × 6 rows, never the fact table.  Money in integer
+    cents, discounted price as an integer product — bit-exact."""
+    from go_light_rag_ray.stages.relational import pricing_summary
+
+    return pricing_summary(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"]))
+
+
+def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Two chained BROADCAST joins (orders→customer→nation, dimensions via
+    ray.put + index_in probe — the fact table never shuffles) feeding the
+    partial-agg groupby (stages/relational.revenue_by_nation)."""
+    import pyarrow.parquet as pq
+
+    from go_light_rag_ray.stages.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"]),
+        pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name"]),
+    )
+
+
 def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
     """Vector search with the reference's cosine radius filter
     (milvus.go:31 RangeFilter): only neighbors with cos ≥ 0.2 rank."""
@@ -2429,6 +2460,30 @@ SELECT e.event_id, e.user_id,
 FROM events e
 """
 
+_PRICING_SUMMARY_SQL = r"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice*100 + 0.5)::BIGINT)::BIGINT
+         AS sum_base_cents,
+       sum(floor(l_extendedprice*100 + 0.5)::BIGINT
+           * (100 - floor(l_discount*100 + 0.5)::BIGINT))::BIGINT
+         AS sum_disc_cents_h,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_REVENUE_BY_NATION_SQL = r"""
+SELECT n.n_name,
+       sum(floor(o.o_totalprice*100 + 0.5)::BIGINT)::BIGINT
+         AS revenue_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
 # inclusive lookback [ts - 300s, ts]; integer count → bit-exact
 _RANGE_JOIN_SQL = r"""
 SELECT e.event_id, e.user_id,
@@ -3069,6 +3124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
         "sessions_salted": q_sessions_salted,
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
@@ -3153,6 +3210,8 @@ def oracle_sql() -> dict[str, str]:
         "sessions": _SESSIONS_SQL,
         "asof_join": _ASOF_JOIN_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "pricing_summary": _PRICING_SUMMARY_SQL,
+        "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "sessions_salted": _SESSIONS_SQL,
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
