@@ -264,13 +264,17 @@ def kg_pipeline_incremental(
     """
     from ..stages.canonicalize import canonicalize_incremental
 
-    mentions = extract_mentions(chunk_documents(docs, handler), handler)
+    if handler.fused:
+        new_side = fused_partials(docs, handler)
+    else:
+        new_side = extract_mentions(chunk_documents(docs, handler), handler)
     graph = canonicalize_incremental(
-        mentions,
+        new_side,
         prior_graph,
         salt_buckets=handler.salt_buckets,
         batch_size=handler.mention_batch_size,
         merge_cap=handler.merge_cap,
+        pre_combined=handler.fused,
     )
     return _summarize_stage(graph, handler)
 

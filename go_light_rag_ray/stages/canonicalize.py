@@ -1454,18 +1454,26 @@ def graph_to_partials(batch: pa.Table, salt_buckets: int = 8) -> pa.Table:
 
 def canonicalize_incremental(mentions, prior_graph, salt_buckets: int = 8,
                              batch_size: int = 8192, merge_cap: int = 0,
-                             strategy: str = "sorted"):
+                             strategy: str = "sorted",
+                             pre_combined: bool = False):
     """Incremental insert: new mentions merged with a prior graph snapshot
     in ONE shuffle — the reference's point-lookup upsert loop becomes a
     union of partials (new combiner output ∪ snapshot partials) flowing
     through the same salted merge + finalize.  No join, no per-key reads.
+
+    ``pre_combined=True`` accepts stage-A PARTIALS instead of raw
+    mentions (the fused chunk→extract→combine path, pipelines/kg.py) and
+    skips the combiner here — the merge algebra is identical.
     """
-    new_partials = mentions.map_batches(
-        lambda b: combine_mentions(b, salt_buckets, merge_cap),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=_combine_width(),
-    )
+    if pre_combined:
+        new_partials = mentions
+    else:
+        new_partials = mentions.map_batches(
+            lambda b: combine_mentions(b, salt_buckets, merge_cap),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=_combine_width(),
+        )
     prior_partials = prior_graph.map_batches(
         lambda b: graph_to_partials(b, salt_buckets),
         batch_format="pyarrow",
