@@ -14,8 +14,9 @@ Shape (all-Arrow, one sort, no joins):
    ``\\S+`` oracle), build every positional k-gram with VECTORIZED Arrow
    kernels (k shifted takes of the flat token array +
    ``binary_join_element_wise``; no per-gram Python), hash each gram to 64
-   bits with two salted ``hashutil.crc32_vec`` passes (O(bytes) numpy, no
-   per-row Python).  Rows ≈ corpus tokens; the gram string itself never
+   bits with a (crc32, fnv1a64) pair — two structurally INDEPENDENT
+   vectorized kernels (O(bytes) numpy, no per-row Python).  Rows ≈ corpus
+   tokens; the gram string itself never
    leaves the task — only the 8-byte hash, doc_id and position shuffle.
 2. ``sortagg.sorted_attach_count`` on the gram hash — the segment-reduce
    layer (gram cardinality ≈ token count, far beyond the ~10⁷-group point
@@ -29,12 +30,17 @@ Shape (all-Arrow, one sort, no joins):
    (doc_id, pos)-sorted segment pass instead (same switch as
    ``textstats.tfidf_top_terms``).
 
-64-bit gram hashing note: two independent CRC32s over salted bytes give a
-64-bit key; at 10⁹ corpus grams the collision expectation is ~0.03 pairs —
-acceptable for dedup (a collision only over-marks one span) and
-deterministic run-to-run.  The DuckDB oracle compares gram STRINGS, so the
-bit-exact gate also certifies the hash is collision-free on the test
-corpora.
+64-bit gram hashing note: the key is crc32 in the high 32 bits and an
+xor-folded FNV-1a-64 in the low 32.  The two kernels are structurally
+independent (CRC is GF(2)-linear and incremental — ``crc(m+s)`` is a
+function of ``crc(m)`` alone, so a SALTED second crc pass adds ZERO
+strength; FNV is multiplicative mod 2**64), giving a true ~64-bit key: at
+10⁹ corpus grams the collision expectation is ~0.03 pairs — acceptable for
+dedup (a collision only over-marks one span) and deterministic
+run-to-run.  The DuckDB oracle compares gram STRINGS, so the bit-exact
+gate also certifies the hash is collision-free on the test corpora (the
+original double-crc construction FAILED that gate with one real collision
+at 23k grams — see tests/test_spandedup.py).
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..hashutil import crc32_vec
+from ..hashutil import crc32_vec, fnv1a64_vec
 from . import sortagg
 
 __all__ = ["positional_kgrams", "duplicate_gram_hits", "duplicate_spans",
@@ -54,10 +60,13 @@ DEFAULT_K = 8
 
 
 def _gram_hash64(grams: pa.Array) -> pa.Array:
-    """Two salted crc32 passes → int64 (bit-pattern of the uint64 pair)."""
+    """crc32 (high 32) ‖ xor-folded fnv1a64 (low 32) → int64 bit-pattern.
+
+    Two INDEPENDENT hash families — see the module docstring for why two
+    salted crc passes are not independent (they collide in lockstep)."""
     h1 = crc32_vec(grams).astype(np.uint64)
-    salted = pc.binary_join_element_wise(grams, "\x02", "")
-    h2 = crc32_vec(salted).astype(np.uint64)
+    f = fnv1a64_vec(grams)
+    h2 = (f ^ (f >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
     return pa.array(((h1 << np.uint64(32)) | h2).view(np.int64))
 
 
