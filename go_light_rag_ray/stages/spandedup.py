@@ -59,6 +59,25 @@ __all__ = ["positional_kgrams", "duplicate_gram_hits", "duplicate_spans",
 DEFAULT_K = 8
 
 
+def _flat_tokens(col: pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace-tokenize a string column with Arrow kernels → (flat token
+    array, per-row token counts).  Bit-identical to per-row ``str.split()``
+    (== the oracle's ``\\S+``): ``ascii_split_whitespace`` emits empty
+    strings around leading/trailing whitespace, so those are dropped from
+    the flat stream before re-deriving per-row counts."""
+    words = pc.ascii_split_whitespace(
+        pc.fill_null(pc.cast(col, pa.string()), "")).combine_chunks()
+    n = len(words)
+    flat_all = pc.list_flatten(words)
+    lens_all = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens_all = np.nan_to_num(lens_all).astype(np.int64)
+    keep_mask = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(keep_mask)
+    flat = flat_all.take(pa.array(keep))
+    par = np.repeat(np.arange(n), lens_all)[keep]
+    return flat, np.bincount(par, minlength=n).astype(np.int64)
+
+
 def _gram_hash64(grams: pa.Array) -> pa.Array:
     """crc32 (high 32) ‖ xor-folded fnv1a64 (low 32) → int64 bit-pattern.
 
@@ -80,9 +99,7 @@ def positional_kgrams(
     """
 
     def grams(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        toks = [(t or "").split() for t in texts]
-        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        flat, lens = _flat_tokens(b.column("text"))
         n_grams = np.maximum(lens - k + 1, 0)
         total = int(n_grams.sum())
         empty = pa.Table.from_pydict({
@@ -92,12 +109,9 @@ def positional_kgrams(
         })
         if total == 0:
             return empty
-        flat = pa.array(
-            [w for t in toks for w in t], pa.string()
-        )
         doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
         gram_cum = np.concatenate(([0], np.cumsum(n_grams)))[:-1]
-        doc_idx = np.repeat(np.arange(len(toks)), n_grams)
+        doc_idx = np.repeat(np.arange(len(lens)), n_grams)
         # position of each gram inside its doc, then its flat-array start
         pos = np.arange(total, dtype=np.int64) - np.repeat(gram_cum, n_grams)
         start = np.repeat(doc_start, n_grams) + pos
@@ -193,17 +207,14 @@ def winnow_fingerprints(
             "pos": pa.array([], pa.int64()),
             "gh": pa.array([], pa.string()),
         })
-        texts = b.column("text").to_pylist()
-        toks = [(t or "").split() for t in texts]
-        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        flat, lens = _flat_tokens(b.column("text"))
         n_grams = np.maximum(lens - k + 1, 0)
         total = int(n_grams.sum())
         if total == 0:
             return empty
-        flat = pa.array([x for t in toks for x in t], pa.string())
         doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
         gram_cum = np.concatenate(([0], np.cumsum(n_grams)))[:-1]
-        doc_idx = np.repeat(np.arange(len(toks)), n_grams)
+        doc_idx = np.repeat(np.arange(len(lens)), n_grams)
         pos = np.arange(total, dtype=np.int64) - np.repeat(gram_cum, n_grams)
         start = np.repeat(doc_start, n_grams) + pos
         parts = [flat.take(pa.array(start + j)) for j in range(k)]
