@@ -724,6 +724,16 @@ def q_range_join(sf_dir: str) -> ray.data.Dataset:
                             window_s=300)
 
 
+def q_events_running(sf_dir: str) -> ray.data.Dataset:
+    """Per-key running aggregates (stages/windows.running_totals): the
+    keyed streaming scan — cumulative cents sum, per-user ROW_NUMBER and
+    LAG gap in one range sort + two-pass block scan with O(blocks) driver
+    summaries.  No per-user groups, so no whale salting needed."""
+    from go_light_rag_ray.stages.windows import running_totals
+
+    return running_totals(_raw_events(sf_dir))
+
+
 def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1 shape over lineitem (stages/relational.pricing_summary):
     per-batch Arrow partial aggregation → tiny keyed groupby; the exchange
@@ -2400,6 +2410,22 @@ SELECT bucket,
 FROM parts GROUP BY bucket
 """
 
+_EVENTS_RUNNING_SQL = r"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         floor(value * 100 + 0.5)::BIGINT AS cents
+  FROM events)
+SELECT event_id, user_id,
+       (sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents,
+       (row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id))::BIGINT AS seq,
+       coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT
+           AS gap_us
+FROM e
+"""
+
 _WINDOW_DISTINCT_SQL = r"""
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        count(*)::BIGINT AS n_events,
@@ -3124,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "sessions_salted": q_sessions_salted,
@@ -3210,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": _SESSIONS_SQL,
         "asof_join": _ASOF_JOIN_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "events_running": _EVENTS_RUNNING_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "sessions_salted": _SESSIONS_SQL,

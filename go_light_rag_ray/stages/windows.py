@@ -503,3 +503,134 @@ def range_join_count(
         .groupby(["user_id", "bucket"])
         .map_groups(count_group, batch_format="pyarrow")
     )
+
+
+def running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-key running aggregates — the keyed streaming scan (SQL window
+    functions over an unbounded-preceding frame; Ray Data and the reference
+    both lack it, SURVEY.md §2.9).  For every event, in ``(ts, event_id)``
+    order within its user: the cumulative value sum (integer cents), the
+    1-based per-user sequence number (ROW_NUMBER), and the gap in
+    microseconds since the user's previous event (LAG; -1 on a user's
+    first event).  Returns (event_id, user_id, cum_cents, seq, gap_us).
+
+    Distributed shape — ONE range sort + a two-pass block scan, the keyed
+    generalization of ``packing.prefix_sum``:
+
+    1. sort by (user_id, ts_us, event_id); range partitioning makes every
+       block a contiguous slice of the global order, so a user's rows span
+       a consecutive run of blocks;
+    2. per block, ONE summary row: the block's first composite key plus the
+       first-user and last-user segment subtotals (sum, count, last ts).
+       Only the ≤2 users touching a block boundary ever need cross-block
+       correction, so the summary side is O(blocks) — thousands of rows at
+       100 TB, never per-user or per-row state;
+    3. the driver chains the summaries in key order, carrying one
+       (user, sum, count, last_ts) tuple, and broadcasts per-block
+       carry-ins via ``ray.put``; a second vectorized pass computes local
+       segment cumsums (global ``np.cumsum`` minus each segment's base)
+       and adds the carry to the first segment only.
+
+    Unlike ``sessionize``/``asof_join_latest`` this needs NO whale salting:
+    there is no per-user group — a user whose history spans a thousand
+    blocks costs exactly one carry hand-off per block boundary.
+
+    All-integer arithmetic (cents, counts, epoch-µs), so the DuckDB window
+    oracle matches bit-exactly.
+    """
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_id": b.column("event_id").combine_chunks(),
+            "user_id": b.column("user_id").combine_chunks(),
+            "ts_us": pa.array(_epoch_us(b.column("ts")), pa.int64()),
+            "cents": pa.array(_cents(b.column("value")), pa.int64()),
+        })
+
+    s = (events.select_columns(["event_id", "ts", "user_id", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .sort(["user_id", "ts_us", "event_id"])
+         .materialize())
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cols = ["fk_user", "fk_ts", "fk_eid", "first_user", "first_total",
+                "first_count", "last_user", "last_total", "last_count",
+                "last_ts"]
+        if len(b) == 0:
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.int64()) for c in cols})
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        v = b.column("cents").to_numpy(zero_copy_only=False)
+        t = b.column("ts_us").to_numpy(zero_copy_only=False)
+        e = b.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(u)
+        head = u != u[0]
+        fs_end = int(np.argmax(head)) if head.any() else n
+        tail = u[::-1] != u[-1]
+        ls_start = n - (int(np.argmax(tail)) if tail.any() else n)
+        vals = [int(u[0]), int(t[0]), int(e[0]), int(u[0]),
+                int(v[:fs_end].sum()), fs_end, int(u[-1]),
+                int(v[ls_start:].sum()), n - ls_start, int(t[-1])]
+        return pa.Table.from_pydict(
+            {c: pa.array([x], pa.int64()) for c, x in zip(cols, vals)})
+
+    # one summary row per block → tiny driver-side table even at web scale
+    summaries = s.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None).take_all()
+    summaries.sort(key=lambda r: (r["fk_user"], r["fk_ts"], r["fk_eid"]))
+    carries: dict = {}
+    cur_user, tot, cnt, last_ts = None, 0, 0, -1
+    for r in summaries:
+        fk = (r["fk_user"], r["fk_ts"], r["fk_eid"])
+        if cur_user is not None and r["first_user"] == cur_user:
+            carries[fk] = (tot, cnt, last_ts)
+            if r["first_user"] == r["last_user"]:
+                # single-user block: the last segment IS the whole block
+                tot += r["last_total"]
+                cnt += r["last_count"]
+                last_ts = r["last_ts"]
+                continue
+        else:
+            carries[fk] = (0, 0, -1)
+        cur_user = r["last_user"]
+        tot, cnt, last_ts = r["last_total"], r["last_count"], r["last_ts"]
+    carries_ref = ray.put(carries)
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("cum_cents", pa.int64()), ("seq", pa.int64()),
+        ("gap_us", pa.int64())])
+
+    def attach(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        v = b.column("cents").to_numpy(zero_copy_only=False)
+        t = b.column("ts_us").to_numpy(zero_copy_only=False)
+        e = b.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(u)
+        seg_start = np.concatenate(([True], u[1:] != u[:-1]))
+        seg_id = np.cumsum(seg_start) - 1
+        start_idx = np.flatnonzero(seg_start)
+        cs = np.cumsum(v, dtype=np.int64)
+        base = (cs[start_idx] - v[start_idx])[seg_id]
+        cum = cs - base
+        seq = np.arange(n, dtype=np.int64) - start_idx[seg_id] + 1
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        gap[start_idx] = -1
+        c_tot, c_cnt, c_ts = ray.get(carries_ref)[
+            (int(u[0]), int(t[0]), int(e[0]))]
+        first_len = int(start_idx[1]) if len(start_idx) > 1 else n
+        if c_cnt:
+            cum[:first_len] += c_tot
+            seq[:first_len] += c_cnt
+            gap[0] = t[0] - c_ts
+        return pa.Table.from_pydict({
+            "event_id": pa.array(e, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "cum_cents": pa.array(cum, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64())})
+
+    return s.map_batches(attach, batch_format="pyarrow", batch_size=None)

@@ -197,3 +197,69 @@ def test_range_join_count_matches_bruteforce_across_buckets():
                    and us(e_s) - w_us <= us(m_s) <= us(e_s))
         assert got[e_id] == want, (e_id, got[e_id], want)
     assert len(got) == len(rows)
+
+
+def test_running_totals_single_user_order():
+    from go_light_rag_ray.stages.windows import running_totals
+
+    ev = _events([
+        (0, 10, 1, "click", 1.25),
+        (1, 20, 1, "click", 2.50),
+        (2, 5, 1, "view", 0.10),       # earliest by ts, despite higher id
+    ])
+    rows = {r["event_id"]: r for r in running_totals(ev).take_all()}
+    assert rows[2]["seq"] == 1 and rows[2]["cum_cents"] == 10
+    assert rows[2]["gap_us"] == -1
+    assert rows[0]["seq"] == 2 and rows[0]["cum_cents"] == 135
+    assert rows[0]["gap_us"] == 5_000_000
+    assert rows[1]["seq"] == 3 and rows[1]["cum_cents"] == 385
+    assert rows[1]["gap_us"] == 10_000_000
+
+
+def test_running_totals_cross_block_carry_matches_duckdb():
+    """Force many tiny blocks so users straddle block boundaries: the
+    per-block carry chain must reproduce DuckDB's window functions
+    bit-for-bit."""
+    import duckdb
+
+    from go_light_rag_ray.stages.windows import running_totals
+
+    rows = []
+    eid = 0
+    for u in range(5):
+        for j in range(40):
+            # interleave insert order; ts strides differ per user
+            rows.append((eid, 17 + j * (u + 3), u, "click",
+                         round((eid % 97) * 0.13, 2)))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    ev = ray.data.from_arrow(tbl).repartition(23)
+    got = running_totals(ev).to_pandas().sort_values("event_id")
+
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute("""
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 floor(value * 100 + 0.5)::BIGINT AS cents
+          FROM events)
+        SELECT event_id, user_id,
+               (sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS cum_cents,
+               (row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id))::BIGINT AS seq,
+               coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT
+                   AS gap_us
+        FROM e ORDER BY event_id
+    """).df()
+    for col in ["event_id", "user_id", "cum_cents", "seq", "gap_us"]:
+        assert list(got[col]) == list(want[col]), col
