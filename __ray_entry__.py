@@ -765,6 +765,77 @@ def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_join_order_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Big-big shuffle join (stages/relational.shuffle_join): lineitem ⋈
+    orders on orderkey — neither side broadcastable at 100 TB, so ONE
+    co-partitioning shuffle into a bounded bucket count, then a vectorized
+    Acero hash join per bucket.  Discounted price is computed pre-join on
+    the pruned lineitem read and carried as an integer product."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from go_light_rag_ray.stages.relational import _cents, shuffle_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = _cents(b.column("l_extendedprice"))
+        disc_h = _cents(b.column("l_discount"))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+            "disc_c2": pa.array(price_c * (100 - disc_h), pa.int64()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount"]).map_batches(prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    return shuffle_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                        ["l_linenumber", "disc_c2"], ["o_orderpriority"])
+
+
+def _orders_big_line(sf_dir: str, anti: bool) -> ray.data.Dataset:
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.relational import (_cents,
+                                                    shuffle_semi_join)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "total_cents": pa.array(_cents(b.column("o_totalprice")),
+                                    pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    big_lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]).filter(
+        expr="l_quantity >= 45").select_columns(["l_orderkey"])
+    return shuffle_semi_join(orders, big_lines, "o_orderkey", "l_orderkey",
+                             anti=anti)
+
+
+def q_orders_with_big_line(sf_dir: str) -> ray.data.Dataset:
+    """Distributed semi-join (stages/relational.shuffle_semi_join): orders
+    having ≥1 lineitem with quantity ≥ 45.  The key side is too big to
+    broadcast at scale, so it ships per-batch-deduped keys through the
+    same bucketed co-shuffle as the join; probe rows pass row-for-row."""
+    return _orders_big_line(sf_dir, anti=False)
+
+
+def q_orders_no_big_line(sf_dir: str) -> ray.data.Dataset:
+    """The anti-join twin: orders with NO quantity ≥ 45 lineitem (SQL
+    NOT EXISTS) — same shuffle, inverted per-bucket membership mask."""
+    return _orders_big_line(sf_dir, anti=True)
+
+
 def q_ann_radius(sf_dir: str) -> ray.data.Dataset:
     """Vector search with the reference's cosine radius filter
     (milvus.go:31 RangeFilter): only neighbors with cos ≥ 0.2 rank."""
@@ -2426,6 +2497,31 @@ SELECT event_id, user_id,
 FROM e
 """
 
+_JOIN_ORDER_LINEITEM_SQL = r"""
+SELECT l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       (floor(l_extendedprice * 100 + 0.5)::BIGINT
+        * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS disc_c2,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+_ORDERS_BIG_LINE_SQL = r"""
+SELECT o_orderkey, o_orderpriority,
+       floor(o_totalprice * 100 + 0.5)::BIGINT AS total_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+"""
+
+_ORDERS_NO_BIG_LINE_SQL = r"""
+SELECT o_orderkey, o_orderpriority,
+       floor(o_totalprice * 100 + 0.5)::BIGINT AS total_cents
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+"""
+
 _WINDOW_DISTINCT_SQL = r"""
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        count(*)::BIGINT AS n_events,
@@ -3153,6 +3249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "join_order_lineitem": q_join_order_lineitem,
+        "orders_with_big_line": q_orders_with_big_line,
+        "orders_no_big_line": q_orders_no_big_line,
         "sessions_salted": q_sessions_salted,
         "asof_salted": q_asof_salted,
         "ann_radius": q_ann_radius,
@@ -3240,6 +3339,9 @@ def oracle_sql() -> dict[str, str]:
         "events_running": _EVENTS_RUNNING_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "join_order_lineitem": _JOIN_ORDER_LINEITEM_SQL,
+        "orders_with_big_line": _ORDERS_BIG_LINE_SQL,
+        "orders_no_big_line": _ORDERS_NO_BIG_LINE_SQL,
         "sessions_salted": _SESSIONS_SQL,
         "asof_salted": _ASOF_JOIN_SQL,
         "ann_radius": _ANN_RADIUS_SQL,

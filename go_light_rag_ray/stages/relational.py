@@ -1,6 +1,6 @@
-"""Relational operators over the TPC-H-ish tables: broadcast equi-join and
-partial-aggregate groupby — the two patterns every wide relational plan at
-100 TB reduces to.
+"""Relational operators over the TPC-H-ish tables: broadcast equi-join,
+big-big shuffle join / semi-join, and partial-aggregate groupby — the
+patterns every wide relational plan at 100 TB reduces to.
 
 - ``broadcast_join``: the small side (dimension table) is collected ONCE,
   shipped via ``ray.put``, and probed inside ``map_batches`` with Arrow
@@ -63,6 +63,157 @@ def broadcast_join(
         return out
 
     return big.map_batches(probe, batch_format="pyarrow")
+
+
+def _n_buckets(configured: int | None) -> int:
+    """Bucket count for the co-partitioned join shuffle.
+
+    Default 4× cluster CPUs (≥32): enough buckets that every core gets
+    work and stragglers amortize, few enough that the per-group dispatch
+    tax is noise.  At 100 TB the caller sizes this so |input|/buckets
+    fits a worker heap — buckets is the ONLY memory knob the join has."""
+    if configured:
+        return int(configured)
+    try:
+        if ray.is_initialized():
+            return max(32, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 32
+
+
+def _bucket_of(keys: np.ndarray, buckets: int) -> np.ndarray:
+    """Fibonacci multiplicative hash over int64 keys — vectorized,
+    deterministic, uniform even for dense sequential key spaces (TPC-H
+    orderkeys), unlike ``k % B`` which aliases strided keys."""
+    h = keys.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(17)) % np.uint64(buckets)).astype(np.int64)
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_left: str,
+    key_right: str,
+    payload_left: list[str],
+    payload_right: list[str],
+    how: str = "inner",
+    buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Big-big equi-join: neither side fits a worker heap, so neither can
+    broadcast.  ONE co-partitioning shuffle: both sides are padded to a
+    shared (key, bucket, side, payloads…) schema, unioned, and
+    hash-partitioned by ``bucket = fib_hash(key) % B``; every bucket group
+    then runs a single vectorized Arrow (Acero) hash join between its two
+    sides.  The group count is the BOUNDED bucket count, never the key
+    cardinality — no ~10µs/group tax on millions of join keys (CLAUDE.md),
+    and no reliance on ``Dataset.join``'s empty-block fragility.
+
+    Integer keys only (the engine's id discipline).  Duplicate keys on
+    both sides produce the full cross-product within the key, exactly like
+    SQL.  Skew note: one key's rows always co-locate in one bucket — fine
+    for bounded-multiplicity facts (≤7 lineitems per order); a whale key
+    needs a salted twin like ``windows.sessionize``'s.
+
+    ``how``: "inner" or "left" (left rows without a match keep null
+    payloads).  Output columns: ``key_left`` + ``payload_left`` +
+    ``payload_right``.
+    """
+    n_b = _n_buckets(buckets)
+    lt = dict(zip(left.schema().names, left.schema().types))
+    rt = dict(zip(right.schema().names, right.schema().types))
+    payload = ([(c, lt[c], 0) for c in payload_left]
+               + [(c, rt[c], 1) for c in payload_right])
+
+    def pad(side: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = pc.cast(b.column(key), pa.int64()).combine_chunks()
+            cols: dict = {
+                "__k": k,
+                "__b": pa.array(
+                    _bucket_of(k.to_numpy(zero_copy_only=False), n_b)),
+                "__s": pa.array(np.full(len(b), side, np.int8)),
+            }
+            for c, t, s in payload:
+                cols[c] = (b.column(c) if s == side
+                           else pa.nulls(len(b), t))
+            return pa.Table.from_pydict(cols)
+        return fn
+
+    both = (left.map_batches(pad(0, key_left), batch_format="pyarrow")
+            .union(right.map_batches(pad(1, key_right),
+                                     batch_format="pyarrow")))
+    join_type = "inner" if how == "inner" else "left outer"
+    out_cols = [key_left] + payload_left + payload_right
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        s = g.column("__s").to_numpy(zero_copy_only=False)
+        l_tbl = (g.filter(pa.array(s == 0))
+                 .select(["__k"] + payload_left).combine_chunks())
+        r_tbl = (g.filter(pa.array(s == 1))
+                 .select(["__k"] + payload_right).combine_chunks())
+        j = l_tbl.join(r_tbl, keys="__k", join_type=join_type)
+        j = j.rename_columns([key_left if c == "__k" else c
+                              for c in j.column_names])
+        return j.select(out_cols)
+
+    return (both.groupby("__b")
+            .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def shuffle_semi_join(
+    probe: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    key_probe: str,
+    key_build: str,
+    anti: bool = False,
+    buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed semi-join (``anti=False``: keep probe rows whose key
+    appears in ``keys``) / anti-join (``anti=True``: keep rows whose key
+    does NOT) when the key side is too big to broadcast.  Same bucketed
+    co-shuffle as ``shuffle_join`` but the build side ships ONLY its key
+    column, pre-deduplicated per batch (the per-batch combiner pattern),
+    and the probe side passes through row-for-row — no multiplicity, no
+    payload padding cost beyond the nulls.
+    """
+    n_b = _n_buckets(buckets)
+    probe_cols = list(probe.schema().names)
+    probe_types = dict(zip(probe.schema().names, probe.schema().types))
+
+    def pad_probe(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(key_probe), pa.int64()).combine_chunks()
+        cols = {"__b": pa.array(
+            _bucket_of(k.to_numpy(zero_copy_only=False), n_b)),
+            "__s": pa.array(np.zeros(len(b), np.int8))}
+        for c in probe_cols:
+            cols[c] = b.column(c)
+        return pa.Table.from_pydict(cols)
+
+    def pad_keys(b: pa.Table) -> pa.Table:
+        k = pc.unique(pc.cast(b.column(key_build), pa.int64()))
+        cols = {"__b": pa.array(
+            _bucket_of(k.to_numpy(zero_copy_only=False), n_b)),
+            "__s": pa.array(np.ones(len(k), np.int8))}
+        for c in probe_cols:
+            cols[c] = (k if c == key_probe
+                       else pa.nulls(len(k), probe_types[c]))
+        return pa.Table.from_pydict(cols)
+
+    both = (probe.map_batches(pad_probe, batch_format="pyarrow")
+            .union(keys.map_batches(pad_keys, batch_format="pyarrow")))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        s = g.column("__s").to_numpy(zero_copy_only=False)
+        rows = g.filter(pa.array(s == 0))
+        build = g.filter(pa.array(s == 1)).column(key_probe)
+        hit = pc.is_in(rows.column(key_probe),
+                       value_set=build.combine_chunks())
+        keep = pc.invert(hit) if anti else hit
+        return rows.filter(keep).select(probe_cols)
+
+    return (both.groupby("__b")
+            .map_groups(filter_bucket, batch_format="pyarrow"))
 
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:

@@ -63,3 +63,78 @@ def test_revenue_by_nation_chained_broadcast():
     assert rows["FR"]["revenue_cents"] == 100 + 250 + 400
     assert rows["FR"]["n_orders"] == 3
     assert rows["JP"]["revenue_cents"] == 800 and rows["JP"]["n_orders"] == 1
+
+
+def test_shuffle_join_inner_duplicates_both_sides():
+    from go_light_rag_ray.stages.relational import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3, 7], pa.int64()),
+        "lv": pa.array([10, 11, 20, 30, 70], pa.int64()),
+    })).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 2, 9], pa.int64()),
+        "rv": pa.array(["a", "b", "c", "z"]),
+    })).repartition(2)
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in shuffle_join(
+        left, right, "k", "rk", ["lv"], ["rv"], buckets=5).take_all())
+    # full cross-product within each key, SQL semantics
+    assert got == [(1, 10, "a"), (1, 11, "a"), (2, 20, "b"), (2, 20, "c")]
+
+
+def test_shuffle_join_left_keeps_misses():
+    from go_light_rag_ray.stages.relational import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 7], pa.int64()),
+        "lv": pa.array([10, 70], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1], pa.int64()),
+        "rv": pa.array(["a"]),
+    }))
+    got = sorted(((r["k"], r["rv"]) for r in shuffle_join(
+        left, right, "k", "rk", ["lv"], ["rv"], how="left",
+        buckets=4).take_all()), key=lambda x: x[0])
+    assert got == [(1, "a"), (7, None)]
+
+
+def test_shuffle_semi_and_anti_join():
+    from go_light_rag_ray.stages.relational import shuffle_semi_join
+
+    probe = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["w", "x", "y", "z"]),
+    })).repartition(2)
+    keys = ray.data.from_arrow(pa.table({
+        "bk": pa.array([2, 2, 4, 8], pa.int64()),
+    })).repartition(2)
+    semi = sorted(r["k"] for r in shuffle_semi_join(
+        probe, keys, "k", "bk", buckets=3).take_all())
+    anti = sorted(r["k"] for r in shuffle_semi_join(
+        probe, keys, "k", "bk", anti=True, buckets=3).take_all())
+    assert semi == [2, 4] and anti == [1, 3]
+
+
+def test_shuffle_join_matches_duckdb_at_scale():
+    """500-key join with per-key multiplicity on both sides vs DuckDB."""
+    import duckdb
+
+    from go_light_rag_ray.stages.relational import shuffle_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 500, 3000).astype(np.int64)
+    rk = rng.integers(0, 600, 900).astype(np.int64)
+    lt = pa.table({"k": lk, "lv": np.arange(3000, dtype=np.int64)})
+    rt = pa.table({"rk": rk, "rv": np.arange(900, dtype=np.int64)})
+    ds = shuffle_join(
+        ray.data.from_arrow(lt).repartition(7),
+        ray.data.from_arrow(rt).repartition(4),
+        "k", "rk", ["lv"], ["rv"], buckets=13)
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in ds.take_all())
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    want = sorted(map(tuple, con.execute(
+        "SELECT k, lv, rv FROM l JOIN r ON k = rk").fetchall()))
+    assert got == want
