@@ -796,6 +796,37 @@ def q_join_order_lineitem(sf_dir: str) -> ray.data.Dataset:
                         ["l_linenumber", "disc_c2"], ["o_orderpriority"])
 
 
+def q_join_order_lineitem_salted(sf_dir: str) -> ray.data.Dataset:
+    """The whale-key twin of join_order_lineitem: salt=4 splits each
+    bucket 4 ways on the lineitem side and replicates the orders side into
+    every sub-bucket — identical output row set (same oracle), S× smaller
+    worst-case bucket.  Opt-in skew armor, like sessions_salted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from go_light_rag_ray.stages.relational import _cents, shuffle_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = _cents(b.column("l_extendedprice"))
+        disc_h = _cents(b.column("l_discount"))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+            "disc_c2": pa.array(price_c * (100 - disc_h), pa.int64()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount"]).map_batches(prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    return shuffle_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                        ["l_linenumber", "disc_c2"], ["o_orderpriority"],
+                        salt=4)
+
+
 def _orders_big_line(sf_dir: str, anti: bool) -> ray.data.Dataset:
     import pyarrow as pa
 
@@ -3250,6 +3281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "join_order_lineitem": q_join_order_lineitem,
+        "join_order_lineitem_salted": q_join_order_lineitem_salted,
         "orders_with_big_line": q_orders_with_big_line,
         "orders_no_big_line": q_orders_no_big_line,
         "sessions_salted": q_sessions_salted,
@@ -3340,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "join_order_lineitem": _JOIN_ORDER_LINEITEM_SQL,
+        "join_order_lineitem_salted": _JOIN_ORDER_LINEITEM_SQL,
         "orders_with_big_line": _ORDERS_BIG_LINE_SQL,
         "orders_no_big_line": _ORDERS_NO_BIG_LINE_SQL,
         "sessions_salted": _SESSIONS_SQL,

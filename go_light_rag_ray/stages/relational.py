@@ -99,6 +99,7 @@ def shuffle_join(
     payload_right: list[str],
     how: str = "inner",
     buckets: int | None = None,
+    salt: int = 0,
 ) -> ray.data.Dataset:
     """Big-big equi-join: neither side fits a worker heap, so neither can
     broadcast.  ONE co-partitioning shuffle: both sides are padded to a
@@ -111,15 +112,24 @@ def shuffle_join(
 
     Integer keys only (the engine's id discipline).  Duplicate keys on
     both sides produce the full cross-product within the key, exactly like
-    SQL.  Skew note: one key's rows always co-locate in one bucket — fine
-    for bounded-multiplicity facts (≤7 lineitems per order); a whale key
-    needs a salted twin like ``windows.sessionize``'s.
+    SQL.
+
+    Skew: one key's rows co-locate in one bucket — fine for
+    bounded-multiplicity facts (≤7 lineitems per order).  For a WHALE key
+    on the left side, pass ``salt = S > 1``: left rows spread across S
+    sub-buckets of their key's bucket and the right side is replicated
+    into all S (the classic salted join — shuffles S× the right bytes,
+    splits the whale's work S ways).  Every left row still meets each
+    matching right row exactly once, so the output row SET is identical
+    to the unsalted path for both join types (value-oracled, like
+    ``sessions_salted``).
 
     ``how``: "inner" or "left" (left rows without a match keep null
     payloads).  Output columns: ``key_left`` + ``payload_left`` +
     ``payload_right``.
     """
     n_b = _n_buckets(buckets)
+    n_s = max(1, int(salt))
     lt = dict(zip(left.schema().names, left.schema().types))
     rt = dict(zip(right.schema().names, right.schema().types))
     payload = ([(c, lt[c], 0) for c in payload_left]
@@ -127,11 +137,19 @@ def shuffle_join(
 
     def pad(side: int, key: str):
         def fn(b: pa.Table) -> pa.Table:
+            if n_s > 1 and side == 1:
+                # replicate the right side into every salt sub-bucket
+                b = b.take(np.repeat(np.arange(len(b)), n_s))
             k = pc.cast(b.column(key), pa.int64()).combine_chunks()
+            bkt = _bucket_of(k.to_numpy(zero_copy_only=False), n_b)
+            if n_s > 1:
+                # right side is row-major replicated, so arange % n_s puts
+                # one copy of each right row in every sub-bucket; left rows
+                # spread arbitrarily (any single sub-bucket is correct)
+                bkt = bkt * n_s + np.arange(len(b), dtype=np.int64) % n_s
             cols: dict = {
                 "__k": k,
-                "__b": pa.array(
-                    _bucket_of(k.to_numpy(zero_copy_only=False), n_b)),
+                "__b": pa.array(bkt),
                 "__s": pa.array(np.full(len(b), side, np.int8)),
             }
             for c, t, s in payload:

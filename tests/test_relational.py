@@ -138,3 +138,28 @@ def test_shuffle_join_matches_duckdb_at_scale():
     want = sorted(map(tuple, con.execute(
         "SELECT k, lv, rv FROM l JOIN r ON k = rk").fetchall()))
     assert got == want
+
+
+def test_shuffle_join_salted_identical_to_unsalted():
+    """Whale key (one key = 60% of left rows): the salted path must emit
+    exactly the unsalted row set, for inner AND left joins."""
+    from go_light_rag_ray.stages.relational import shuffle_join
+
+    rng = np.random.default_rng(11)
+    lk = np.where(rng.random(2000) < 0.6, 42,
+                  rng.integers(0, 300, 2000)).astype(np.int64)
+    rk = np.concatenate([np.full(3, 42), rng.integers(0, 350, 200)]
+                        ).astype(np.int64)
+    lt = pa.table({"k": lk, "lv": np.arange(2000, dtype=np.int64)})
+    rt = pa.table({"rk": rk, "rv": np.arange(203, dtype=np.int64)})
+    for how in ("inner", "left"):
+        plain = sorted((r["k"], r["lv"], r["rv"]) for r in shuffle_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            "k", "rk", ["lv"], ["rv"], how=how, buckets=11).take_all())
+        salted = sorted((r["k"], r["lv"], r["rv"]) for r in shuffle_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            "k", "rk", ["lv"], ["rv"], how=how, buckets=11,
+            salt=4).take_all())
+        assert salted == plain, how
