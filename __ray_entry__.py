@@ -747,6 +747,25 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                  "l_extendedprice", "l_discount"]))
 
 
+def q_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 shape (stages/relational.top_revenue_orders): the full
+    relational plan — segment filter → semi-join → date-pruned lineitem
+    revenue combiner → bounded-bucket shuffle join → keyed sum → global
+    top-k with a deterministic tie-break.  Revenue stays the integer
+    product price_cents × (100 − disc_hundredths); bit-exact."""
+    from go_light_rag_ray.stages.relational import top_revenue_orders
+
+    return top_revenue_orders(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate",
+                                       "l_extendedprice", "l_discount"]))
+
+
 def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Two chained BROADCAST joins (orders→customer→nation, dimensions via
     ray.put + index_in probe — the fact table never shuffles) feeding the
@@ -2637,6 +2656,29 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
 
+# TPC-H Q3 shape: cutoff 1998-06-01 (epoch_us 896659200000000), segment
+# BUILDING; revenue is the same integer product as the engine, the top-10
+# boundary is deterministic via the (rev DESC, date, orderkey) tie-break
+_TOP_REVENUE_ORDERS_SQL = r"""
+WITH l AS (
+  SELECT l_orderkey,
+         (floor(l_extendedprice*100 + 0.5)::BIGINT
+          * (100 - floor(l_discount*100 + 0.5)::BIGINT)) AS rc
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+)
+SELECT o.o_orderkey AS o_orderkey,
+       sum(l.rc)::BIGINT AS revenue_c2,
+       epoch_us(o.o_orderdate)::BIGINT AS o_orderdate_us
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING'
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_c2 DESC, o_orderdate_us, o_orderkey
+LIMIT 10
+"""
+
 # inclusive lookback [ts - 300s, ts]; integer count → bit-exact
 _RANGE_JOIN_SQL = r"""
 SELECT e.event_id, e.user_id,
@@ -3280,6 +3322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "top_revenue_orders": q_top_revenue_orders,
         "join_order_lineitem": q_join_order_lineitem,
         "join_order_lineitem_salted": q_join_order_lineitem_salted,
         "orders_with_big_line": q_orders_with_big_line,
@@ -3371,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running": _EVENTS_RUNNING_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "top_revenue_orders": _TOP_REVENUE_ORDERS_SQL,
         "join_order_lineitem": _JOIN_ORDER_LINEITEM_SQL,
         "join_order_lineitem_salted": _JOIN_ORDER_LINEITEM_SQL,
         "orders_with_big_line": _ORDERS_BIG_LINE_SQL,

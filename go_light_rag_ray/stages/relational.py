@@ -234,6 +234,82 @@ def shuffle_semi_join(
             .map_groups(filter_bucket, batch_format="pyarrow"))
 
 
+def top_revenue_orders(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    segment: str = "BUILDING",
+    cutoff_us: int = 896659200000000,  # 1998-06-01 UTC, mid-range of the data
+    k: int = 10,
+) -> ray.data.Dataset:
+    """TPC-H Q3 shape — the full relational plan in one composition:
+    segment-filtered customers semi-join orders (date-pruned), lineitem
+    (date-pruned, per-batch revenue combiner) shuffle-joins the surviving
+    orders, a keyed sum re-aggregates revenue per order, and a sort+limit
+    takes the global top-k.
+
+    Scale shape: every filter runs at the pruned read; lineitem reduces to
+    ≤ |orderkeys per batch| partial rows BEFORE the join shuffle; the only
+    all-to-all moves are the bounded-bucket semi-join / join co-shuffles
+    and a final sort over the already-aggregated (per-order) rows.
+    Revenue is the integer product price_cents × (100 − discount_hundredths)
+    so the oracle matches bit-exactly in any accumulation order; the top-k
+    boundary is made deterministic by the (rev DESC, date, orderkey)
+    tie-break."""
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        odate = pc.cast(b.column("o_orderdate"), pa.int64())
+        t = pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "odate_us": odate,
+        })
+        return t.filter(pc.less(odate, pa.scalar(cutoff_us, pa.int64())))
+
+    def prep_lineitem(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        b = b.filter(pc.greater(ship, pa.scalar(cutoff_us, pa.int64())))
+        price_c = _cents(b.column("l_extendedprice"))
+        disc_h = _cents(b.column("l_discount"))
+        t = pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev_c2": pa.array(price_c * (100 - disc_h), pa.int64()),
+        })
+        # per-batch combiner: one partial row per orderkey per batch
+        g = t.group_by("l_orderkey").aggregate([("rev_c2", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c2"])
+
+    def seg_filter(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.equal(b.column("c_mktsegment"), segment))
+                .select(["c_custkey"]))
+
+    cust_keys = customer.map_batches(seg_filter, batch_format="pyarrow")
+    ord_f = orders.map_batches(prep_orders, batch_format="pyarrow")
+    ord_seg = shuffle_semi_join(ord_f, cust_keys, "o_custkey", "c_custkey")
+    li = lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+    joined = shuffle_join(li, ord_seg, "l_orderkey", "o_orderkey",
+                          ["rev_c2"], ["odate_us"])
+    per_order = (joined.groupby("l_orderkey")
+                 .aggregate(agg.Sum("rev_c2", alias_name="revenue_c2"),
+                            agg.Max("odate_us",
+                                    alias_name="o_orderdate_us")))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["o_orderkey" if c == "l_orderkey" else c
+             for c in b.column_names])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__neg_rev", pc.negate(b.column("revenue_c2")))
+
+    return (per_order.map_batches(rename, batch_format="pyarrow")
+            .map_batches(neg, batch_format="pyarrow")
+            .sort(["__neg_rev", "o_orderdate_us", "o_orderkey"])
+            .limit(k)
+            .drop_columns(["__neg_rev"]))
+
+
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     """TPC-H Q1 shape: per (l_returnflag, l_linestatus) — row count,
     summed quantity, summed base price (cents), and summed discounted

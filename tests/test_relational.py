@@ -163,3 +163,64 @@ def test_shuffle_join_salted_identical_to_unsalted():
             "k", "rk", ["lv"], ["rv"], how=how, buckets=11,
             salt=4).take_all())
         assert salted == plain, how
+
+
+def test_top_revenue_orders_q3_matches_duckdb():
+    """TPC-H Q3 composition on a synthetic 3-table fixture vs DuckDB,
+    including the deterministic (rev DESC, date, orderkey) tie-break."""
+    import duckdb
+
+    from go_light_rag_ray.stages.relational import top_revenue_orders
+
+    rng = np.random.default_rng(3)
+    n_cust, n_ord, n_li = 40, 300, 1200
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    cust = pa.table({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_mktsegment": pa.array([segs[i % 3] for i in range(n_cust)]),
+    })
+    day_us = 86_400_000_000
+    cutoff_us = 500 * day_us
+    odate = rng.integers(0, 1000, n_ord) * day_us
+    orders = pa.table({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+    })
+    # duplicate revenue values force ties at the top-k boundary
+    price = rng.integers(1, 5, n_li) * 100.0
+    li = pa.table({
+        "l_orderkey": rng.integers(0, n_ord, n_li).astype(np.int64),
+        "l_shipdate": pa.array(rng.integers(0, 1000, n_li) * day_us,
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array(rng.integers(0, 3, n_li) / 100.0,
+                               pa.float64()),
+    })
+    got = [(r["o_orderkey"], r["revenue_c2"], r["o_orderdate_us"])
+           for r in top_revenue_orders(
+               ray.data.from_arrow(cust).repartition(3),
+               ray.data.from_arrow(orders).repartition(4),
+               ray.data.from_arrow(li).repartition(5),
+               segment="BUILDING", cutoff_us=cutoff_us, k=10).take_all()]
+    con = duckdb.connect()
+    con.register("customer", cust)
+    con.register("orders", orders)
+    con.register("lineitem", li)
+    want = [tuple(r) for r in con.execute(f"""
+        WITH l AS (
+          SELECT l_orderkey,
+                 (floor(l_extendedprice*100 + 0.5)::BIGINT
+                  * (100 - floor(l_discount*100 + 0.5)::BIGINT)) AS rc
+          FROM lineitem WHERE epoch_us(l_shipdate) > {cutoff_us})
+        SELECT o.o_orderkey, sum(l.rc)::BIGINT AS revenue_c2,
+               epoch_us(o.o_orderdate)::BIGINT AS o_orderdate_us
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING'
+        JOIN l ON l.l_orderkey = o.o_orderkey
+        WHERE epoch_us(o.o_orderdate) < {cutoff_us}
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue_c2 DESC, o_orderdate_us, o_orderkey
+        LIMIT 10""").fetchall()]
+    assert got == want
