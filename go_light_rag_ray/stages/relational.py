@@ -100,6 +100,7 @@ def shuffle_join(
     how: str = "inner",
     buckets: int | None = None,
     salt: int = 0,
+    bucket_reduce=None,
 ) -> ray.data.Dataset:
     """Big-big equi-join: neither side fits a worker heap, so neither can
     broadcast.  ONE co-partitioning shuffle: both sides are padded to a
@@ -127,7 +128,18 @@ def shuffle_join(
     ``how``: "inner" or "left" (left rows without a match keep null
     payloads).  Output columns: ``key_left`` + ``payload_left`` +
     ``payload_right``.
+
+    ``bucket_reduce``: optional Arrow-table → Arrow-table reduction applied
+    to each bucket's joined rows INSIDE the same ``map_groups`` task.  The
+    co-shuffle already routes every row of a join key to one bucket, so any
+    per-key aggregate (and any per-bucket partial of a global reduction,
+    e.g. a top-k) is complete there — fusing it in avoids a whole extra
+    groupby/sort exchange over the join output.  Incompatible with
+    ``salt > 1`` (a salted key's rows span S sub-buckets, so no per-key
+    reduction is complete in one).
     """
+    if bucket_reduce is not None and salt > 1:
+        raise ValueError("bucket_reduce requires unsalted buckets")
     n_b = _n_buckets(buckets)
     n_s = max(1, int(salt))
     lt = dict(zip(left.schema().names, left.schema().types))
@@ -173,7 +185,8 @@ def shuffle_join(
         j = l_tbl.join(r_tbl, keys="__k", join_type=join_type)
         j = j.rename_columns([key_left if c == "__k" else c
                               for c in j.column_names])
-        return j.select(out_cols)
+        j = j.select(out_cols)
+        return bucket_reduce(j) if bucket_reduce is not None else j
 
     return (both.groupby("__b")
             .map_groups(join_bucket, batch_format="pyarrow"))
@@ -241,6 +254,7 @@ def top_revenue_orders(
     segment: str = "BUILDING",
     cutoff_us: int = 896659200000000,  # 1998-06-01 UTC, mid-range of the data
     k: int = 10,
+    semi_broadcast_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """TPC-H Q3 shape — the full relational plan in one composition:
     segment-filtered customers semi-join orders (date-pruned), lineitem
@@ -249,9 +263,14 @@ def top_revenue_orders(
     takes the global top-k.
 
     Scale shape: every filter runs at the pruned read; lineitem reduces to
-    ≤ |orderkeys per batch| partial rows BEFORE the join shuffle; the only
-    all-to-all moves are the bounded-bucket semi-join / join co-shuffles
-    and a final sort over the already-aggregated (per-order) rows.
+    ≤ |orderkeys per batch| partial rows BEFORE the join shuffle; the
+    per-order revenue sum and a bounded top-k partial run INSIDE the join
+    bucket (``bucket_reduce``), so only buckets × k rows survive the join
+    and the final merge is one vectorized sort over that bounded set.
+    The customer semi-join is adaptive (the BFS-frontier pattern): a
+    segment whose key count fits ``semi_broadcast_cap`` ships ONCE via
+    ``ray.put`` and filters orders inside the prep map (zero extra
+    shuffle); a bigger segment goes through ``shuffle_semi_join``.
     Revenue is the integer product price_cents × (100 − discount_hundredths)
     so the oracle matches bit-exactly in any accumulation order; the top-k
     boundary is made deterministic by the (rev DESC, date, orderkey)
@@ -284,30 +303,55 @@ def top_revenue_orders(
                 .select(["c_custkey"]))
 
     cust_keys = customer.map_batches(seg_filter, batch_format="pyarrow")
-    ord_f = orders.map_batches(prep_orders, batch_format="pyarrow")
-    ord_seg = shuffle_semi_join(ord_f, cust_keys, "o_custkey", "c_custkey")
+    # ONE early-stopping pass decides the path AND collects the keys: if
+    # take(cap+1) comes back short, that IS the whole (≤ cap) key set
+    probe = (cust_keys.take(semi_broadcast_cap + 1)
+             if semi_broadcast_cap else [None, None])
+    if len(probe) <= semi_broadcast_cap:
+        keys_ref = ray.put(pa.Table.from_pylist(
+            probe, schema=pa.schema([("c_custkey", pa.int64())])
+        ).column("c_custkey").combine_chunks())
+
+        def prep_orders_bcast(b: pa.Table) -> pa.Table:
+            t = prep_orders(b)
+            return t.filter(pc.is_in(t.column("o_custkey"),
+                                     value_set=ray.get(keys_ref)))
+
+        ord_seg = orders.map_batches(prep_orders_bcast,
+                                     batch_format="pyarrow")
+    else:
+        ord_f = orders.map_batches(prep_orders, batch_format="pyarrow")
+        ord_seg = shuffle_semi_join(ord_f, cust_keys, "o_custkey",
+                                    "c_custkey")
     li = lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
-    joined = shuffle_join(li, ord_seg, "l_orderkey", "o_orderkey",
-                          ["rev_c2"], ["odate_us"])
-    per_order = (joined.groupby("l_orderkey")
-                 .aggregate(agg.Sum("rev_c2", alias_name="revenue_c2"),
-                            agg.Max("odate_us",
-                                    alias_name="o_orderdate_us")))
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(
-            ["o_orderkey" if c == "l_orderkey" else c
-             for c in b.column_names])
+    _SORT = [("revenue_c2", "descending"), ("o_orderdate_us", "ascending"),
+             ("o_orderkey", "ascending")]
 
-    def neg(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__neg_rev", pc.negate(b.column("revenue_c2")))
+    def agg_topk(j: pa.Table) -> pa.Table:
+        # the bucket holds EVERY row of its orderkeys, so the per-order
+        # revenue sum is complete here; emit only the bucket's top-k —
+        # a bounded partial (buckets × k rows total survive the join)
+        g = j.group_by("l_orderkey").aggregate(
+            [("rev_c2", "sum"), ("odate_us", "max")])
+        g = g.rename_columns(
+            ["o_orderkey", "revenue_c2", "o_orderdate_us"]).select(
+            ["o_orderkey", "revenue_c2", "o_orderdate_us"])
+        return g.take(pc.sort_indices(g, sort_keys=_SORT)[:k])
 
-    return (per_order.map_batches(rename, batch_format="pyarrow")
-            .map_batches(neg, batch_format="pyarrow")
-            .sort(["__neg_rev", "o_orderdate_us", "o_orderkey"])
-            .limit(k)
-            .drop_columns(["__neg_rev"]))
+    partials = shuffle_join(li, ord_seg, "l_orderkey", "o_orderkey",
+                            ["rev_c2"], ["odate_us"],
+                            bucket_reduce=agg_topk)
+    # final merge: ≤ buckets × k rows — one vectorized Arrow sort on the
+    # driver, the same bounded-small-side pattern as running_totals'
+    # block summaries
+    merged = pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([("o_orderkey", pa.int64()),
+                          ("revenue_c2", pa.int64()),
+                          ("o_orderdate_us", pa.int64())]))
+    top = merged.take(pc.sort_indices(merged, sort_keys=_SORT)[:k])
+    return ray.data.from_arrow(top)
 
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:

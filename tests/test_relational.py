@@ -224,3 +224,40 @@ def test_top_revenue_orders_q3_matches_duckdb():
         ORDER BY revenue_c2 DESC, o_orderdate_us, o_orderkey
         LIMIT 10""").fetchall()]
     assert got == want
+
+
+def test_top_revenue_orders_semi_paths_identical():
+    """Broadcast and shuffle semi-join paths emit the identical top-k."""
+    from go_light_rag_ray.stages.relational import top_revenue_orders
+
+    rng = np.random.default_rng(5)
+    day_us = 86_400_000_000
+    cust = pa.table({
+        "c_custkey": np.arange(20, dtype=np.int64),
+        "c_mktsegment": pa.array(
+            ["BUILDING" if i % 2 else "MACHINERY" for i in range(20)]),
+    })
+    orders = pa.table({
+        "o_orderkey": np.arange(100, dtype=np.int64),
+        "o_custkey": rng.integers(0, 20, 100).astype(np.int64),
+        "o_orderdate": pa.array(rng.integers(0, 400, 100) * day_us,
+                                pa.timestamp("us")),
+    })
+    li = pa.table({
+        "l_orderkey": rng.integers(0, 100, 400).astype(np.int64),
+        "l_shipdate": pa.array(rng.integers(0, 400, 400) * day_us,
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array(rng.integers(1, 90, 400) * 1.0,
+                                    pa.float64()),
+        "l_discount": pa.array(np.zeros(400), pa.float64()),
+    })
+    args = (ray.data.from_arrow(cust).repartition(2),
+            ray.data.from_arrow(orders).repartition(3),
+            ray.data.from_arrow(li).repartition(4))
+    kw = dict(segment="BUILDING", cutoff_us=200 * day_us, k=5)
+    bcast = [tuple(r.values()) for r in
+             top_revenue_orders(*args, **kw).take_all()]
+    shuf = [tuple(r.values()) for r in
+            top_revenue_orders(*args, **kw, semi_broadcast_cap=0)
+            .take_all()]
+    assert bcast == shuf and len(bcast) == 5
