@@ -926,6 +926,24 @@ def q_decontam_bloom(sf_dir: str) -> ray.data.Dataset:
                                min_matches=1)
 
 
+def q_decontam_multi(sf_dir: str) -> ray.data.Dataset:
+    """Decontamination MATRIX: three disjoint benchmark slices checked in
+    ONE corpus scan via the shingle→suite-bitmask broadcast
+    (stages/decontam.decontaminate_multi) — D suites for the tokenize +
+    probe cost of one."""
+    from go_light_rag_ray.stages.decontam import decontaminate_multi
+
+    corpus = _raw_docs(sf_dir)
+    suites = {
+        "suite_a": corpus.filter(expr="doc_id < 20"),
+        "suite_b": corpus.filter(expr="doc_id >= 20").filter(
+            expr="doc_id < 40"),
+        "suite_c": corpus.filter(expr="doc_id >= 40").filter(
+            expr="doc_id < 60"),
+    }
+    return decontaminate_multi(corpus, suites, shingle_k=3, min_matches=1)
+
+
 def q_text_unigram(sf_dir: str) -> ray.data.Dataset:
     """Corpus-trained unigram LM scoring: train (one small shuffle) →
     broadcast model → vectorized per-doc scoring.  The LM-quality member
@@ -1956,6 +1974,35 @@ SELECT doc_id, n_shingles, matched_shingles,
        floor(matched_shingles::DOUBLE / n_shingles * 1000000 + 0.5) / 1000000
          AS contamination
 FROM stats WHERE matched_shingles >= 1
+"""
+
+# the decontam matrix: three disjoint eval slices, one LEFT JOIN per
+# suite over the same distinct-shingle stream; integer counts → bit-exact
+_DECONTAM_MULTI_SQL = _SHINGLES_CTE + r"""
+, e_a AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 20),
+e_b AS (SELECT DISTINCT s FROM shingles
+        WHERE doc_id >= 20 AND doc_id < 40),
+e_c AS (SELECT DISTINCT s FROM shingles
+        WHERE doc_id >= 40 AND doc_id < 60),
+stats AS (
+  SELECT sh.doc_id,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN a.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS matched_suite_a,
+         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS matched_suite_b,
+         sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS matched_suite_c
+  FROM shingles sh
+  LEFT JOIN e_a a ON sh.s = a.s
+  LEFT JOIN e_b b ON sh.s = b.s
+  LEFT JOIN e_c c ON sh.s = c.s
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, matched_suite_a, matched_suite_b,
+       matched_suite_c
+FROM stats
+WHERE matched_suite_a >= 1 OR matched_suite_b >= 1 OR matched_suite_c >= 1
 """
 
 # mirrors stages/decontam.py decontaminate_bloom: probe j of shingle s is
@@ -3346,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
         "decontam": q_decontam,
+        "decontam_multi": q_decontam_multi,
         "decontam_bloom": q_decontam_bloom,
         "scrub": q_scrub,
         "dedup_clusters_dist": q_dedup_clusters_dist,
@@ -3438,6 +3486,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "event_quantiles": _EVENT_QUANTILES_SQL,
         "decontam": _DECONTAM_SQL,
+        "decontam_multi": _DECONTAM_MULTI_SQL,
         "decontam_bloom": _DECONTAM_BLOOM_SQL,
         "scrub": _SCRUB_SQL,
         "dedup_clusters_dist": _DEDUP_CLUSTERS_SQL,

@@ -33,7 +33,7 @@ from .dedup import _shingles
 
 __all__ = ["eval_shingle_set", "decontaminate",
            "eval_bloom_filter", "decontaminate_bloom",
-           "BLOOM_BITS", "BLOOM_PROBES"]
+           "decontaminate_multi", "BLOOM_BITS", "BLOOM_PROBES"]
 
 BLOOM_BITS = 1 << 20    # 128 KiB packed — the broadcast is THIS, fixed
 BLOOM_PROBES = 4        # md5's 32 hex chars = 4 disjoint 8-hex probes
@@ -121,6 +121,107 @@ def decontaminate(
     )
     if flag_only:
         scored = scored.filter(expr=f"matched_shingles >= {min_matches}")
+    return scored
+
+
+class MultiDecontaminator:
+    """Actor-pool stage: corpus batch → per-doc matched counts against D
+    eval suites in ONE tokenize + ONE probe (the shingle→suite-bitmask
+    broadcast), instead of D separate corpus scans."""
+
+    def __init__(self, shingle_ref, mask_ref, suite_names: list[str],
+                 shingle_k: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        self.shingles = ray.get(shingle_ref)
+        self.masks = ray.get(mask_ref)
+        self.suite_names = suite_names
+        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        out_sh: list[str] = []
+        par: list[int] = []
+        totals = np.zeros(b.num_rows, dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _shingles(t or "", self.shingle_k)
+            totals[i] = len(sh)
+            out_sh.extend(sh)
+            par.extend([i] * len(sh))
+        par_arr = np.asarray(par, dtype=np.int64)
+        cols: dict = {"doc_id": b.column(self.id_col),
+                      "n_shingles": pa.array(totals)}
+        if len(par_arr):
+            idx = pc.index_in(pa.array(out_sh, pa.string()),
+                              value_set=self.shingles)
+            valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = np.zeros(len(out_sh), dtype=np.uint64)
+            mask[valid] = self.masks[pos[valid]]
+            for j, name in enumerate(self.suite_names):
+                hit = ((mask >> np.uint64(j)) & np.uint64(1)).astype(bool)
+                cols[f"matched_{name}"] = pa.array(np.bincount(
+                    par_arr[hit], minlength=b.num_rows).astype(np.int64))
+        else:
+            for name in self.suite_names:
+                cols[f"matched_{name}"] = pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64))
+        return pa.Table.from_pydict(cols)
+
+
+def decontaminate_multi(
+    corpus: ray.data.Dataset,
+    suites: dict[str, ray.data.Dataset],
+    shingle_k: int = 3,
+    min_matches: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] | None = None,
+    flag_only: bool = True,
+) -> ray.data.Dataset:
+    """Decontamination matrix: corpus × D eval suites in ONE corpus scan.
+
+    A production decontam sweep checks every training document against
+    many benchmarks at once (MMLU, GSM8K, HumanEval, …).  Running
+    ``decontaminate`` D times tokenizes and probes the 100 TB corpus D
+    times; this broadcasts ONE combined distinct-shingle array plus a
+    parallel uint64 suite-bitmask (suite i = bit i, ≤64 suites) and gets
+    all D matched-counts from a single ``index_in`` probe — the corpus
+    side costs the same as one suite.
+
+    Output: (doc_id, n_shingles, matched_<suite>…); ``flag_only`` keeps
+    docs where ANY suite reaches ``min_matches``."""
+    if len(suites) > 64:
+        raise ValueError("≤64 suites per pass (uint64 bitmask)")
+    names = list(suites)
+    masks: dict[str, int] = {}
+    for j, name in enumerate(names):
+        for s in eval_shingle_set(
+                suites[name], shingle_k, text_col).to_pylist():
+            masks[s] = masks.get(s, 0) | (1 << j)
+    keys = sorted(masks)
+    shingle_ref = ray.put(pa.array(keys, pa.string()))
+    mask_ref = ray.put(np.array([masks[s] for s in keys], dtype=np.uint64))
+    scored = corpus.map_batches(
+        MultiDecontaminator,
+        fn_constructor_kwargs={"shingle_ref": shingle_ref,
+                               "mask_ref": mask_ref,
+                               "suite_names": names,
+                               "shingle_k": shingle_k,
+                               "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=auto_pool(concurrency),
+    )
+    if flag_only:
+        def any_flag(b: pa.Table) -> pa.Table:
+            keep = None
+            for n in names:
+                h = pc.greater_equal(b.column(f"matched_{n}"), min_matches)
+                keep = h if keep is None else pc.or_(keep, h)
+            return b.filter(keep)
+
+        scored = scored.map_batches(any_flag, batch_format="pyarrow")
     return scored
 
 

@@ -379,3 +379,40 @@ def test_semantic_dedup_max_group_drops_hot_cluster():
     rows = semantic_dedup(ds, n_centroids=1, threshold=0.0,
                           max_group=5).take_all()
     assert rows == []  # the single 24-wide cluster exceeds the cap
+
+
+def test_decontamination_multi_matches_per_suite_runs():
+    """The one-scan matrix must equal D independent decontaminate runs:
+    per-suite matched counts identical, flag = union of the suites."""
+    from go_light_rag_ray.stages.decontam import (
+        decontaminate,
+        decontaminate_multi,
+    )
+
+    suites = {
+        "fox": ray.data.from_arrow(pa.table({
+            "doc_id": [100],
+            "text": ["the quick brown fox jumps over the lazy dog"]})),
+        "rag": ray.data.from_arrow(pa.table({
+            "doc_id": [101],
+            "text": ["retrieval augmented generation improves grounding"]})),
+    }
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "intro words then the quick brown fox appears verbatim",
+            "completely unrelated clean text with other words",
+            "they say retrieval augmented generation improves recall",
+            # overlaps BOTH suites
+            "the quick brown fox likes retrieval augmented generation",
+        ],
+    }))
+    multi = {r["doc_id"]: r for r in decontaminate_multi(
+        corpus, suites, shingle_k=3).take_all()}
+    assert set(multi) == {0, 2, 3}
+    for name, eval_ds in suites.items():
+        single = {r["doc_id"]: r["matched_shingles"] for r in decontaminate(
+            corpus, eval_ds, shingle_k=3, flag_only=False).take_all()}
+        for doc_id, row in multi.items():
+            assert row[f"matched_{name}"] == single[doc_id], (name, doc_id)
+    assert multi[3]["matched_fox"] > 0 and multi[3]["matched_rag"] > 0

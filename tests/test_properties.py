@@ -251,3 +251,49 @@ def test_vectorized_extraction_equals_per_row(docs):
     key = lambda r: (r["chunk_id"], r["mention_index"])
     assert sorted(fast.to_pylist(), key=key) == sorted(
         slow.to_pylist(), key=key)
+
+
+@given(
+    lk=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+    rk=st.lists(st.integers(0, 35), min_size=0, max_size=40),
+    buckets=st.integers(1, 16),
+    salt=st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_bucketed_join_partition_is_lossless(lk, rk, buckets, salt):
+    """The theorem shuffle_join rests on: hash-partitioning both sides by
+    fib_hash(key) % B and joining per bucket yields EXACTLY the global
+    join — no row lost, none duplicated — including the salted variant
+    (left rows spread over S sub-buckets, right rows replicated into all
+    S).  Pure-Arrow emulation of relational.shuffle_join's pad/join
+    closures, so hypothesis can sweep inputs without Ray jobs."""
+    import numpy as np
+
+    from go_light_rag_ray.stages.relational import _bucket_of
+
+    left = pa.table({
+        "__k": pa.array(lk, pa.int64()),
+        "lv": pa.array(range(len(lk)), pa.int64()),
+    })
+    right = pa.table({
+        "__k": pa.array(rk, pa.int64()),
+        "rv": pa.array(range(len(rk)), pa.int64()),
+    })
+    want = sorted(
+        tuple(r.values())
+        for r in left.join(right, keys="__k", join_type="inner").to_pylist())
+
+    lb = _bucket_of(np.asarray(lk, np.int64), buckets)
+    rep = np.repeat(np.arange(len(rk)), salt)
+    rb = _bucket_of(np.asarray(rk, np.int64)[rep], buckets)
+    if salt > 1:
+        lb = lb * salt + np.arange(len(lk), dtype=np.int64) % salt
+        rb = rb * salt + np.arange(len(rep), dtype=np.int64) % salt
+    right_rep = right.take(rep)
+    got = []
+    for b in range(buckets * salt):
+        lt = left.filter(pa.array(lb == b))
+        rt = right_rep.filter(pa.array(rb == b))
+        got.extend(tuple(r.values()) for r in
+                   lt.join(rt, keys="__k", join_type="inner").to_pylist())
+    assert sorted(got) == want

@@ -261,3 +261,18 @@ def test_top_revenue_orders_semi_paths_identical():
             top_revenue_orders(*args, **kw, semi_broadcast_cap=0)
             .take_all()]
     assert bcast == shuf and len(bcast) == 5
+
+
+def test_shuffle_join_bucket_reduce_rejects_salt():
+    """A salted key's rows span S sub-buckets, so no per-key reduction is
+    complete in one — the combination must be refused loudly."""
+    import pytest
+
+    from go_light_rag_ray.stages.relational import shuffle_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="bucket_reduce"):
+        shuffle_join(ds, ds, "k", "k", ["v"], [], salt=2,
+                     bucket_reduce=lambda x: x)
