@@ -273,6 +273,23 @@ def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     return cluster_duplicates(docs, pairs)
 
 
+def q_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
+    """The production keep-rule after clustering: per duplicate cluster,
+    keep the highest-quality member (stages/dedup.keep_best — one
+    doc-keyed co-shuffle + associative argmax combiner; the cluster
+    exchange carries per-batch partials, never the corpus)."""
+    from go_light_rag_ray.stages.dedup import (cluster_duplicates,
+                                               keep_best,
+                                               minhash_lsh_pairs)
+    from go_light_rag_ray.stages.textstats import quality_scores
+
+    docs = _raw_docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3,
+                              max_group=0)
+    clusters = cluster_duplicates(docs, pairs)
+    return keep_best(clusters, quality_scores(docs))
+
+
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.dedup import embedding_dup_pairs
 
@@ -1705,6 +1722,26 @@ SELECT doc_id,
             ELSE (n_distinct::DOUBLE / n::DOUBLE)
                  * (1 - n_stop::DOUBLE / n::DOUBLE) END AS quality
 FROM m
+"""
+
+# keep-best composition: clusters CTE = the dedup_clusters oracle, quality
+# CTE = the text_quality oracle; selection = row_number over (quality DESC,
+# doc_id) — quality doubles are bit-identical on both sides (the
+# text_quality oracle proves it), so the DESC comparisons agree exactly
+_DEDUP_KEEP_BEST_SQL = f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL}),
+q AS ({_TEXT_QUALITY_SQL}),
+j AS (SELECT c.cluster_id, c.doc_id, q.quality
+      FROM clusters c JOIN q ON c.doc_id = q.doc_id),
+ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM j)
+SELECT cluster_id, doc_id AS keep_doc_id, quality,
+       n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
 """
 
 # marker lists must match stages/textstats.py LANG_MARKERS
@@ -3329,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_spans": q_dedup_spans,
         "winnow_fp": q_winnow_fp,
         "dedup_semantic": q_dedup_semantic,
@@ -3429,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "winnow_fp": _WINNOW_FP_SQL,
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,

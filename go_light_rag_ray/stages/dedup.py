@@ -45,6 +45,7 @@ __all__ = [
     "jaccard_pairs_from_index",
     "embedding_dup_pairs",
     "semantic_dedup",
+    "keep_best",
 ]
 
 
@@ -875,3 +876,74 @@ def semantic_dedup(
     return assigned.groupby("cluster_id").map_groups(
         emit_dups, batch_format="pyarrow"
     )
+
+
+def _best_rows(tbl: pa.Table, score_col: str, member_col: str | None,
+               ) -> pa.Table:
+    """One (cluster_id, keep_doc_id, score, n_members) row per cluster in
+    ``tbl`` — vectorized: one lexsort, run boundaries, no per-group call.
+    ``member_col=None`` counts input rows; otherwise sums partial counts
+    (the merge stage over combiner outputs)."""
+    if tbl.num_rows == 0:
+        return pa.Table.from_pydict({
+            "cluster_id": pa.array([], pa.int64()),
+            "keep_doc_id": pa.array([], pa.int64()),
+            "quality": pa.array([], pa.float64()),
+            "n_members": pa.array([], pa.int64())})
+    cl = tbl.column("cluster_id").to_numpy(zero_copy_only=False)
+    ids = tbl.column("keep_doc_id").to_numpy(zero_copy_only=False)
+    q = tbl.column(score_col).to_numpy(zero_copy_only=False)
+    mem = (tbl.column(member_col).to_numpy(zero_copy_only=False)
+           if member_col else np.ones(len(cl), dtype=np.int64))
+    # primary cluster asc, then score desc, then doc id asc — last key of
+    # lexsort is primary
+    order = np.lexsort((ids, -q, cl))
+    cl_s, ids_s, q_s, mem_s = cl[order], ids[order], q[order], mem[order]
+    start = np.concatenate(([True], cl_s[1:] != cl_s[:-1]))
+    seg = np.cumsum(start) - 1
+    counts = np.bincount(seg, weights=mem_s).astype(np.int64)
+    first = np.flatnonzero(start)
+    return pa.Table.from_pydict({
+        "cluster_id": pa.array(cl_s[first], pa.int64()),
+        "keep_doc_id": pa.array(ids_s[first], pa.int64()),
+        "quality": pa.array(q_s[first], pa.float64()),
+        "n_members": pa.array(counts, pa.int64())})
+
+
+def keep_best(
+    clusters: ray.data.Dataset,
+    scored: ray.data.Dataset,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """The production keep-rule after duplicate clustering: per cluster,
+    keep the highest-``score_col`` member (ties → smallest doc id) and
+    report the cluster size → (cluster_id, keep_doc_id, quality,
+    n_members).  Everything NOT in the output's keep_doc_id column is the
+    drop set.
+
+    Shape: ONE doc-keyed co-shuffle attaches scores to cluster labels
+    (``relational.shuffle_join`` — both sides are corpus-sized, neither
+    broadcasts), a per-batch combiner reduces to ≤1 row per cluster per
+    batch (argmax is associative), then one keyed merge finishes — the
+    cluster exchange carries #batches × #clusters-per-batch partials,
+    never the corpus.  Selection is vectorized end-to-end (lexsort + run
+    boundaries); the score must be bit-reproducible (every engine score
+    is — integer-derived ratios)."""
+    from .relational import shuffle_join
+
+    joined = shuffle_join(
+        clusters, scored.select_columns([id_col, score_col]),
+        "doc_id", id_col, ["cluster_id"], [score_col])
+
+    def combine(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            ["keep_doc_id" if c == "doc_id" else c for c in b.column_names])
+        return _best_rows(b, score_col, None)
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _best_rows(g, "quality", "n_members")
+
+    return (joined.map_batches(combine, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .map_groups(merge, batch_format="pyarrow"))

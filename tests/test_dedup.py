@@ -416,3 +416,24 @@ def test_decontamination_multi_matches_per_suite_runs():
         for doc_id, row in multi.items():
             assert row[f"matched_{name}"] == single[doc_id], (name, doc_id)
     assert multi[3]["matched_fox"] > 0 and multi[3]["matched_rag"] > 0
+
+
+def test_keep_best_selects_argmax_with_tiebreak():
+    """Per cluster: highest quality wins, exact ties go to the smallest
+    doc id, and n_members counts the whole cluster across batches."""
+    from go_light_rag_ray.stages.dedup import keep_best
+
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "cluster_id": pa.array([0, 0, 0, 3, 3, 5], pa.int64()),
+    })).repartition(3)
+    scored = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "quality": pa.array([0.5, 0.9, 0.9, 0.2, 0.2, 0.7], pa.float64()),
+    })).repartition(2)
+    rows = {r["cluster_id"]: r
+            for r in keep_best(clusters, scored).take_all()}
+    assert rows[0]["keep_doc_id"] == 1 and rows[0]["n_members"] == 3  # tie->min id
+    assert rows[3]["keep_doc_id"] == 3 and rows[3]["n_members"] == 2
+    assert rows[5]["keep_doc_id"] == 5 and rows[5]["n_members"] == 1
+    assert rows[0]["quality"] == 0.9
