@@ -915,6 +915,7 @@ def keep_best(
     scored: ray.data.Dataset,
     score_col: str = "quality",
     id_col: str = "doc_id",
+    strategy: str = "grouped",
 ) -> ray.data.Dataset:
     """The production keep-rule after duplicate clustering: per cluster,
     keep the highest-``score_col`` member (ties → smallest doc id) and
@@ -929,7 +930,18 @@ def keep_best(
     cluster exchange carries #batches × #clusters-per-batch partials,
     never the corpus.  Selection is vectorized end-to-end (lexsort + run
     boundaries); the score must be bit-reproducible (every engine score
-    is — integer-derived ratios)."""
+    is — integer-derived ratios).
+
+    ``strategy``: the final merge defaults to ``groupby().map_groups``
+    (one lazy round; segment-reduce does not win until ~10⁷ groups —
+    the measured TF-IDF/ANN switch point).  At web scale clusters ≈ docs
+    (mostly singletons), so ``"segment"`` routes through
+    ``sortagg.sorted_reduce`` instead: the (score DESC, id ASC) order is
+    encoded as ONE exact composite string key — the uint64 bit pattern
+    of a non-negative IEEE754 double is monotonic with its value, so
+    ``(2⁶⁴−1 − bits(score))`` zero-padded, then the zero-padded id —
+    and the winner is ``first`` under that key, with no per-group
+    dispatch anywhere."""
     from .relational import shuffle_join
 
     joined = shuffle_join(
@@ -941,9 +953,35 @@ def keep_best(
             ["keep_doc_id" if c == "doc_id" else c for c in b.column_names])
         return _best_rows(b, score_col, None)
 
+    combined = joined.map_batches(combine, batch_format="pyarrow")
+
+    if strategy == "segment":
+        from .sortagg import sorted_reduce
+
+        def add_key(b: pa.Table) -> pa.Table:
+            q = b.column("quality").to_numpy(zero_copy_only=False)
+            if len(q) and q.min() < 0:
+                raise ValueError("segment strategy needs scores >= 0 "
+                                 "(bit-order trick)")
+            inv = np.uint64(0xFFFFFFFFFFFFFFFF) - q.view(np.uint64)
+            key = pc.binary_join_element_wise(
+                pc.ascii_lpad(pc.cast(pa.array(inv), pa.string()), 20, "0"),
+                pc.ascii_lpad(pc.cast(b.column("keep_doc_id"),
+                                      pa.string()), 19, "0"),
+                "|")
+            return b.append_column("_ord_key", key)
+
+        return sorted_reduce(
+            combined.map_batches(add_key, batch_format="pyarrow"),
+            keys=["cluster_id"],
+            ops=[("first", "keep_doc_id", "keep_doc_id"),
+                 ("first", "quality", "quality"),
+                 ("sum", "n_members", "n_members")],
+            order_col="_ord_key",
+        )
+
     def merge(g: pa.Table) -> pa.Table:
         return _best_rows(g, "quality", "n_members")
 
-    return (joined.map_batches(combine, batch_format="pyarrow")
-            .groupby("cluster_id")
+    return (combined.groupby("cluster_id")
             .map_groups(merge, batch_format="pyarrow"))

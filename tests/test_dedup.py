@@ -437,3 +437,30 @@ def test_keep_best_selects_argmax_with_tiebreak():
     assert rows[3]["keep_doc_id"] == 3 and rows[3]["n_members"] == 2
     assert rows[5]["keep_doc_id"] == 5 and rows[5]["n_members"] == 1
     assert rows[0]["quality"] == 0.9
+
+
+def test_keep_best_segment_strategy_identical():
+    """The segment path (composite bit-order key through sorted_reduce)
+    must emit exactly the grouped path's rows, ties included."""
+    import numpy as np
+
+    from go_light_rag_ray.stages.dedup import keep_best
+
+    rng = np.random.default_rng(9)
+    n = 300
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "cluster_id": pa.array(rng.integers(0, 80, n), pa.int64()),
+    })).repartition(5)
+    # coarse scores force plenty of exact ties
+    scored = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "quality": pa.array(rng.integers(0, 5, n) / 4.0, pa.float64()),
+    })).repartition(4)
+    grouped = sorted(tuple(sorted(r.items())) for r in
+                     keep_best(clusters, scored).take_all())
+    segment = sorted(tuple(sorted(r.items())) for r in
+                     keep_best(clusters, scored,
+                               strategy="segment").take_all())
+    assert grouped == segment
+    assert len(grouped) == len({r[0][1] for r in grouped})  # one per cluster
