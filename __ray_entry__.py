@@ -2627,7 +2627,10 @@ SELECT event_id, user_id,
                            ORDER BY ts, event_id))::BIGINT AS seq,
        coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (
            PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT
-           AS gap_us
+           AS gap_us,
+       coalesce(epoch_us(lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts),
+           -1)::BIGINT AS lead_us
 FROM e
 """
 

@@ -306,8 +306,8 @@ def top_revenue_orders(
     # ONE early-stopping pass decides the path AND collects the keys: if
     # take(cap+1) comes back short, that IS the whole (≤ cap) key set
     probe = (cust_keys.take(semi_broadcast_cap + 1)
-             if semi_broadcast_cap else [None, None])
-    if len(probe) <= semi_broadcast_cap:
+             if semi_broadcast_cap > 0 else None)
+    if probe is not None and len(probe) <= semi_broadcast_cap:
         keys_ref = ray.put(pa.Table.from_pylist(
             probe, schema=pa.schema([("c_custkey", pa.int64())])
         ).column("c_custkey").combine_chunks())

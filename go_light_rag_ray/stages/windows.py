@@ -510,9 +510,11 @@ def running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
     functions over an unbounded-preceding frame; Ray Data and the reference
     both lack it, SURVEY.md §2.9).  For every event, in ``(ts, event_id)``
     order within its user: the cumulative value sum (integer cents), the
-    1-based per-user sequence number (ROW_NUMBER), and the gap in
+    1-based per-user sequence number (ROW_NUMBER), the gap in
     microseconds since the user's previous event (LAG; -1 on a user's
-    first event).  Returns (event_id, user_id, cum_cents, seq, gap_us).
+    first event), and the gap until the user's next event (LEAD; -1 on
+    the last).  Returns (event_id, user_id, cum_cents, seq, gap_us,
+    lead_us).
 
     Distributed shape — ONE range sort + a two-pass block scan, the keyed
     generalization of ``packing.prefix_sum``:
@@ -529,7 +531,10 @@ def running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
        (user, sum, count, last_ts) tuple, and broadcasts per-block
        carry-ins via ``ray.put``; a second vectorized pass computes local
        segment cumsums (global ``np.cumsum`` minus each segment's base)
-       and adds the carry to the first segment only.
+       and adds the carry to the first segment only.  The SAME summary
+       chain yields LEAD for free: block i's successor row is block
+       i+1's first key, so each block gets its neighbor's (user, ts) as
+       a backward carry and only its LAST row ever needs it.
 
     Unlike ``sessionize``/``asof_join_latest`` this needs NO whale salting:
     there is no per-user group — a user whose history spans a thousand
@@ -594,12 +599,19 @@ def running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
             carries[fk] = (0, 0, -1)
         cur_user = r["last_user"]
         tot, cnt, last_ts = r["last_total"], r["last_count"], r["last_ts"]
-    carries_ref = ray.put(carries)
+    # backward neighbor map: block i's global successor row IS block i+1's
+    # first key — O(blocks) like the forward carries
+    nxt: dict = {}
+    for i in range(len(summaries) - 1):
+        cur_s, nxt_s = summaries[i], summaries[i + 1]
+        nxt[(cur_s["fk_user"], cur_s["fk_ts"], cur_s["fk_eid"])] = (
+            nxt_s["fk_user"], nxt_s["fk_ts"])
+    carries_ref = ray.put((carries, nxt))
 
     out_schema = pa.schema([
         ("event_id", pa.int64()), ("user_id", pa.int64()),
         ("cum_cents", pa.int64()), ("seq", pa.int64()),
-        ("gap_us", pa.int64())])
+        ("gap_us", pa.int64()), ("lead_us", pa.int64())])
 
     def attach(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -619,18 +631,27 @@ def running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
         gap = np.empty(n, dtype=np.int64)
         gap[1:] = t[1:] - t[:-1]
         gap[start_idx] = -1
-        c_tot, c_cnt, c_ts = ray.get(carries_ref)[
-            (int(u[0]), int(t[0]), int(e[0]))]
+        lead = np.empty(n, dtype=np.int64)
+        lead[:-1] = t[1:] - t[:-1]
+        seg_end = np.concatenate((start_idx[1:] - 1, [n - 1]))
+        lead[seg_end] = -1
+        all_carries, all_nxt = ray.get(carries_ref)
+        fk = (int(u[0]), int(t[0]), int(e[0]))
+        c_tot, c_cnt, c_ts = all_carries[fk]
         first_len = int(start_idx[1]) if len(start_idx) > 1 else n
         if c_cnt:
             cum[:first_len] += c_tot
             seq[:first_len] += c_cnt
             gap[0] = t[0] - c_ts
+        nxt_row = all_nxt.get(fk)
+        if nxt_row is not None and nxt_row[0] == int(u[-1]):
+            lead[-1] = nxt_row[1] - t[-1]
         return pa.Table.from_pydict({
             "event_id": pa.array(e, pa.int64()),
             "user_id": pa.array(u, pa.int64()),
             "cum_cents": pa.array(cum, pa.int64()),
             "seq": pa.array(seq, pa.int64()),
-            "gap_us": pa.array(gap, pa.int64())})
+            "gap_us": pa.array(gap, pa.int64()),
+            "lead_us": pa.array(lead, pa.int64())})
 
     return s.map_batches(attach, batch_format="pyarrow", batch_size=None)

@@ -209,11 +209,12 @@ def test_running_totals_single_user_order():
     ])
     rows = {r["event_id"]: r for r in running_totals(ev).take_all()}
     assert rows[2]["seq"] == 1 and rows[2]["cum_cents"] == 10
-    assert rows[2]["gap_us"] == -1
+    assert rows[2]["gap_us"] == -1 and rows[2]["lead_us"] == 5_000_000
     assert rows[0]["seq"] == 2 and rows[0]["cum_cents"] == 135
     assert rows[0]["gap_us"] == 5_000_000
+    assert rows[0]["lead_us"] == 10_000_000
     assert rows[1]["seq"] == 3 and rows[1]["cum_cents"] == 385
-    assert rows[1]["gap_us"] == 10_000_000
+    assert rows[1]["gap_us"] == 10_000_000 and rows[1]["lead_us"] == -1
 
 
 def test_running_totals_cross_block_carry_matches_duckdb():
@@ -258,8 +259,12 @@ def test_running_totals_cross_block_carry_matches_duckdb():
                                    ORDER BY ts, event_id))::BIGINT AS seq,
                coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT
-                   AS gap_us
+                   AS gap_us,
+               coalesce(epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts), -1)::BIGINT AS lead_us
         FROM e ORDER BY event_id
     """).df()
-    for col in ["event_id", "user_id", "cum_cents", "seq", "gap_us"]:
+    for col in ["event_id", "user_id", "cum_cents", "seq", "gap_us",
+                "lead_us"]:
         assert list(got[col]) == list(want[col]), col
