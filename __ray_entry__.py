@@ -764,6 +764,19 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                  "l_extendedprice", "l_discount"]))
 
 
+def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP over lineitem (stages/relational.pricing_rollup):
+    the OLAP subtotal ladder from ONE fact scan — finest-grain partials
+    materialized once (#batches × 6 rows), each coarser grouping set
+    re-aggregates the partials, never the fact table."""
+    from go_light_rag_ray.stages.relational import pricing_rollup
+
+    return pricing_rollup(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"]))
+
+
 def q_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q3 shape (stages/relational.top_revenue_orders): the full
     relational plan — segment filter → semi-join → date-pruned lineitem
@@ -2732,6 +2745,22 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
 
+# level = GROUPING(flag, status): 0 finest, 1 = per-flag subtotal,
+# 3 = grand total — identical bitmask on both sides
+_PRICING_ROLLUP_SQL = r"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice*100 + 0.5)::BIGINT)::BIGINT
+         AS sum_base_cents,
+       sum(floor(l_extendedprice*100 + 0.5)::BIGINT
+           * (100 - floor(l_discount*100 + 0.5)::BIGINT))::BIGINT
+         AS sum_disc_cents_h,
+       count(*)::BIGINT AS n_rows,
+       grouping(l_returnflag, l_linestatus)::BIGINT AS level
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
 _REVENUE_BY_NATION_SQL = r"""
 SELECT n.n_name,
        sum(floor(o.o_totalprice*100 + 0.5)::BIGINT)::BIGINT
@@ -3409,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
+        "pricing_rollup": q_pricing_rollup,
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
         "join_order_lineitem": q_join_order_lineitem,
@@ -3503,6 +3533,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_SQL,
         "events_running": _EVENTS_RUNNING_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
+        "pricing_rollup": _PRICING_ROLLUP_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "top_revenue_orders": _TOP_REVENUE_ORDERS_SQL,
         "join_order_lineitem": _JOIN_ORDER_LINEITEM_SQL,

@@ -196,24 +196,22 @@ def hybrid_doc_topk(
         lambda b: contrib(b, "doc_id"), batch_format="pyarrow")
     vec = ann_topk(embeddings, n_queries=1, k=k_leg).map_batches(
         lambda b: contrib(b, "neighbor_id"), batch_format="pyarrow")
-    summed = lex.union(vec).groupby("doc_id").aggregate(
-        agg.Sum("c", alias_name="rrf_score"))
-
-    order = [("rrf_score", "descending"), ("doc_id", "ascending")]
-
-    def add_key(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "_g", pa.nulls(len(b), pa.int32()).fill_null(0))
-
-    def final_rank(group: pa.Table) -> pa.Table:
-        group = group.sort_by(order).slice(0, k)
-        out = group.select(["doc_id", "rrf_score"])
-        return out.add_column(
-            0, pa.field("rank", pa.int32()),
-            pa.array(range(1, len(group) + 1), pa.int32()))
-
-    return (
-        summed.map_batches(add_key, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(final_rank, batch_format="pyarrow")
-    )
+    # ONE streaming execution runs both legs concurrently (lazy union);
+    # ≤ 2·k_leg contribution rows reach the driver, so the RRF sum + final
+    # rank is a bounded driver-side merge (the Q3-top-k pattern) — the
+    # groupby exchange + single-group rank round the first version paid
+    # were pure fixed overhead on ≤40 rows
+    both = pa.Table.from_pylist(
+        lex.union(vec).take_all(),
+        schema=pa.schema([("doc_id", pa.int64()), ("c", pa.int64())]))
+    ids = both.column("doc_id").to_numpy(zero_copy_only=False)
+    c = both.column("c").to_numpy(zero_copy_only=False)
+    uid, inv = np.unique(ids, return_inverse=True)
+    score = np.bincount(inv, weights=c).astype(np.int64)
+    top = np.lexsort((uid, -score))[:k]
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32),
+                         pa.int32()),
+        "doc_id": pa.array(uid[top], pa.int64()),
+        "rrf_score": pa.array(score[top], pa.int64()),
+    }))

@@ -125,9 +125,13 @@ def shuffle_join(
     to the unsalted path for both join types (value-oracled, like
     ``sessions_salted``).
 
-    ``how``: "inner" or "left" (left rows without a match keep null
-    payloads).  Output columns: ``key_left`` + ``payload_left`` +
-    ``payload_right``.
+    ``how``: "inner", "left" (left rows without a match keep null
+    payloads) or "outer" (full outer: unmatched rows of BOTH sides
+    survive with null payloads from the other side; the key column is
+    coalesced).  Output columns: ``key_left`` + ``payload_left`` +
+    ``payload_right``.  "outer" is incompatible with ``salt > 1``: the
+    right side is replicated S×, so an unmatched right row would emit S
+    copies.
 
     ``bucket_reduce``: optional Arrow-table → Arrow-table reduction applied
     to each bucket's joined rows INSIDE the same ``map_groups`` task.  The
@@ -140,6 +144,8 @@ def shuffle_join(
     """
     if bucket_reduce is not None and salt > 1:
         raise ValueError("bucket_reduce requires unsalted buckets")
+    if how == "outer" and salt > 1:
+        raise ValueError("outer join requires unsalted buckets")
     n_b = _n_buckets(buckets)
     n_s = max(1, int(salt))
     lt = dict(zip(left.schema().names, left.schema().types))
@@ -173,7 +179,8 @@ def shuffle_join(
     both = (left.map_batches(pad(0, key_left), batch_format="pyarrow")
             .union(right.map_batches(pad(1, key_right),
                                      batch_format="pyarrow")))
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "outer": "full outer"}[how]
     out_cols = [key_left] + payload_left + payload_right
 
     def join_bucket(g: pa.Table) -> pa.Table:
@@ -182,7 +189,8 @@ def shuffle_join(
                  .select(["__k"] + payload_left).combine_chunks())
         r_tbl = (g.filter(pa.array(s == 1))
                  .select(["__k"] + payload_right).combine_chunks())
-        j = l_tbl.join(r_tbl, keys="__k", join_type=join_type)
+        j = l_tbl.join(r_tbl, keys="__k", join_type=join_type,
+                       coalesce_keys=True)
         j = j.rename_columns([key_left if c == "__k" else c
                               for c in j.column_names])
         j = j.select(out_cols)
@@ -199,6 +207,7 @@ def shuffle_semi_join(
     key_build: str,
     anti: bool = False,
     buckets: int | None = None,
+    salt: int = 0,
 ) -> ray.data.Dataset:
     """Distributed semi-join (``anti=False``: keep probe rows whose key
     appears in ``keys``) / anti-join (``anti=True``: keep rows whose key
@@ -207,25 +216,38 @@ def shuffle_semi_join(
     column, pre-deduplicated per batch (the per-batch combiner pattern),
     and the probe side passes through row-for-row — no multiplicity, no
     payload padding cost beyond the nulls.
+
+    ``salt = S > 1`` is the whale-probe-key twin (same contract as
+    ``shuffle_join``'s): probe rows spread across S sub-buckets of their
+    key's bucket, the (deduped, key-only) build side replicates into all
+    S — each probe row still meets its key exactly once, so the output
+    row set is identical to the unsalted path.
     """
     n_b = _n_buckets(buckets)
+    n_s = max(1, int(salt))
     probe_cols = list(probe.schema().names)
     probe_types = dict(zip(probe.schema().names, probe.schema().types))
 
     def pad_probe(b: pa.Table) -> pa.Table:
         k = pc.cast(b.column(key_probe), pa.int64()).combine_chunks()
-        cols = {"__b": pa.array(
-            _bucket_of(k.to_numpy(zero_copy_only=False), n_b)),
-            "__s": pa.array(np.zeros(len(b), np.int8))}
+        bkt = _bucket_of(k.to_numpy(zero_copy_only=False), n_b)
+        if n_s > 1:
+            bkt = bkt * n_s + np.arange(len(b), dtype=np.int64) % n_s
+        cols = {"__b": pa.array(bkt),
+                "__s": pa.array(np.zeros(len(b), np.int8))}
         for c in probe_cols:
             cols[c] = b.column(c)
         return pa.Table.from_pydict(cols)
 
     def pad_keys(b: pa.Table) -> pa.Table:
         k = pc.unique(pc.cast(b.column(key_build), pa.int64()))
-        cols = {"__b": pa.array(
-            _bucket_of(k.to_numpy(zero_copy_only=False), n_b)),
-            "__s": pa.array(np.ones(len(k), np.int8))}
+        if n_s > 1:
+            k = k.take(np.repeat(np.arange(len(k)), n_s))
+        bkt = _bucket_of(k.to_numpy(zero_copy_only=False), n_b)
+        if n_s > 1:
+            bkt = bkt * n_s + np.arange(len(k), dtype=np.int64) % n_s
+        cols = {"__b": pa.array(bkt),
+                "__s": pa.array(np.ones(len(k), np.int8))}
         for c in probe_cols:
             cols[c] = (k if c == key_probe
                        else pa.nulls(len(k), probe_types[c]))
@@ -354,6 +376,29 @@ def top_revenue_orders(
     return ray.data.from_arrow(top)
 
 
+def _pricing_partial(b: pa.Table) -> pa.Table:
+    """Finest-grain per-batch combiner shared by pricing_summary and
+    pricing_rollup: ≤6 partial rows per batch, integer measures only."""
+    price_c = _cents(b.column("l_extendedprice"))
+    disc_h = _cents(b.column("l_discount"))  # discount in hundredths
+    qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    t = pa.table({
+        "l_returnflag": b.column("l_returnflag"),
+        "l_linestatus": b.column("l_linestatus"),
+        "qty": pa.array(qty, pa.int64()),
+        "base_c": pa.array(price_c, pa.int64()),
+        "disc_c2": pa.array(price_c * (100 - disc_h), pa.int64()),
+        "one": pa.array(np.ones(len(b), np.int64)),
+    })
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty", "sum"), ("base_c", "sum"), ("disc_c2", "sum"),
+         ("one", "sum")])
+    return g.rename_columns(
+        ["l_returnflag", "l_linestatus", "qty", "base_c", "disc_c2",
+         "cnt"])
+
+
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     """TPC-H Q1 shape: per (l_returnflag, l_linestatus) — row count,
     summed quantity, summed base price (cents), and summed discounted
@@ -363,38 +408,67 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     Partial-aggregate pattern: each batch reduces to ≤ |groups| rows with
     one Arrow ``group_by`` (6 groups for TPC-H data), then one tiny keyed
     groupby merges the partials — the exchange is #batches × 6 rows."""
-
-    def partial(b: pa.Table) -> pa.Table:
-        price_c = _cents(b.column("l_extendedprice"))
-        disc_h = _cents(b.column("l_discount"))  # discount in hundredths
-        qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        t = pa.table({
-            "l_returnflag": b.column("l_returnflag"),
-            "l_linestatus": b.column("l_linestatus"),
-            "qty": pa.array(qty, pa.int64()),
-            "base_c": pa.array(price_c, pa.int64()),
-            "disc_c2": pa.array(price_c * (100 - disc_h), pa.int64()),
-            "one": pa.array(np.ones(len(b), np.int64)),
-        })
-        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("qty", "sum"), ("base_c", "sum"), ("disc_c2", "sum"),
-             ("one", "sum")])
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "qty", "base_c", "disc_c2",
-             "cnt"])
-
     return (
         lineitem.select_columns(
             ["l_returnflag", "l_linestatus", "l_quantity",
              "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_pricing_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(agg.Sum("qty", alias_name="sum_qty"),
                    agg.Sum("base_c", alias_name="sum_base_cents"),
                    agg.Sum("disc_c2", alias_name="sum_disc_cents_h"),
                    agg.Sum("cnt", alias_name="n_rows"))
     )
+
+
+def pricing_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — the OLAP subtotal
+    ladder, computed the scale-right way: ONE fact scan produces
+    finest-grain per-batch partials (the pricing_summary combiner),
+    MATERIALIZED once (#batches × 6 rows — tiny at any corpus size), and
+    each coarser grouping set re-aggregates those partials; the fact table
+    is never re-read and never re-shuffled.  ``level`` is the grouping
+    bitmask exactly as SQL's GROUPING(): 0 = (flag, status), 1 = (flag),
+    3 = grand total.  Aggregated-out key columns are NULL, as in SQL."""
+
+    partials = (lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount"])
+        .map_batches(_pricing_partial, batch_format="pyarrow")
+        .materialize())
+    aggs = lambda: (agg.Sum("qty", alias_name="sum_qty"),  # noqa: E731
+                    agg.Sum("base_c", alias_name="sum_base_cents"),
+                    agg.Sum("disc_c2", alias_name="sum_disc_cents_h"),
+                    agg.Sum("cnt", alias_name="n_rows"))
+    meas = ["sum_qty", "sum_base_cents", "sum_disc_cents_h", "n_rows"]
+
+    def shape(level: int, has_flag: bool, has_status: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table({
+                "l_returnflag": (b.column("l_returnflag") if has_flag
+                                 else pa.nulls(n, pa.string())),
+                "l_linestatus": (b.column("l_linestatus") if has_status
+                                 else pa.nulls(n, pa.string())),
+                **{m: b.column(m) for m in meas},
+                "level": pa.array(np.full(n, level, np.int64)),
+            })
+        return fn
+
+    finest = (partials.groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(*aggs())
+              .map_batches(shape(0, True, True), batch_format="pyarrow"))
+    mid = (partials.groupby("l_returnflag").aggregate(*aggs())
+           .map_batches(shape(1, True, False), batch_format="pyarrow"))
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column("_g", pa.array(
+            np.zeros(len(b), np.int8)))
+
+    total = (partials.map_batches(const_key, batch_format="pyarrow")
+             .groupby("_g").aggregate(*aggs())
+             .map_batches(shape(3, False, False), batch_format="pyarrow"))
+    return finest.union(mid).union(total)
 
 
 def revenue_by_nation(

@@ -276,3 +276,82 @@ def test_shuffle_join_bucket_reduce_rejects_salt():
     with pytest.raises(ValueError, match="bucket_reduce"):
         shuffle_join(ds, ds, "k", "k", ["v"], [], salt=2,
                      bucket_reduce=lambda x: x)
+
+
+def test_shuffle_join_full_outer_matches_duckdb():
+    """Unmatched rows of BOTH sides survive with nulls; key coalesced."""
+    import duckdb
+
+    from go_light_rag_ray.stages.relational import shuffle_join
+
+    rng = np.random.default_rng(13)
+    lk = rng.integers(0, 40, 120).astype(np.int64)
+    rk = rng.integers(20, 60, 80).astype(np.int64)
+    lt = pa.table({"k": lk, "lv": np.arange(120, dtype=np.int64)})
+    rt = pa.table({"rk": rk, "rv": np.arange(80, dtype=np.int64)})
+    ds = shuffle_join(
+        ray.data.from_arrow(lt).repartition(4),
+        ray.data.from_arrow(rt).repartition(3),
+        "k", "rk", ["lv"], ["rv"], how="outer", buckets=7)
+    got = sorted(((r["k"], r["lv"], r["rv"]) for r in ds.take_all()),
+                 key=lambda t: tuple(-1 if v is None else v for v in t))
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    want = sorted(map(tuple, con.execute(
+        "SELECT coalesce(k, rk) AS k, lv, rv FROM l FULL OUTER JOIN r "
+        "ON k = rk").fetchall()),
+        key=lambda t: tuple(-1 if v is None else v for v in t))
+    assert got == want
+
+
+def test_pricing_rollup_subtotal_ladder():
+    """Each rollup level must be an exact re-aggregation of the finer
+    one, with SQL's GROUPING() bitmask levels and NULLed-out keys."""
+    li = ray.data.from_arrow(pa.table({
+        "l_returnflag": ["A", "A", "R", "R"],
+        "l_linestatus": ["F", "O", "F", "F"],
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.1, 0.0, 0.05], pa.float64()),
+    })).repartition(3)
+    from go_light_rag_ray.stages.relational import pricing_rollup
+
+    rows = pricing_rollup(li).take_all()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert len(by_level[0]) == 3 and len(by_level[1]) == 2
+    assert len(by_level[3]) == 1
+    total = by_level[3][0]
+    assert total["l_returnflag"] is None and total["l_linestatus"] is None
+    assert total["sum_qty"] == 10 and total["n_rows"] == 4
+    mid = {r["l_returnflag"]: r for r in by_level[1]}
+    assert mid["A"]["sum_qty"] == 3 and mid["R"]["sum_qty"] == 7
+    assert mid["A"]["l_linestatus"] is None
+    fine_a = [r for r in by_level[0] if r["l_returnflag"] == "A"]
+    assert sum(r["sum_base_cents"] for r in fine_a) == \
+        mid["A"]["sum_base_cents"]
+
+
+def test_shuffle_semi_join_salted_identical():
+    """Whale probe key: the salted semi/anti paths must emit exactly the
+    unsalted row sets."""
+    from go_light_rag_ray.stages.relational import shuffle_semi_join
+
+    rng = np.random.default_rng(17)
+    pk = np.where(rng.random(1500) < 0.5, 7,
+                  rng.integers(0, 200, 1500)).astype(np.int64)
+    probe = pa.table({"k": pk, "v": np.arange(1500, dtype=np.int64)})
+    keys = pa.table({"bk": np.concatenate(
+        [[7], rng.integers(0, 250, 60)]).astype(np.int64)})
+    for anti in (False, True):
+        plain = sorted((r["k"], r["v"]) for r in shuffle_semi_join(
+            ray.data.from_arrow(probe).repartition(5),
+            ray.data.from_arrow(keys).repartition(2),
+            "k", "bk", anti=anti, buckets=11).take_all())
+        salted = sorted((r["k"], r["v"]) for r in shuffle_semi_join(
+            ray.data.from_arrow(probe).repartition(5),
+            ray.data.from_arrow(keys).repartition(2),
+            "k", "bk", anti=anti, buckets=11, salt=4).take_all())
+        assert plain == salted and len(plain) > 0
