@@ -764,6 +764,21 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                  "l_extendedprice", "l_discount"]))
 
 
+def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT (stages/relational.pivot_counts): one wide row per user with
+    a count per event type + integer-cents value total — per-batch
+    factorize+bincount combiner, one keyed sum of wide partials."""
+    from go_light_rag_ray.stages.relational import pivot_counts
+
+    return pivot_counts(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"]),
+        "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        cents_col="value")
+
+
 def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP over lineitem (stages/relational.pricing_rollup):
     the OLAP subtotal ladder from ONE fact scan — finest-grain partials
@@ -2745,6 +2760,22 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
 
+_EVENTS_PIVOT_SQL = r"""
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+         AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+         AS n_view,
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+FROM events GROUP BY user_id
+"""
+
 # level = GROUPING(flag, status): 0 finest, 1 = per-flag subtotal,
 # 3 = grand total — identical bitmask on both sides
 _PRICING_ROLLUP_SQL = r"""
@@ -3439,6 +3470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "pricing_rollup": q_pricing_rollup,
+        "events_pivot": q_events_pivot,
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
         "join_order_lineitem": q_join_order_lineitem,
@@ -3534,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running": _EVENTS_RUNNING_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "pricing_rollup": _PRICING_ROLLUP_SQL,
+        "events_pivot": _EVENTS_PIVOT_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "top_revenue_orders": _TOP_REVENUE_ORDERS_SQL,
         "join_order_lineitem": _JOIN_ORDER_LINEITEM_SQL,

@@ -376,6 +376,48 @@ def top_revenue_orders(
     return ray.data.from_arrow(top)
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    type_col: str,
+    types: list[str],
+    cents_col: str | None = None,
+) -> ray.data.Dataset:
+    """PIVOT: one wide row per key with a count column per ``types`` value
+    (plus an integer-cents total of ``cents_col`` if given) — the
+    long→wide reshape every analytics stack ships.
+
+    Shape: per-batch combiner factorizes the key ONCE (``np.unique``) and
+    builds every per-type count with one boolean mask + ``bincount`` — a
+    batch reduces to ≤ |keys in batch| wide partial rows before the ONLY
+    exchange, a keyed sum over already-wide integers.  Rows whose type is
+    outside ``types`` still count toward the key's row presence (a key
+    with only unlisted types emits an all-zero row, exactly like SQL's
+    GROUP BY over the full table)."""
+    out_counts = [f"n_{t}" for t in types]
+
+    def combine(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        tv = b.column(type_col).to_numpy(zero_copy_only=False)
+        cols = {key_col: pa.array(uk, pa.int64())}
+        for t, name in zip(types, out_counts):
+            cols[name] = pa.array(np.bincount(
+                inv[tv == t], minlength=len(uk)).astype(np.int64))
+        if cents_col is not None:
+            cents = _cents(b.column(cents_col))
+            cols["total_cents"] = pa.array(np.bincount(
+                inv, weights=cents, minlength=len(uk)).astype(np.int64))
+        return pa.Table.from_pydict(cols)
+
+    aggs = [agg.Sum(c, alias_name=c) for c in out_counts]
+    if cents_col is not None:
+        aggs.append(agg.Sum("total_cents", alias_name="total_cents"))
+    return (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*aggs))
+
+
 def _pricing_partial(b: pa.Table) -> pa.Table:
     """Finest-grain per-batch combiner shared by pricing_summary and
     pricing_rollup: ≤6 partial rows per batch, integer measures only."""

@@ -355,3 +355,25 @@ def test_shuffle_semi_join_salted_identical():
             ray.data.from_arrow(keys).repartition(2),
             "k", "bk", anti=anti, buckets=11, salt=4).take_all())
         assert plain == salted and len(plain) > 0
+
+
+def test_pivot_counts_wide_rows():
+    """Wide per-key type counts; keys with only unlisted types emit an
+    all-zero row; cents total is integer-exact."""
+    from go_light_rag_ray.stages.relational import pivot_counts
+
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": ["click", "view", "click", "click", "other"],
+        "value": pa.array([1.005, 2.0, 0.5, 0.25, 9.99], pa.float64()),
+    })).repartition(3)
+    rows = {r["user_id"]: r for r in pivot_counts(
+        ev, "user_id", "event_type", ["click", "view"],
+        cents_col="value").take_all()}
+    assert rows[1]["n_click"] == 1 and rows[1]["n_view"] == 1
+    # 1.005 is binary 1.00499…, so floor(x*100+0.5) = 100 on BOTH the
+    # engine and DuckDB — the shared-op-sequence contract, not a bug
+    assert rows[1]["total_cents"] == 300
+    assert rows[2]["n_click"] == 2 and rows[2]["n_view"] == 0
+    assert rows[3]["n_click"] == 0 and rows[3]["n_view"] == 0
+    assert rows[3]["total_cents"] == 999
