@@ -263,31 +263,43 @@ def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
                                max_group=0)
 
 
+_CLUSTER_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _clusters(sf_dir: str) -> ray.data.Dataset:
+    """Materialized MinHash duplicate clusters, cached per sf_dir — the
+    same shared-intermediate pattern as _graph(): dedup_clusters and
+    dedup_keep_best both consume this table, so the pair generation +
+    component pass runs once per session."""
+    ds = _CLUSTER_CACHE.get(sf_dir)
+    if ds is None:
+        from go_light_rag_ray.stages.dedup import (cluster_duplicates,
+                                                   minhash_lsh_pairs)
+
+        docs = _raw_docs(sf_dir)
+        pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3,
+                                  max_group=0)
+        ds = cluster_duplicates(docs, pairs).materialize()
+        _CLUSTER_CACHE[sf_dir] = ds
+    return ds
+
+
 def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Near-dup clustering: connected components over the MinHash candidate
     pairs; cluster_id = smallest doc id in the component."""
-    from go_light_rag_ray.stages.dedup import cluster_duplicates, minhash_lsh_pairs
-
-    docs = _raw_docs(sf_dir)
-    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3, max_group=0)
-    return cluster_duplicates(docs, pairs)
+    return _clusters(sf_dir)
 
 
 def q_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
     """The production keep-rule after clustering: per duplicate cluster,
     keep the highest-quality member (stages/dedup.keep_best — one
     doc-keyed co-shuffle + associative argmax combiner; the cluster
-    exchange carries per-batch partials, never the corpus)."""
-    from go_light_rag_ray.stages.dedup import (cluster_duplicates,
-                                               keep_best,
-                                               minhash_lsh_pairs)
+    exchange carries per-batch partials, never the corpus).  Shares the
+    cached cluster table with dedup_clusters (_clusters)."""
+    from go_light_rag_ray.stages.dedup import keep_best
     from go_light_rag_ray.stages.textstats import quality_scores
 
-    docs = _raw_docs(sf_dir)
-    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4, shingle_k=3,
-                              max_group=0)
-    clusters = cluster_duplicates(docs, pairs)
-    return keep_best(clusters, quality_scores(docs))
+    return keep_best(_clusters(sf_dir), quality_scores(_raw_docs(sf_dir)))
 
 
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
@@ -777,6 +789,19 @@ def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
         "user_id", "event_type",
         ["click", "error", "purchase", "signup", "view"],
         cents_col="value")
+
+
+def q_events_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT (stages/relational.unpivot): the wide per-user pivot
+    melted back to (user_id, event_type, n) long form — a stateless
+    narrow map over the pivot output, zero-count cells included (exactly
+    SQL's user × type grid with coalesce(n, 0))."""
+    from go_light_rag_ray.stages.relational import unpivot
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    return unpivot(q_events_pivot(sf_dir), "user_id",
+                   [f"n_{t}" for t in types], var_col="event_type",
+                   val_col="n", var_names=types)
 
 
 def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
@@ -2776,6 +2801,18 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# user × type grid with zero-count cells, like the melted pivot
+_EVENTS_UNPIVOT_SQL = r"""
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+           FROM events GROUP BY user_id, event_type),
+u AS (SELECT DISTINCT user_id FROM events),
+t(event_type) AS (VALUES ('click'), ('error'), ('purchase'),
+                         ('signup'), ('view'))
+SELECT u.user_id, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
 # level = GROUPING(flag, status): 0 finest, 1 = per-flag subtotal,
 # 3 = grand total — identical bitmask on both sides
 _PRICING_ROLLUP_SQL = r"""
@@ -3471,6 +3508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "pricing_rollup": q_pricing_rollup,
         "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
         "join_order_lineitem": q_join_order_lineitem,
@@ -3567,6 +3605,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "pricing_rollup": _PRICING_ROLLUP_SQL,
         "events_pivot": _EVENTS_PIVOT_SQL,
+        "events_unpivot": _EVENTS_UNPIVOT_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "top_revenue_orders": _TOP_REVENUE_ORDERS_SQL,
         "join_order_lineitem": _JOIN_ORDER_LINEITEM_SQL,

@@ -418,6 +418,34 @@ def pivot_counts(
             .aggregate(*aggs))
 
 
+def unpivot(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    var_col: str = "variable",
+    val_col: str = "value",
+    var_names: list[str] | None = None,
+) -> ray.data.Dataset:
+    """UNPIVOT / melt — the wide→long inverse of ``pivot_counts``: each
+    input row fans out to one (key, variable, value) row per
+    ``value_cols`` entry.  A stateless narrow map (C projections
+    concatenated per batch, no shuffle at all); values are cast to int64
+    (this engine's measure discipline)."""
+    names = var_names or value_cols
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for c, nm in zip(value_cols, names):
+            parts.append(pa.table({
+                key_col: b.column(key_col),
+                var_col: pa.array(np.full(len(b), nm), pa.string()),
+                val_col: pc.cast(b.column(c), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def _pricing_partial(b: pa.Table) -> pa.Table:
     """Finest-grain per-batch combiner shared by pricing_summary and
     pricing_rollup: ≤6 partial rows per batch, integer measures only."""

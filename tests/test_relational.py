@@ -377,3 +377,21 @@ def test_pivot_counts_wide_rows():
     assert rows[2]["n_click"] == 2 and rows[2]["n_view"] == 0
     assert rows[3]["n_click"] == 0 and rows[3]["n_view"] == 0
     assert rows[3]["total_cents"] == 999
+
+
+def test_unpivot_inverts_pivot():
+    """melt(pivot(x)) reproduces the per-(key, type) counts, zero cells
+    included."""
+    from go_light_rag_ray.stages.relational import pivot_counts, unpivot
+
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_type": ["click", "view", "click"],
+        "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+    }))
+    wide = pivot_counts(ev, "user_id", "event_type", ["click", "view"])
+    long = sorted((r["user_id"], r["event_type"], r["n"]) for r in unpivot(
+        wide, "user_id", ["n_click", "n_view"], var_col="event_type",
+        val_col="n", var_names=["click", "view"]).take_all())
+    assert long == [(1, "click", 1), (1, "view", 1),
+                    (2, "click", 1), (2, "view", 0)]
