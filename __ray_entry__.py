@@ -776,19 +776,33 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                  "l_extendedprice", "l_discount"]))
 
 
+_PIVOT_CACHE: dict[str, ray.data.Dataset] = {}
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Materialized per-user event pivot, cached per sf_dir (the
+    _graph()/_clusters() shared-intermediate pattern) — events_pivot and
+    events_unpivot both consume it, so the exchange runs once."""
+    ds = _PIVOT_CACHE.get(sf_dir)
+    if ds is None:
+        from go_light_rag_ray.stages.relational import pivot_counts
+
+        ds = pivot_counts(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_type", "value"]),
+            "user_id", "event_type", _EVENT_TYPES,
+            cents_col="value").materialize()
+        _PIVOT_CACHE[sf_dir] = ds
+    return ds
+
+
 def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
     """PIVOT (stages/relational.pivot_counts): one wide row per user with
     a count per event type + integer-cents value total — per-batch
     factorize+bincount combiner, one keyed sum of wide partials."""
-    from go_light_rag_ray.stages.relational import pivot_counts
-
-    return pivot_counts(
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "event_type", "value"]),
-        "user_id", "event_type",
-        ["click", "error", "purchase", "signup", "view"],
-        cents_col="value")
+    return _events_pivot(sf_dir)
 
 
 def q_events_unpivot(sf_dir: str) -> ray.data.Dataset:
@@ -798,10 +812,10 @@ def q_events_unpivot(sf_dir: str) -> ray.data.Dataset:
     SQL's user × type grid with coalesce(n, 0))."""
     from go_light_rag_ray.stages.relational import unpivot
 
-    types = ["click", "error", "purchase", "signup", "view"]
-    return unpivot(q_events_pivot(sf_dir), "user_id",
-                   [f"n_{t}" for t in types], var_col="event_type",
-                   val_col="n", var_names=types)
+    return unpivot(_events_pivot(sf_dir), "user_id",
+                   [f"n_{t}" for t in _EVENT_TYPES],
+                   var_col="event_type", val_col="n",
+                   var_names=_EVENT_TYPES)
 
 
 def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:

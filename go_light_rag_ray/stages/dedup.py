@@ -959,10 +959,12 @@ def keep_best(
         from .sortagg import sorted_reduce
 
         def add_key(b: pa.Table) -> pa.Table:
-            q = b.column("quality").to_numpy(zero_copy_only=False)
-            if len(q) and q.min() < 0:
-                raise ValueError("segment strategy needs scores >= 0 "
-                                 "(bit-order trick)")
+            # + 0.0 canonicalizes -0.0 → +0.0 (same bits as grouped's
+            # lexsort tie); NaN has no valid bit order at all — refuse
+            q = b.column("quality").to_numpy(zero_copy_only=False) + 0.0
+            if len(q) and (np.isnan(q).any() or np.nanmin(q) < 0):
+                raise ValueError("segment strategy needs finite scores "
+                                 ">= 0 (bit-order trick)")
             inv = np.uint64(0xFFFFFFFFFFFFFFFF) - q.view(np.uint64)
             key = pc.binary_join_element_wise(
                 pc.ascii_lpad(pc.cast(pa.array(inv), pa.string()), 20, "0"),

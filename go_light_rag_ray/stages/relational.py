@@ -325,13 +325,15 @@ def top_revenue_orders(
                 .select(["c_custkey"]))
 
     cust_keys = customer.map_batches(seg_filter, batch_format="pyarrow")
-    # ONE early-stopping pass decides the path AND collects the keys: if
-    # take(cap+1) comes back short, that IS the whole (≤ cap) key set
-    probe = (cust_keys.take(semi_broadcast_cap + 1)
-             if semi_broadcast_cap > 0 else None)
-    if probe is not None and len(probe) <= semi_broadcast_cap:
+    # the path probe counts WITHOUT shipping rows (an over-cap segment
+    # would otherwise materialize cap+1 Python dicts on the driver just
+    # to be discarded); only a confirmed-small segment is collected
+    n_seg = (cust_keys.limit(semi_broadcast_cap + 1).count()
+             if semi_broadcast_cap > 0 else semi_broadcast_cap + 1)
+    if n_seg <= semi_broadcast_cap:
         keys_ref = ray.put(pa.Table.from_pylist(
-            probe, schema=pa.schema([("c_custkey", pa.int64())])
+            cust_keys.take_all(),
+            schema=pa.schema([("c_custkey", pa.int64())])
         ).column("c_custkey").combine_chunks())
 
         def prep_orders_bcast(b: pa.Table) -> pa.Table:
@@ -405,9 +407,18 @@ def pivot_counts(
             cols[name] = pa.array(np.bincount(
                 inv[tv == t], minlength=len(uk)).astype(np.int64))
         if cents_col is not None:
+            # int64 end-to-end (bincount's float64 weights would break
+            # the bit-exact contract past 2^53): segment-sum over
+            # inv-sorted cents — every uk has ≥1 row by construction
             cents = _cents(b.column(cents_col))
-            cols["total_cents"] = pa.array(np.bincount(
-                inv, weights=cents, minlength=len(uk)).astype(np.int64))
+            if len(uk) == 0:
+                sums = np.zeros(0, dtype=np.int64)
+            else:
+                order = np.argsort(inv, kind="stable")
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], inv[order][1:] != inv[order][:-1])))
+                sums = np.add.reduceat(cents[order], starts)
+            cols["total_cents"] = pa.array(sums, pa.int64())
         return pa.Table.from_pydict(cols)
 
     aggs = [agg.Sum(c, alias_name=c) for c in out_counts]
@@ -506,6 +517,18 @@ def pricing_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
          "l_extendedprice", "l_discount"])
         .map_batches(_pricing_partial, batch_format="pyarrow")
         .materialize())
+    if partials.count() == 0:
+        # SQL's ROLLUP grand total survives an empty table: one level-3
+        # row with NULL sums and count 0
+        return ray.data.from_arrow(pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty": pa.nulls(1, pa.int64()),
+            "sum_base_cents": pa.nulls(1, pa.int64()),
+            "sum_disc_cents_h": pa.nulls(1, pa.int64()),
+            "n_rows": pa.array([0], pa.int64()),
+            "level": pa.array([3], pa.int64()),
+        }))
     aggs = lambda: (agg.Sum("qty", alias_name="sum_qty"),  # noqa: E731
                     agg.Sum("base_c", alias_name="sum_base_cents"),
                     agg.Sum("disc_c2", alias_name="sum_disc_cents_h"),

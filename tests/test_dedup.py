@@ -464,3 +464,30 @@ def test_keep_best_segment_strategy_identical():
                                strategy="segment").take_all())
     assert grouped == segment
     assert len(grouped) == len({r[0][1] for r in grouped})  # one per cluster
+
+
+def test_keep_best_segment_handles_negative_zero():
+    """-0.0 scores must canonicalize to +0.0 in the segment path's
+    bit-order key (identical tie-break to grouped); NaN is refused."""
+    import numpy as np
+    import pytest
+
+    from go_light_rag_ray.stages.dedup import keep_best
+
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "cluster_id": pa.array([0, 0, 0], pa.int64()),
+    }))
+    scored = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "quality": pa.array([-0.0, 1.0, 0.0], pa.float64()),
+    }))
+    for strat in ("grouped", "segment"):
+        rows = keep_best(clusters, scored, strategy=strat).take_all()
+        assert rows[0]["keep_doc_id"] == 1, strat
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "quality": pa.array([np.nan], pa.float64()),
+    }))
+    with pytest.raises(Exception):
+        keep_best(clusters, bad, strategy="segment").take_all()

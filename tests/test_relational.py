@@ -395,3 +395,22 @@ def test_unpivot_inverts_pivot():
         val_col="n", var_names=["click", "view"]).take_all())
     assert long == [(1, "click", 1), (1, "view", 1),
                     (2, "click", 1), (2, "view", 0)]
+
+
+def test_pricing_rollup_empty_input_grand_total():
+    """SQL's ROLLUP emits one level-3 row (NULL sums, count 0) on an
+    empty table — the engine must match."""
+    li = ray.data.from_arrow(pa.table({
+        "l_returnflag": pa.array([], pa.string()),
+        "l_linestatus": pa.array([], pa.string()),
+        "l_quantity": pa.array([], pa.float64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+    }))
+    from go_light_rag_ray.stages.relational import pricing_rollup
+
+    rows = pricing_rollup(li).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["level"] == 3 and r["n_rows"] == 0
+    assert r["sum_qty"] is None and r["l_returnflag"] is None
