@@ -140,6 +140,31 @@ def q_kg_nodes(sf_dir: str) -> ray.data.Dataset:
     return nodes.map_batches(view, batch_format="pyarrow")
 
 
+def q_kg_nodes_deleted(sf_dir: str) -> ray.data.Dataset:
+    """Incremental DELETE (pipelines/kg.delete_documents): the first 10
+    docs retracted from the cached canonical graph by rebuilding ONLY
+    the keys they touched from the retained mention stream — O(affected
+    keys), never a corpus rebuild.  Value-oracled against the full SQL
+    graph over the retained documents."""
+    from go_light_rag_ray.pipelines.kg import (chunk_documents,
+                                               delete_documents,
+                                               extract_mentions)
+
+    handler = _oracle_handler()
+    mentions = extract_mentions(
+        chunk_documents(_docs(sf_dir), handler), handler)
+    del_ids = [f"doc-{i:09d}" for i in range(10)]
+    graph = delete_documents(_graph(sf_dir), mentions, del_ids, handler)
+    nodes = graph.filter(expr="kind == 'node'")
+
+    def view(b: pa.Table) -> pa.Table:
+        b = b.select(["entity_id", "entity_type", "mention_count",
+                      "descriptions", "source_ids"])
+        return _join_sep(b, ["descriptions", "source_ids"])
+
+    return nodes.map_batches(view, batch_format="pyarrow")
+
+
 def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     """Deduped edges: additive weight (insert.go:595,609-615),
     ordered-distinct descriptions/keywords/source_ids."""
@@ -3458,6 +3483,7 @@ FROM (SELECT entity_id, sum(c) AS s FROM contribs GROUP BY entity_id)
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_nodes": q_kg_nodes,
+        "kg_nodes_deleted": q_kg_nodes_deleted,
         "kg_edges": q_kg_edges,
         "kg_triples": q_kg_triples,
         "kg_merged_nodes": q_kg_merged_nodes,
@@ -3561,6 +3587,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_nodes": _NODES_SQL,
+        # the retained-corpus graph: the delete path must equal a full
+        # SQL rebuild over documents with doc_id >= 10
+        "kg_nodes_deleted": _NODES_SQL.replace(
+            "FROM documents", "FROM documents WHERE doc_id >= 10", 1),
         "kg_edges": _EDGES_SQL,
         "kg_triples": _TRIPLES_SQL,
         "kg_merged_nodes": _KG_MERGED_NODES_SQL,

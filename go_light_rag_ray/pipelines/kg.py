@@ -279,6 +279,116 @@ def kg_pipeline_incremental(
     return _summarize_stage(graph, handler)
 
 
+def delete_documents(
+    prior_graph: ray.data.Dataset,
+    mentions: ray.data.Dataset,
+    doc_ids: list[str],
+    handler: Handler,
+) -> ray.data.Dataset:
+    """Incremental DELETE — O(affected keys), never O(corpus).
+
+    The snapshot alone cannot be subtracted (merge_cap drops history;
+    occ keys are not stored per list item), but canonicalization is a
+    pure per-key function of its mention multiset (the determinism
+    invariant test_properties proves), so removing documents only
+    changes the keys those documents touched:
+
+    1. the deleted docs' mentions name the AFFECTED keys — their entity
+       names (node keys), their (src, tgt) pairs (edge keys), and those
+       pairs' endpoints (placeholder contributions).  A delete batch is
+       small by assumption, so the key set collects to the driver and
+       broadcasts (the decontam/ANN small-side idiom);
+    2. the retained mention stream filters to rows touching an affected
+       key — entity name in the node set; relationship pair in the pair
+       set OR an endpoint in the node set (such edges feed placeholder
+       partials even when their own pair is unaffected);
+    3. ONE canonicalize over that slice rebuilds the affected keys from
+       scratch; by-product rows for unaffected keys (step 2's endpoint
+       rule emits their edges; placeholder nodes of retained endpoints)
+       are dropped;
+    4. result = prior rows of unaffected keys ∪ rebuilt affected rows.
+
+    Row-for-row equal to the full rebuild over the retained corpus
+    (test_delete), for the cost of the affected slice.  ``mentions`` is
+    the corpus mention stream (persisted by staged ingest, or recomputed
+    deterministically via extract_mentions(chunk_documents(...)))."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.canonicalize import canonicalize
+
+    del_arr = pa.array(sorted(set(doc_ids)), pa.string())
+
+    def _pairkey(src, tgt):
+        return pc.binary_join_element_wise(src, tgt, "\x00")
+
+    deleted = mentions.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=del_arr)),
+        batch_format="pyarrow",
+    ).select_columns(["kind", "name", "src", "tgt"])
+    node_set: set[str] = set()
+    pair_set: set[str] = set()
+    for r in deleted.take_all():    # bounded: the delete batch's mentions
+        if r["kind"] == "entity":
+            node_set.add(r["name"])
+        else:
+            node_set.add(r["src"])
+            node_set.add(r["tgt"])
+            pair_set.add(f'{r["src"]}\x00{r["tgt"]}')
+    if not node_set and not pair_set:
+        return prior_graph
+    sets_ref = ray.put((pa.array(sorted(node_set), pa.string()),
+                        pa.array(sorted(pair_set), pa.string())))
+
+    def relevant(b: pa.Table) -> pa.Table:
+        nodes, pairs = ray.get(sets_ref)
+        keep_doc = pc.invert(pc.is_in(b.column("doc_id"),
+                                      value_set=del_arr))
+        is_ent = pc.equal(b.column("kind"), "entity")
+        ent_hit = pc.and_(is_ent, pc.is_in(b.column("name"),
+                                           value_set=nodes))
+        pk = _pairkey(b.column("src"), b.column("tgt"))
+        rel_hit = pc.and_(
+            pc.invert(is_ent),
+            pc.or_(pc.is_in(pk, value_set=pairs),
+                   pc.or_(pc.is_in(b.column("src"), value_set=nodes),
+                          pc.is_in(b.column("tgt"), value_set=nodes))))
+        return b.filter(pc.and_(keep_doc, pc.or_(ent_hit, rel_hit)))
+
+    rebuilt = canonicalize(
+        mentions.map_batches(relevant, batch_format="pyarrow"),
+        salt_buckets=handler.salt_buckets,
+        batch_size=handler.mention_batch_size,
+        merge_cap=handler.merge_cap,
+        strategy=handler.canonicalize_strategy,
+    )
+
+    def affected_only(b: pa.Table) -> pa.Table:
+        nodes, pairs = ray.get(sets_ref)
+        is_node = pc.equal(b.column("kind"), "node")
+        keep = pc.if_else(
+            is_node,
+            pc.is_in(b.column("entity_id"), value_set=nodes),
+            pc.is_in(_pairkey(b.column("src"), b.column("tgt")),
+                     value_set=pairs))
+        return b.filter(keep)
+
+    def unaffected_only(b: pa.Table) -> pa.Table:
+        nodes, pairs = ray.get(sets_ref)
+        is_node = pc.equal(b.column("kind"), "node")
+        drop = pc.if_else(
+            is_node,
+            pc.is_in(b.column("entity_id"), value_set=nodes),
+            pc.is_in(_pairkey(b.column("src"), b.column("tgt")),
+                     value_set=pairs))
+        return b.filter(pc.invert(drop))
+
+    rebuilt = _summarize_stage(
+        rebuilt.map_batches(affected_only, batch_format="pyarrow"), handler)
+    kept = prior_graph.map_batches(unaffected_only, batch_format="pyarrow")
+    return kept.union(rebuilt)
+
+
 def nodes_view(graph: ray.data.Dataset) -> ray.data.Dataset:
     return graph.filter(expr="kind == 'node'").select_columns(
         ["entity_id", "entity_type", "descriptions", "source_ids", "mention_count"]
