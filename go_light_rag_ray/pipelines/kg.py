@@ -285,7 +285,9 @@ def delete_documents(
     doc_ids: list[str],
     handler: Handler,
 ) -> ray.data.Dataset:
-    """Incremental DELETE — O(affected keys), never O(corpus).
+    """Incremental DELETE — one pruned, shuffle-free scan of the mention
+    stream + O(affected keys) of real rebuild work; the corpus itself is
+    never re-chunked, re-extracted, or re-shuffled.
 
     The snapshot alone cannot be subtracted (merge_cap drops history;
     occ keys are not stored per list item), but canonicalization is a
