@@ -165,6 +165,42 @@ def q_kg_nodes_deleted(sf_dir: str) -> ray.data.Dataset:
     return nodes.map_batches(view, batch_format="pyarrow")
 
 
+def q_kg_diff(sf_dir: str) -> ray.data.Dataset:
+    """Graph snapshot diff: which node keys were added/removed/changed by
+    retracting the first 10 docs — stages/diff.corpus_diff re-applied to
+    RENDERED node rows (the graph is just another keyed table; one
+    side-sum co-shuffle, no joins).  Audits the incremental delete."""
+    from go_light_rag_ray.pipelines.kg import (chunk_documents,
+                                               delete_documents,
+                                               extract_mentions)
+    from go_light_rag_ray.stages.diff import corpus_diff
+
+    handler = _oracle_handler()
+    mentions = extract_mentions(
+        chunk_documents(_docs(sf_dir), handler), handler)
+    del_ids = [f"doc-{i:09d}" for i in range(10)]
+    new_graph = delete_documents(_graph(sf_dir), mentions, del_ids,
+                                 handler)
+
+    def render(b: pa.Table) -> pa.Table:
+        b = b.select(["entity_id", "entity_type", "mention_count",
+                      "descriptions", "source_ids"])
+        b = _join_sep(b, ["descriptions", "source_ids"])
+        import pyarrow.compute as pc
+        text = pc.binary_join_element_wise(
+            b.column("entity_type"),
+            pc.cast(b.column("mention_count"), pa.string()),
+            b.column("descriptions"), b.column("source_ids"), "|")
+        return pa.table({"entity_id": b.column("entity_id"),
+                         "text": text})
+
+    old_nodes = _graph(sf_dir).filter(expr="kind == 'node'").map_batches(
+        render, batch_format="pyarrow")
+    new_nodes = new_graph.filter(expr="kind == 'node'").map_batches(
+        render, batch_format="pyarrow")
+    return corpus_diff(old_nodes, new_nodes, id_col="entity_id")
+
+
 def q_kg_edges(sf_dir: str) -> ray.data.Dataset:
     """Deduped edges: additive weight (insert.go:595,609-615),
     ordered-distinct descriptions/keywords/source_ids."""
@@ -3484,6 +3520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_nodes": q_kg_nodes,
         "kg_nodes_deleted": q_kg_nodes_deleted,
+        "kg_diff": q_kg_diff,
         "kg_edges": q_kg_edges,
         "kg_triples": q_kg_triples,
         "kg_merged_nodes": q_kg_merged_nodes,
@@ -3591,6 +3628,22 @@ def oracle_sql() -> dict[str, str]:
         # SQL rebuild over documents with doc_id >= 10
         "kg_nodes_deleted": _NODES_SQL.replace(
             "FROM documents", "FROM documents WHERE doc_id >= 10", 1),
+        "kg_diff": f"""
+WITH o_raw AS ({_NODES_SQL}),
+n_raw AS ({_NODES_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id >= 10", 1)}),
+o AS (SELECT entity_id, entity_type || '|' || mention_count::VARCHAR
+             || '|' || descriptions || '|' || source_ids AS t FROM o_raw),
+n AS (SELECT entity_id, entity_type || '|' || mention_count::VARCHAR
+             || '|' || descriptions || '|' || source_ids AS t FROM n_raw),
+j AS (
+  SELECT coalesce(o.entity_id, n.entity_id) AS entity_id,
+         CASE WHEN o.entity_id IS NULL THEN 'added'
+              WHEN n.entity_id IS NULL THEN 'removed'
+              WHEN o.t = n.t THEN 'unchanged' ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.entity_id = n.entity_id)
+SELECT entity_id, status FROM j WHERE status <> 'unchanged'
+""",
         "kg_edges": _EDGES_SQL,
         "kg_triples": _TRIPLES_SQL,
         "kg_merged_nodes": _KG_MERGED_NODES_SQL,
