@@ -140,21 +140,35 @@ def q_kg_nodes(sf_dir: str) -> ray.data.Dataset:
     return nodes.map_batches(view, batch_format="pyarrow")
 
 
+_MENTIONS_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _mentions(sf_dir: str) -> ray.data.Dataset:
+    """Materialized oracle-handler mention stream, cached per sf_dir —
+    the delete/diff queries both consume it (the _graph() pattern)."""
+    ds = _MENTIONS_CACHE.get(sf_dir)
+    if ds is None:
+        from go_light_rag_ray.pipelines.kg import (chunk_documents,
+                                                   extract_mentions)
+
+        handler = _oracle_handler()
+        ds = extract_mentions(
+            chunk_documents(_docs(sf_dir), handler), handler).materialize()
+        _MENTIONS_CACHE[sf_dir] = ds
+    return ds
+
+
 def q_kg_nodes_deleted(sf_dir: str) -> ray.data.Dataset:
     """Incremental DELETE (pipelines/kg.delete_documents): the first 10
     docs retracted from the cached canonical graph by rebuilding ONLY
     the keys they touched from the retained mention stream — O(affected
     keys), never a corpus rebuild.  Value-oracled against the full SQL
     graph over the retained documents."""
-    from go_light_rag_ray.pipelines.kg import (chunk_documents,
-                                               delete_documents,
-                                               extract_mentions)
+    from go_light_rag_ray.pipelines.kg import delete_documents
 
-    handler = _oracle_handler()
-    mentions = extract_mentions(
-        chunk_documents(_docs(sf_dir), handler), handler)
     del_ids = [f"doc-{i:09d}" for i in range(10)]
-    graph = delete_documents(_graph(sf_dir), mentions, del_ids, handler)
+    graph = delete_documents(_graph(sf_dir), _mentions(sf_dir), del_ids,
+                             _oracle_handler())
     nodes = graph.filter(expr="kind == 'node'")
 
     def view(b: pa.Table) -> pa.Table:
@@ -170,17 +184,12 @@ def q_kg_diff(sf_dir: str) -> ray.data.Dataset:
     retracting the first 10 docs — stages/diff.corpus_diff re-applied to
     RENDERED node rows (the graph is just another keyed table; one
     side-sum co-shuffle, no joins).  Audits the incremental delete."""
-    from go_light_rag_ray.pipelines.kg import (chunk_documents,
-                                               delete_documents,
-                                               extract_mentions)
+    from go_light_rag_ray.pipelines.kg import delete_documents
     from go_light_rag_ray.stages.diff import corpus_diff
 
-    handler = _oracle_handler()
-    mentions = extract_mentions(
-        chunk_documents(_docs(sf_dir), handler), handler)
     del_ids = [f"doc-{i:09d}" for i in range(10)]
-    new_graph = delete_documents(_graph(sf_dir), mentions, del_ids,
-                                 handler)
+    new_graph = delete_documents(_graph(sf_dir), _mentions(sf_dir),
+                                 del_ids, _oracle_handler())
 
     def render(b: pa.Table) -> pa.Table:
         b = b.select(["entity_id", "entity_type", "mention_count",
