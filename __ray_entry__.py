@@ -179,6 +179,35 @@ def q_kg_nodes_deleted(sf_dir: str) -> ray.data.Dataset:
     return nodes.map_batches(view, batch_format="pyarrow")
 
 
+def q_kg_nodes_updated(sf_dir: str) -> ray.data.Dataset:
+    """Incremental UPDATE (pipelines/kg.update_documents): docs 0-9
+    replaced IN PLACE by the content of docs 10-19 (same ids) — the
+    delete path with the replacements' mentions joining the affected-key
+    rebuild.  Exact for any corpus position; value-oracled against the
+    full SQL graph over the spliced corpus."""
+    from go_light_rag_ray.pipelines.kg import update_documents
+
+    def remap(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(b.column("doc_id"), 10),
+                       pc.less(b.column("doc_id"), 20))
+        b = b.filter(keep)
+        return pa.table({"doc_id": pc.subtract(b.column("doc_id"), 10),
+                         "text": b.column("text")})
+
+    new_docs = _docs(sf_dir).map_batches(remap, batch_format="pyarrow")
+    graph = update_documents(_graph(sf_dir), _mentions(sf_dir), new_docs,
+                             _oracle_handler())
+    nodes = graph.filter(expr="kind == 'node'")
+
+    def view(b: pa.Table) -> pa.Table:
+        b = b.select(["entity_id", "entity_type", "mention_count",
+                      "descriptions", "source_ids"])
+        return _join_sep(b, ["descriptions", "source_ids"])
+
+    return nodes.map_batches(view, batch_format="pyarrow")
+
+
 def q_kg_diff(sf_dir: str) -> ray.data.Dataset:
     """Graph snapshot diff: which node keys were added/removed/changed by
     retracting the first 10 docs — stages/diff.corpus_diff re-applied to
@@ -3529,6 +3558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_nodes": q_kg_nodes,
         "kg_nodes_deleted": q_kg_nodes_deleted,
+        "kg_nodes_updated": q_kg_nodes_updated,
         "kg_diff": q_kg_diff,
         "kg_edges": q_kg_edges,
         "kg_triples": q_kg_triples,
@@ -3637,6 +3667,15 @@ def oracle_sql() -> dict[str, str]:
         # SQL rebuild over documents with doc_id >= 10
         "kg_nodes_deleted": _NODES_SQL.replace(
             "FROM documents", "FROM documents WHERE doc_id >= 10", 1),
+        # the spliced corpus: docs 0-9 carry the TEXT of docs 10-19
+        "kg_nodes_updated": _NODES_SQL.replace(
+            "FROM documents\n)",
+            r"""FROM documents WHERE doc_id >= 10
+  UNION ALL
+  SELECT printf('doc-%09d', doc_id - 10) AS did,
+         regexp_extract_all(text, '\S+') AS toks
+  FROM documents WHERE doc_id >= 10 AND doc_id < 20
+)""", 1),
         "kg_diff": f"""
 WITH o_raw AS ({_NODES_SQL}),
 n_raw AS ({_NODES_SQL.replace(

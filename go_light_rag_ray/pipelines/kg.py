@@ -284,6 +284,7 @@ def delete_documents(
     mentions: ray.data.Dataset,
     doc_ids: list[str],
     handler: Handler,
+    new_mentions: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Incremental DELETE — one pruned, shuffle-free scan of the mention
     stream + O(affected keys) of real rebuild work; the corpus itself is
@@ -313,7 +314,15 @@ def delete_documents(
     Row-for-row equal to the full rebuild over the retained corpus
     (test_delete), for the cost of the affected slice.  ``mentions`` is
     the corpus mention stream (persisted by staged ingest, or recomputed
-    deterministically via extract_mentions(chunk_documents(...)))."""
+    deterministically via extract_mentions(chunk_documents(...))).
+
+    ``new_mentions`` turns the delete into an UPDATE: replacement
+    documents' mentions join the rebuild — their keys enter the affected
+    set and their rows union into the relevant slice, so
+    ``update == full rebuild over (corpus ∖ old) ∪ new`` exactly, even
+    for middle-of-corpus replacements (the rebuild replays REAL occ
+    keys; incremental insert alone cannot do this, its prior re-entry
+    sorts before ALL new occurrences).  See ``update_documents``."""
     import pyarrow as pa
     import ray
 
@@ -330,13 +339,20 @@ def delete_documents(
     ).select_columns(["kind", "name", "src", "tgt"])
     node_set: set[str] = set()
     pair_set: set[str] = set()
-    for r in deleted.take_all():    # bounded: the delete batch's mentions
-        if r["kind"] == "entity":
-            node_set.add(r["name"])
-        else:
-            node_set.add(r["src"])
-            node_set.add(r["tgt"])
-            pair_set.add(f'{r["src"]}\x00{r["tgt"]}')
+
+    def _gather(rows):
+        for r in rows:
+            if r["kind"] == "entity":
+                node_set.add(r["name"])
+            else:
+                node_set.add(r["src"])
+                node_set.add(r["tgt"])
+                pair_set.add(f'{r["src"]}\x00{r["tgt"]}')
+
+    _gather(deleted.take_all())     # bounded: the delete batch's mentions
+    if new_mentions is not None:    # bounded: the update batch's mentions
+        _gather(new_mentions.select_columns(
+            ["kind", "name", "src", "tgt"]).take_all())
     if not node_set and not pair_set:
         return prior_graph
     sets_ref = ray.put((pa.array(sorted(node_set), pa.string()),
@@ -357,8 +373,14 @@ def delete_documents(
                           pc.is_in(b.column("tgt"), value_set=nodes))))
         return b.filter(pc.and_(keep_doc, pc.or_(ent_hit, rel_hit)))
 
+    relevant_stream = mentions.map_batches(relevant,
+                                           batch_format="pyarrow")
+    if new_mentions is not None:
+        # every new-mention key is in the affected set by construction,
+        # so the whole new side joins the rebuild
+        relevant_stream = relevant_stream.union(new_mentions)
     rebuilt = canonicalize(
-        mentions.map_batches(relevant, batch_format="pyarrow"),
+        relevant_stream,
         salt_buckets=handler.salt_buckets,
         batch_size=handler.mention_batch_size,
         merge_cap=handler.merge_cap,
@@ -389,6 +411,36 @@ def delete_documents(
         rebuilt.map_batches(affected_only, batch_format="pyarrow"), handler)
     kept = prior_graph.map_batches(unaffected_only, batch_format="pyarrow")
     return kept.union(rebuilt)
+
+
+def update_documents(
+    prior_graph: ray.data.Dataset,
+    mentions: ray.data.Dataset,
+    new_docs: ray.data.Dataset,
+    handler: Handler,
+) -> ray.data.Dataset:
+    """Incremental UPDATE: replace documents in place — the delete path
+    with the replacements' mentions joining the affected-key rebuild.
+    Exact for ANY position in the corpus (update == full rebuild over
+    (corpus ∖ old) ∪ new, test_delete), which incremental insert alone
+    cannot achieve: its prior-snapshot re-entry sorts before all new
+    occurrences, so only tail appends replay the one-shot merge order.
+    The documents' ids identify what is being replaced (the corpus
+    primary key); ``new_docs`` carries the replacement rows under the
+    SAME ids."""
+    new_mentions = extract_mentions(
+        chunk_documents(new_docs, handler), handler).materialize()
+    # ids from the DOCUMENT rows, not the mentions: a replacement doc
+    # with zero mentions must still retract its old version.  Integer
+    # ids (flat corpora) format exactly as the chunker does, so they
+    # match the mention stream's string ids
+    raw_ids = {r["doc_id"] for r in new_docs.select_columns(
+        ["doc_id"]).take_all()}
+    doc_ids = sorted(
+        x if isinstance(x, str) else handler.doc_id_format.format(x)
+        for x in raw_ids)
+    return delete_documents(prior_graph, mentions, doc_ids, handler,
+                            new_mentions=new_mentions)
 
 
 def nodes_view(graph: ray.data.Dataset) -> ray.data.Dataset:

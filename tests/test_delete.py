@@ -6,6 +6,7 @@ import ray.data
 
 from go_light_rag_ray.corpus import generate_documents
 from go_light_rag_ray.pipelines.kg import (
+    update_documents,
     Handler,
     chunk_documents,
     delete_documents,
@@ -85,3 +86,31 @@ def test_delete_middle_slice_equals_rebuild(ray_session):
             full.column("doc_id"), value_set=pa.array(del_ids))))
     want = _rows(kg_pipeline(ray.data.from_arrow(keep_tbl), HANDLER))
     assert got == want
+
+
+def test_update_middle_docs_equals_rebuild(ray_session):
+    """Replace 10 MIDDLE docs with different content under the same ids:
+    update == full rebuild over the spliced corpus, row-for-row — the
+    CRUD case incremental insert alone cannot do exactly."""
+    full = generate_documents(50)
+    docs = ray.data.from_arrow(full)
+    mentions = extract_mentions(chunk_documents(docs, HANDLER), HANDLER)
+    prior = kg_pipeline(docs, HANDLER).materialize()
+
+    # replacement content: spans borrowed from OTHER synthetic docs,
+    # re-labeled with the ids being replaced (20..29)
+    donor = generate_documents(70).slice(60, 70)
+    old_ids = full.column("doc_id").to_pylist()[20:30]
+    new_tbl = pa.table({
+        "doc_id": pa.array(old_ids, pa.string()),
+        "spans": donor.column("spans"),
+    })
+    got = _rows(update_documents(
+        prior, mentions, ray.data.from_arrow(new_tbl), HANDLER))
+
+    spliced = pa.concat_tables(
+        [full.slice(0, 20), new_tbl, full.slice(30)])
+    want = _rows(kg_pipeline(ray.data.from_arrow(spliced), HANDLER))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a == b, (a, b)
