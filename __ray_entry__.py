@@ -831,6 +831,30 @@ def q_sessions_salted(sf_dir: str) -> ray.data.Dataset:
     return sessionize(_raw_events(sf_dir), gap_s=1800, salt_bucket_s=86400)
 
 
+def q_events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """First-touch conversion funnel with a 1-day window
+    (stages/funnel.funnel_counts): users completing view → click →
+    purchase in strict time order, every later step within 24h of the
+    first view.  Bucketed user co-shuffle + K vectorized multi-user
+    passes per bucket — never one Ray group per user."""
+    from go_light_rag_ray.stages.funnel import funnel_counts
+
+    return funnel_counts(_raw_events(sf_dir),
+                         steps=("view", "click", "purchase"),
+                         within_s=86400)
+
+
+def q_events_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort-retention matrix (stages/funnel.retention_cohorts):
+    users bucketed by first-event week, counted in every active week.
+    Batch-distinct (user, week) combiner keeps the shuffle at
+    |users|×|weeks| cardinality; the cohort broadcast is a vectorized
+    run-boundary pass inside the user co-shuffle (no join)."""
+    from go_light_rag_ray.stages.funnel import retention_cohorts
+
+    return retention_cohorts(_raw_events(sf_dir), period_s=7 * 86400)
+
+
 def q_asof_salted(sf_dir: str) -> ray.data.Dataset:
     """Whale-user as-of path: bucket sweep + prefix-carry fix; same oracle
     SQL as the unsalted join."""
@@ -2857,6 +2881,47 @@ FROM hops WHERE window_start_us <= t
 GROUP BY 1
 """
 
+_EVENTS_FUNNEL_SQL = r"""
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t
+    AND epoch_us(e.ts) <= s0.t + 86400000000
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t
+    AND epoch_us(e.ts) <= s0.t + 86400000000
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS step, 'view' AS event_type,
+         count(*)::BIGINT AS n_users FROM s0
+  UNION ALL
+  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s1
+  UNION ALL
+  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s2
+) ORDER BY step
+"""
+
+_EVENTS_RETENTION_SQL = r"""
+WITH up AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 604800000000) * 604800000000 AS period_us
+  FROM events
+),
+coh AS (SELECT user_id, min(period_us) AS cohort_us FROM up GROUP BY 1)
+SELECT c.cohort_us, u.period_us, count(*)::BIGINT AS n_users
+FROM up u JOIN coh c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 _SESSIONS_SQL = r"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t,
@@ -3633,6 +3698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_big_line": q_orders_no_big_line,
         "sessions_salted": q_sessions_salted,
         "asof_salted": q_asof_salted,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "importance_weights": q_importance_weights,
@@ -3759,6 +3826,8 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "orders_no_big_line": _ORDERS_NO_BIG_LINE_SQL,
         "sessions_salted": _SESSIONS_SQL,
         "asof_salted": _ASOF_JOIN_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_retention": _EVENTS_RETENTION_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "importance_weights": _IMPORTANCE_WEIGHTS_SQL,
