@@ -1282,6 +1282,17 @@ def q_corpus_top_words(sf_dir: str) -> ray.data.Dataset:
     return corpus_top_words(_raw_docs(sf_dir), k=20)
 
 
+def q_bpe_pair_counts(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 adjacent byte pairs within whitespace words — BPE training's
+    merge-0 candidate list (stages/bpetrain.byte_pair_counts), computed
+    zero-copy off the Arrow string buffers.  The distributed half of
+    ``train_bpe`` (word-freq table → driver merge loop, the HF/sentencepiece
+    training split)."""
+    from go_light_rag_ray.stages.bpetrain import byte_pair_counts
+
+    return byte_pair_counts(_raw_docs(sf_dir), k=20)
+
+
 def q_words_cms(sf_dir: str) -> ray.data.Dataset:
     """Count-Min sketch cells over the corpus word stream — the mergeable
     frequency-estimate companion to the Misra-Gries heavy-hitter sketch
@@ -2412,6 +2423,22 @@ cells AS (
   FROM wc, unnest([0, 1, 2, 3]) AS pr(j)
 )
 SELECT row_j, pos, sum(c)::BIGINT AS cnt FROM cells GROUP BY row_j, pos
+"""
+
+_BPE_PAIR_COUNTS_SQL = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM words)
+),
+counts AS (SELECT pair, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC)::INTEGER AS rank
+  FROM counts
+)
+SELECT rank, pair, cnt FROM ranked WHERE rank <= 20
 """
 
 _CORPUS_TOP_WORDS_SQL = r"""
@@ -3712,6 +3739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora": q_mix_corpora,
         "text_bigram": q_text_bigram,
         "corpus_top_words": q_corpus_top_words,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "words_cms": q_words_cms,
         "text_repetition": q_text_repetition,
         "stratified_sample": q_stratified_sample,
@@ -3840,6 +3868,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "mix_corpora": _MIX_CORPORA_SQL,
         "text_bigram": _TEXT_BIGRAM_SQL,
         "corpus_top_words": _CORPUS_TOP_WORDS_SQL,
+        "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "words_cms": _WORDS_CMS_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
