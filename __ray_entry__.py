@@ -658,6 +658,17 @@ def q_kg_hops(sf_dir: str) -> ray.data.Dataset:
     return hop_distance(_graph(sf_dir), list(DEFAULT_LOW_LEVEL), max_depth=3)
 
 
+def q_kg_sssp(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-hop weighted shortest path from the retrieval seeds
+    (stages/graphalg.weighted_sssp): hop_distance with the edge's dyadic
+    relationship weight (in exact half-units) as the length — Bellman-Ford
+    rounds, broadcast relax / segment attach per round."""
+    from go_light_rag_ray.pipelines.query import DEFAULT_LOW_LEVEL
+    from go_light_rag_ray.stages.graphalg import weighted_sssp
+
+    return weighted_sssp(_graph(sf_dir), list(DEFAULT_LOW_LEVEL), max_hops=3)
+
+
 def q_kg_kcore(sf_dir: str) -> ray.data.Dataset:
     """2-core of the canonical graph (stages/graphalg.kcore — simultaneous
     Jacobi peel, two keyed sorts per round, no driver-side state); rounds
@@ -3517,6 +3528,29 @@ SELECT src AS entity_id, min(dst) AS component_id FROM reach GROUP BY src
 # seeds over the undirected canonical graph; hops = min over paths.  The
 # recursive CTE's UNION (set semantics) dedupes (node, d) pairs, and d < 3
 # bounds the walk; min(d) per node is the BFS distance.
+_KG_SSSP_SQL = _GRAPH_TOPOLOGY_CTE + r""",
+ew AS (
+  SELECT s AS src, o AS tgt,
+         sum(CASE WHEN r = 0 THEN 2 ELSE 1 END)::BIGINT AS w2
+  FROM relk GROUP BY s, o
+),
+undw AS (
+  SELECT src AS a, tgt AS b, w2 FROM ew
+  UNION ALL SELECT tgt, src, w2 FROM ew
+),
+walk AS (
+  WITH RECURSIVE w(node, c, h) AS (
+    SELECT node, 0::BIGINT, 0 FROM allnodes
+    WHERE node IN ('SPARK','CUSTOMER','VECTOR')
+    UNION
+    SELECT e.b, w.c + e.w2, w.h + 1 FROM w JOIN undw e ON w.node = e.a
+    WHERE w.h < 3
+  )
+  SELECT * FROM w
+)
+SELECT node AS entity_id, min(c)::BIGINT AS dist_half FROM walk GROUP BY node
+"""
+
 _KG_HOPS_SQL = _GRAPH_TOPOLOGY_CTE + r""",
 edges2 AS (
   SELECT src AS s, tgt AS d FROM edges_d
@@ -3663,6 +3697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": q_kg_ppr,
         "kg_components": q_kg_components,
         "kg_hops": q_kg_hops,
+        "kg_sssp": q_kg_sssp,
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
@@ -3799,6 +3834,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "kg_ppr": _KG_PPR_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
         "kg_hops": _KG_HOPS_SQL,
+        "kg_sssp": _KG_SSSP_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
         "kg_kcore": _KG_KCORE_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,

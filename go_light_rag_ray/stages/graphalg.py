@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["pagerank", "components", "triangles", "neighbor_jaccard",
-           "kcore", "edge_lift", "hop_distance",
+           "kcore", "edge_lift", "hop_distance", "weighted_sssp",
            "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT"]
 
 PAGERANK_SCALE = 1_000_000
@@ -1111,5 +1111,199 @@ def hop_distance(
         if c == prev:
             break
         prev = c
+
+    return dist
+
+
+def weighted_sssp(
+    graph: ray.data.Dataset,
+    seeds: list[str],
+    max_hops: int = 3,
+    local_threshold: int = 1 << 20,
+    broadcast_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """Bounded-hop weighted shortest path from a seed entity set over the
+    undirected canonical graph — ``hop_distance`` with the edge's dyadic
+    relationship weight as the length.  Returns ``(entity_id, dist_half)``:
+    the minimum total weight in HALF-UNITS (int64 — weights are sums of
+    0.5/1.0 mention contributions, so ×2 is exactly integral) over paths
+    of at most ``max_hops`` edges; seeds at 0, unreachable entities absent.
+    All-integer arithmetic, so min-fold order never matters and the DuckDB
+    recursive-CTE oracle matches bit-exactly.
+
+    Scale plan = Bellman-Ford rounds, one per hop level, each round the
+    same two shapes as ``hop_distance``: a broadcast relax when the dist
+    table is query-scoped (≤ ``broadcast_cap``: ship (entity, dist) once
+    via ``ray.put``, one vectorized ``index_in`` scan of the edge table),
+    else the join-free segment attach (``sorted_attach_first`` ships each
+    node's current dist onto its out-edges).  Early-stop on the
+    (reached-count, dist-total) pair — reached is monotone nondecreasing
+    and every dist monotone nonincreasing, so the pair is a fixpoint
+    certificate.  Graphs under ``local_threshold`` short-circuit to one
+    task (bit-identical output)."""
+    import ray
+    import ray.data.aggregate as agg
+
+    from .sortagg import sorted_attach_first
+
+    sset = frozenset(seeds)
+    nodes = graph.filter(expr="kind == 'node'").select_columns(["entity_id"])
+    edges = graph.filter(expr="kind == 'edge'").select_columns(
+        ["src", "tgt", "weight"])
+
+    def _w2(b: pa.Table) -> np.ndarray:
+        # dyadic weights: ×2 then the same floor(x+0.5) op sequence the
+        # oracle side uses for integer derivation
+        return np.floor(
+            b.column("weight").to_numpy(zero_copy_only=False) * 2 + 0.5
+        ).astype(np.int64)
+
+    if edges.count() <= local_threshold and nodes.count() <= local_threshold:
+        def tag_nodes(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.Table.from_pydict(
+                {"u": b.column("entity_id"),
+                 "v": pa.nulls(n, pa.string()),
+                 "w2": pa.nulls(n, pa.int64()).fill_null(0)})
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"u": b.column("src"), "v": b.column("tgt"),
+                 "w2": pa.array(_w2(b), pa.int64())})
+
+        both = (
+            nodes.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+            .repartition(1)
+        )
+
+        def local_bf(b: pa.Table) -> pa.Table:
+            is_node = pc.is_null(b.column("v"))
+            names = b.filter(is_node).column("u").to_pylist()
+            e = b.filter(pc.invert(is_node))
+            adj: dict[str, list[tuple[str, int]]] = {}
+            for s, t, w in zip(e.column("u").to_pylist(),
+                               e.column("v").to_pylist(),
+                               e.column("w2").to_pylist()):
+                adj.setdefault(s, []).append((t, w))
+                adj.setdefault(t, []).append((s, w))
+            dist = {n: 0 for n in names if n in sset}
+            for _ in range(max_hops):
+                changed = False
+                for u, du in list(dist.items()):
+                    for v, w in adj.get(u, ()):
+                        # NOTE: plain Bellman-Ford here would relax dists
+                        # set THIS round one hop further; iterate over a
+                        # snapshot so each round adds exactly one hop,
+                        # matching the distributed rounds and the oracle's
+                        # hop-counted walk.
+                        if v not in dist or du + w < dist[v]:
+                            dist[v] = du + w
+                            changed = True
+                if not changed:
+                    break
+            items = sorted(dist.items())
+            return pa.Table.from_pydict(
+                {"entity_id": pa.array([k for k, _ in items], pa.string()),
+                 "dist_half": pa.array([v for _, v in items], pa.int64())})
+
+        return both.map_batches(local_bf, batch_format="pyarrow",
+                                batch_size=None)
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        w2 = pa.array(_w2(b), pa.int64())
+        a = pa.concat_arrays([b.column("src").combine_chunks(),
+                              b.column("tgt").combine_chunks()])
+        c = pa.concat_arrays([b.column("tgt").combine_chunks(),
+                              b.column("src").combine_chunks()])
+        w = pa.concat_arrays([w2, w2])
+        return pa.Table.from_arrays([a, c, w], names=["a", "b", "w2"])
+
+    und = edges.map_batches(und_rows, batch_format="pyarrow").materialize()
+
+    seed_arr = pa.array(sorted(sset), pa.string())
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b.column("entity_id"), value_set=seed_arr))
+        return pa.Table.from_pydict(
+            {"entity_id": hit.column("entity_id"),
+             "dist_half": pa.nulls(len(hit), pa.int64()).fill_null(0)})
+
+    dist = nodes.map_batches(seed_rows, batch_format="pyarrow").materialize()
+
+    def _certificate(ds: ray.data.Dataset) -> tuple[int, int]:
+        t = ds.aggregate(agg.Count(alias_name="n"),
+                         agg.Sum("dist_half", alias_name="s"))
+        return (t["n"], t["s"] or 0)
+
+    prev = _certificate(dist)
+
+    for _ in range(max_hops):
+        if prev[0] <= broadcast_cap:
+            rows = dist.take_all()
+            ents = sorted(r["entity_id"] for r in rows)
+            dmap = {r["entity_id"]: r["dist_half"] for r in rows}
+            fref = ray.put((pa.array(ents, pa.string()),
+                            np.array([dmap[e] for e in ents], np.int64)))
+
+            def relax(b: pa.Table, _ref=fref) -> pa.Table:
+                fents, fdist = ray.get(_ref)
+                idx = pc.index_in(b.column("a"), value_set=fents)
+                ok = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+                hit = b.filter(pa.array(ok))
+                pos = idx.to_numpy(zero_copy_only=False)[ok].astype(np.int64)
+                cand = fdist[pos] + hit.column("w2").to_numpy(
+                    zero_copy_only=False)
+                return pa.Table.from_pydict(
+                    {"entity_id": hit.column("b"),
+                     "dist_half": pa.array(cand, pa.int64())})
+
+            cand = und.map_batches(relax, batch_format="pyarrow")
+        else:
+            def mark_rows(b: pa.Table) -> pa.Table:
+                n = len(b)
+                d = b.column("dist_half").to_numpy(zero_copy_only=False)
+                return pa.Table.from_pydict(
+                    {"a": b.column("entity_id"),
+                     "b": pa.nulls(n, pa.string()).fill_null(""),
+                     "w2": pa.nulls(n, pa.int64()).fill_null(0),
+                     "_carrier": pa.nulls(n, pa.int8()).fill_null(0),
+                     "mk": pa.array(d + 1, pa.int64())})
+
+            def edge_rows2(b: pa.Table) -> pa.Table:
+                n = len(b)
+                return (b.append_column(
+                            "_carrier", pa.nulls(n, pa.int8()).fill_null(1))
+                         .append_column(
+                            "mk", pa.nulls(n, pa.int64()).fill_null(0)))
+
+            att = sorted_attach_first(
+                und.map_batches(edge_rows2, batch_format="pyarrow")
+                .union(dist.map_batches(mark_rows, batch_format="pyarrow")),
+                ["a"], value_col="mk", order_col="_carrier",
+                attach_name="src_mk")
+
+            def to_cand(b: pa.Table) -> pa.Table:
+                keep = pc.and_(pc.equal(b.column("_carrier"), 1),
+                               pc.greater(b.column("src_mk"), 0))
+                hit = b.filter(keep)
+                cand = (hit.column("src_mk").to_numpy(zero_copy_only=False)
+                        - 1 + hit.column("w2").to_numpy(zero_copy_only=False))
+                return pa.Table.from_pydict(
+                    {"entity_id": hit.column("b"),
+                     "dist_half": pa.array(cand, pa.int64())})
+
+            cand = att.map_batches(to_cand, batch_format="pyarrow")
+
+        dist = (
+            dist.union(cand)
+            .groupby("entity_id")
+            .aggregate(agg.Min("dist_half", alias_name="dist_half"))
+            .materialize()
+        )
+        cert = _certificate(dist)
+        if cert == prev:
+            break
+        prev = cert
 
     return dist
