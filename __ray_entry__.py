@@ -842,6 +842,25 @@ def q_sessions_salted(sf_dir: str) -> ray.data.Dataset:
     return sessionize(_raw_events(sf_dir), gap_s=1800, salt_bucket_s=86400)
 
 
+def q_session_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-event session membership (stages/windows.session_assign): the
+    join of the raw stream back onto its gap sessions without a join —
+    one user-keyed shuffle, vectorized break scan."""
+    from go_light_rag_ray.stages.windows import session_assign
+
+    return session_assign(_raw_events(sf_dir), gap_s=1800)
+
+
+def q_session_events_salted(sf_dir: str) -> ray.data.Dataset:
+    """Whale-user twin of session_events: per-(user, day-bucket) local
+    indexes + an O(user·buckets) summary merge producing per-bucket global
+    offsets (broadcast back) — same oracle SQL, identical output."""
+    from go_light_rag_ray.stages.windows import session_assign
+
+    return session_assign(_raw_events(sf_dir), gap_s=1800,
+                          salt_bucket_s=86400)
+
+
 def q_events_funnel(sf_dir: str) -> ray.data.Dataset:
     """First-touch conversion funnel with a 1-day window
     (stages/funnel.funnel_counts): users completing view → click →
@@ -2919,6 +2938,21 @@ FROM hops WHERE window_start_us <= t
 GROUP BY 1
 """
 
+_SESSION_EVENTS_SQL = r"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_id, user_id,
+       (sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1)::INTEGER
+         AS session_index
+FROM e
+"""
+
 _EVENTS_FUNNEL_SQL = r"""
 WITH s0 AS (
   SELECT user_id, min(epoch_us(ts)) AS t FROM events
@@ -3762,6 +3796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_salted": q_asof_salted,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "session_events": q_session_events,
+        "session_events_salted": q_session_events_salted,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "importance_weights": q_importance_weights,
@@ -3892,6 +3928,8 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "asof_salted": _ASOF_JOIN_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
+        "session_events": _SESSION_EVENTS_SQL,
+        "session_events_salted": _SESSION_EVENTS_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "importance_weights": _IMPORTANCE_WEIGHTS_SQL,

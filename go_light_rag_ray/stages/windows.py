@@ -655,3 +655,130 @@ def running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
             "lead_us": pa.array(lead, pa.int64())})
 
     return s.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def session_assign(
+    events: ray.data.Dataset, gap_s: int = 1800, salt_bucket_s: int = 0,
+) -> ray.data.Dataset:
+    """Per-EVENT session membership: every event labeled with its user's
+    gap-session index — the join of the raw stream back onto ``sessionize``
+    without running a join.  Returns (event_id, user_id, session_index).
+
+    Unsalted: one keyed shuffle per user, vectorized break-scan inside the
+    group (``np.diff > gap``; ties impossible — ts are unique per user in
+    µs, and equal-ts events would share a session anyway since diff 0 ≤
+    gap).
+
+    ``salt_bucket_s`` > 0 is the whale path, the assignment twin of
+    ``sessionize``'s salted variant: events partition by (user,
+    time-bucket) and get LOCAL session indexes; per-bucket first/last
+    session summaries (tiny) merge per user on a second pass that yields
+    each bucket's global index OFFSET (how many sessions end in earlier
+    buckets, minus 1 when the bucket's first local session fuses with the
+    previous bucket's last).  The offsets broadcast back via ``ray.put``
+    and a second bucket-keyed pass adds them — the heavy data moves
+    exactly once, summaries are O(user·buckets).  Output identical to the
+    unsalted path (tested)."""
+    gap_us = gap_s * US
+
+    def local_index(ts_sorted: np.ndarray) -> np.ndarray:
+        if len(ts_sorted) == 0:
+            return np.empty(0, dtype=np.int32)
+        brk = np.concatenate(
+            ([0], (np.diff(ts_sorted) > gap_us).astype(np.int32)))
+        return np.cumsum(brk, dtype=np.int32)
+
+    if not salt_bucket_s:
+        def assign(group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            ts = _epoch_us(group.column("ts"))
+            eid = group.column("event_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts))
+            idx = local_index(ts[order])
+            return pa.Table.from_pydict(
+                {"event_id": pa.array(eid[order], pa.int64()),
+                 "user_id": pa.array([uid] * len(eid), pa.int64()),
+                 "session_index": pa.array(idx, pa.int32())})
+
+        return (
+            events.select_columns(["event_id", "user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(assign, batch_format="pyarrow")
+        )
+
+    import ray
+
+    b_us = salt_bucket_s * US
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        return pa.Table.from_pydict(
+            {"event_id": b.column("event_id").combine_chunks(),
+             "user_id": b.column("user_id").combine_chunks(),
+             "ts_us": pa.array(ts, pa.int64()),
+             "bucket": pa.array(ts // b_us, pa.int64())})
+
+    prepped = (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # pass 1: per-(user, bucket) session summaries — (n_sessions, first/last
+    # session start+end ts) only, never the events
+    def bucket_summary(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        bucket = group.column("bucket")[0].as_py()
+        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
+        idx = local_index(ts)
+        n = int(idx[-1]) + 1 if len(idx) else 0
+        first_end = int(ts[np.searchsorted(idx, 0, side="right") - 1])
+        return pa.Table.from_pydict(
+            {"user_id": pa.array([uid], pa.int64()),
+             "bucket": pa.array([bucket], pa.int64()),
+             "n_sessions": pa.array([n], pa.int64()),
+             "first_start": pa.array([int(ts[0])], pa.int64()),
+             "first_end": pa.array([first_end], pa.int64()),
+             "last_start": pa.array(
+                 [int(ts[np.searchsorted(idx, idx[-1], side="left")])],
+                 pa.int64()),
+             "last_end": pa.array([int(ts[-1])], pa.int64())})
+
+    summaries = (
+        prepped.groupby(["user_id", "bucket"])
+        .map_groups(bucket_summary, batch_format="pyarrow")
+        .take_all()
+    )
+    # per user in bucket order: offset(bucket) = sessions completed before
+    # it, minus 1 if its first session fuses with the previous bucket's last
+    summaries.sort(key=lambda r: (r["user_id"], r["bucket"]))
+    offsets: dict = {}
+    cur_user, total, prev_end = None, 0, -1
+    for r in summaries:
+        if r["user_id"] != cur_user:
+            cur_user, total, prev_end = r["user_id"], 0, -1
+        fuse = prev_end >= 0 and r["first_start"] - prev_end <= gap_us
+        offsets[(r["user_id"], r["bucket"])] = total - int(fuse)
+        total = offsets[(r["user_id"], r["bucket"])] + r["n_sessions"]
+        prev_end = r["last_end"]
+    off_ref = ray.put(offsets)
+
+    # pass 2: same co-shuffle key, local indexes + broadcast offset
+    def bucket_assign(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        bucket = group.column("bucket")[0].as_py()
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        idx = local_index(ts[order])
+        off = ray.get(off_ref)[(uid, bucket)]
+        return pa.Table.from_pydict(
+            {"event_id": pa.array(eid[order], pa.int64()),
+             "user_id": pa.array([uid] * len(eid), pa.int64()),
+             "session_index": pa.array(
+                 (idx.astype(np.int64) + off).astype(np.int32), pa.int32())})
+
+    return (
+        prepped.groupby(["user_id", "bucket"])
+        .map_groups(bucket_assign, batch_format="pyarrow")
+    )

@@ -268,3 +268,45 @@ def test_running_totals_cross_block_carry_matches_duckdb():
     for col in ["event_id", "user_id", "cum_cents", "seq", "gap_us",
                 "lead_us"]:
         assert list(got[col]) == list(want[col]), col
+
+
+def test_session_assign_matches_sessionize():
+    from go_light_rag_ray.stages.windows import session_assign
+    ev = _events([
+        (0, 10, 1, "click", 0.0), (1, 100, 1, "view", 0.0),
+        (2, 5000, 1, "click", 0.0),          # gap > 1800 → session 1
+        (3, 5100, 1, "view", 0.0),
+        (4, 50, 2, "view", 0.0),             # user 2, one session
+    ])
+    rows = {r["event_id"]: (r["user_id"], r["session_index"])
+            for r in session_assign(ev, gap_s=1800).take_all()}
+    assert rows == {0: (1, 0), 1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (2, 0)}
+
+
+def test_session_assign_salted_identical():
+    from go_light_rag_ray.stages.windows import session_assign
+    day = 86400
+    rows = []
+    eid = 0
+    # user 1: sessions crossing day-bucket boundaries (fusing), plus
+    # in-bucket gaps; user 2: a whale-ish run of small gaps over 3 days
+    for t in [10, 200, day - 100, day + 100, day + 5000,
+              2 * day - 50, 2 * day + 1000]:
+        rows.append((eid, t, 1, "click", 0.0)); eid += 1
+    for t in range(0, 3 * day, 7000):
+        rows.append((eid, t, 2, "view", 0.0)); eid += 1
+    ev = _events(rows)
+    want = {r["event_id"]: r["session_index"]
+            for r in session_assign(ev, gap_s=1800).take_all()}
+    got = {r["event_id"]: r["session_index"]
+           for r in session_assign(ev, gap_s=1800,
+                                   salt_bucket_s=day).take_all()}
+    assert got == want
+    # and the per-event labels agree with sessionize's session table
+    sess = {(r["user_id"], r["session_index"]): r["n_events"]
+            for r in sessionize(ev, gap_s=1800).take_all()}
+    from collections import Counter
+    lab = Counter()
+    for r in session_assign(ev, gap_s=1800).take_all():
+        lab[(r["user_id"], r["session_index"])] += 1
+    assert dict(lab) == sess
