@@ -171,6 +171,25 @@ def hopping_window_agg(
     )
 
 
+def _multi_user_sessions(
+    u: np.ndarray, ts: np.ndarray, seg_new: np.ndarray, gap_us: int,
+):
+    """Vectorized gap-session extraction for MANY users in one sorted
+    array: ``seg_new`` marks segment starts (user or (user, bucket)
+    changes); a session starts at a segment start or when the in-segment
+    gap exceeds ``gap_us``.  Returns per-session (user, seg-rebased
+    session index, n_events, start_ts, end_ts) — no per-user Python."""
+    n = len(u)
+    brk = seg_new | np.concatenate(([False], np.diff(ts) > gap_us))
+    s_starts = np.flatnonzero(brk)
+    s_ends = np.concatenate((s_starts[1:] - 1, [n - 1]))
+    seg_ids = (np.cumsum(seg_new) - 1)[s_starts]       # nondecreasing
+    base = np.searchsorted(seg_ids, seg_ids, side="left")
+    sidx = np.arange(len(s_starts)) - base             # rebased per segment
+    return (u[s_starts], sidx, (s_ends - s_starts + 1).astype(np.int64),
+            ts[s_starts], ts[s_ends])
+
+
 def sessionize(
     events: ray.data.Dataset, gap_s: int = 1800, salt_bucket_s: int = 0
 ) -> ray.data.Dataset:
@@ -178,98 +197,139 @@ def sessionize(
     since the previous event exceeds ``gap_s``.  Returns
     (user_id, session_index, n_events, start_us, end_us).
 
-    ``salt_bucket_s`` > 0 is the whale-user path: events partition by
-    (user, time-bucket) so no single group holds a whale's entire history;
-    per-bucket session SUMMARIES (tiny) then merge per user in a second
-    groupby, fusing sessions whose cross-bucket gap ≤ ``gap_s``.  The gap
-    rule is associative over time-ordered segments, so the salted output
-    is IDENTICAL to the unsalted one (tested), with the heavy pass bounded
-    by bucket size.  Pick ``salt_bucket_s`` ≫ ``gap_s`` (e.g. a day)."""
+    Scale shape (measured: per-user ``map_groups`` at 150k users never
+    finished a 10M-event probe — Ray's ~10µs/group dispatch × |users|):
+    users hash into a BOUNDED number of groups (4×CPUs) and every user in
+    a group resolves in ONE vectorized pass (global break scan, run
+    rebasing) — ``_multi_user_sessions``.
+
+    ``salt_bucket_s`` > 0 is the whale-user path: no single group may
+    hold one user's whole history, so pass 1 co-shuffles by
+    hash(user, time-bucket) and emits per-bucket session SUMMARIES
+    (tiny); pass 2 co-shuffles the summaries by user hash and fuses
+    sessions whose cross-bucket gap ≤ ``gap_s`` — also vectorized across
+    users.  The gap rule is associative over time-ordered segments, so
+    the salted output is IDENTICAL to the unsalted one (tested).  Pick
+    ``salt_bucket_s`` ≫ ``gap_s`` (e.g. a day)."""
+    from .funnel import _bucket_of, _nbuckets
+
     gap_us = gap_s * US
-
-    def sessions_of(ts: np.ndarray):
-        breaks = np.nonzero(np.diff(ts) > gap_us)[0]
-        starts = np.concatenate([[0], breaks + 1])
-        ends = np.concatenate([breaks, [len(ts) - 1]])
-        return starts, ends
-
-    def emit(uid: int, starts, ends, ts) -> pa.Table:
-        n = len(starts)
-        return pa.Table.from_pydict(
-            {"user_id": pa.array([uid] * n, pa.int64()),
-             "session_index": pa.array(np.arange(n), pa.int32()),
-             "n_events": pa.array(ends - starts + 1, pa.int64()),
-             "start_us": pa.array(ts[starts], pa.int64()),
-             "end_us": pa.array(ts[ends], pa.int64())}
-        )
+    nb = _nbuckets()
 
     if not salt_bucket_s:
-        def sessions(group: pa.Table) -> pa.Table:
-            uid = group.column("user_id")[0].as_py()
-            ts = np.sort(_epoch_us(group.column("ts")))
-            starts, ends = sessions_of(ts)
-            return emit(uid, starts, ends, ts)
+        def prep(b: pa.Table) -> pa.Table:
+            uid = b.column("user_id").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {"u": pa.array(uid.astype(np.int64), pa.int64()),
+                 "t": pa.array(_epoch_us(b.column("ts")), pa.int64()),
+                 "gb": pa.array(_bucket_of(uid, nb), pa.int64())})
+
+        def bucket_sessions(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            order = np.lexsort((t, u))
+            u, t = u[order], t[order]
+            seg_new = np.concatenate(([True], u[1:] != u[:-1]))
+            su, sidx, cnt, st, en = _multi_user_sessions(u, t, seg_new, gap_us)
+            return pa.Table.from_pydict(
+                {"user_id": pa.array(su, pa.int64()),
+                 "session_index": pa.array(sidx.astype(np.int32), pa.int32()),
+                 "n_events": pa.array(cnt, pa.int64()),
+                 "start_us": pa.array(st, pa.int64()),
+                 "end_us": pa.array(en, pa.int64())})
 
         return (
             events.select_columns(["user_id", "ts"])
-            .groupby("user_id")
-            .map_groups(sessions, batch_format="pyarrow")
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("gb")
+            .map_groups(bucket_sessions, batch_format="pyarrow")
         )
 
     b_us = salt_bucket_s * US
 
-    def add_bucket(b: pa.Table) -> pa.Table:
+    def prep2(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
         ts = _epoch_us(b.column("ts"))
+        tb = ts // b_us
         return pa.Table.from_pydict(
-            {"user_id": b.column("user_id").combine_chunks(),
-             "ts_us": pa.array(ts, pa.int64()),
-             "bucket": pa.array(ts // b_us, pa.int64())}
-        )
+            {"u": pa.array(uid.astype(np.int64), pa.int64()),
+             "t": pa.array(ts, pa.int64()),
+             "tb": pa.array(tb, pa.int64()),
+             "gb": pa.array(_bucket_of(uid * 1_000_003 + tb, nb), pa.int64())})
 
-    def bucket_sessions(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        ts = np.sort(group.column("ts_us").to_numpy())
-        starts, ends = sessions_of(ts)
-        n = len(starts)
+    def bucket_summaries(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, tb, u))
+        u, t, tb = u[order], t[order], tb[order]
+        seg_new = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])))
+        su, _, cnt, st, en = _multi_user_sessions(u, t, seg_new, gap_us)
         return pa.Table.from_pydict(
-            {"user_id": pa.array([uid] * n, pa.int64()),
-             "n_events": pa.array(ends - starts + 1, pa.int64()),
-             "start_us": pa.array(ts[starts], pa.int64()),
-             "end_us": pa.array(ts[ends], pa.int64())}
-        )
+            {"u": pa.array(su, pa.int64()),
+             "n_events": pa.array(cnt, pa.int64()),
+             "start_us": pa.array(st, pa.int64()),
+             "end_us": pa.array(en, pa.int64()),
+             "ugb": pa.array(_bucket_of(su, nb), pa.int64())})
 
-    def merge_user(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        order = np.argsort(group.column("start_us").to_numpy())
-        s = group.column("start_us").to_numpy()[order]
-        e = group.column("end_us").to_numpy()[order]
-        c = group.column("n_events").to_numpy()[order]
-        out_s, out_e, out_c = [s[0]], [e[0]], [int(c[0])]
-        for i in range(1, len(s)):
-            if s[i] - out_e[-1] <= gap_us:
-                out_e[-1] = max(out_e[-1], int(e[i]))
-                out_c[-1] += int(c[i])
-            else:
-                out_s.append(int(s[i]))
-                out_e.append(int(e[i]))
-                out_c.append(int(c[i]))
-        n = len(out_s)
+    def merge_users(group: pa.Table) -> pa.Table:
+        """Fuse cross-bucket session summaries, vectorized across the
+        group's users: a summary fuses with its predecessor when the gap
+        ≤ ``gap_us`` (time-disjoint buckets ⇒ the predecessor's end is
+        the running max end)."""
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        c = group.column("n_events").to_numpy(zero_copy_only=False)
+        s = group.column("start_us").to_numpy(zero_copy_only=False)
+        e = group.column("end_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, c, s, e = u[order], c[order], s[order], e[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        fuse = np.concatenate(([False], (s[1:] - e[:-1]) <= gap_us))
+        fuse &= ~new_user
+        gstart = ~fuse
+        g_idx = np.flatnonzero(gstart)
+        gu = u[g_idx]
+        n_events = np.add.reduceat(c, g_idx)
+        start = s[g_idx]
+        end = np.maximum.reduceat(e, g_idx)
+        g_new_user = new_user[g_idx]
+        run = np.cumsum(g_new_user) - 1
+        base = np.flatnonzero(g_new_user)[run]
+        sidx = (np.arange(len(g_idx)) - base).astype(np.int32)
         return pa.Table.from_pydict(
-            {"user_id": pa.array([uid] * n, pa.int64()),
-             "session_index": pa.array(np.arange(n), pa.int32()),
-             "n_events": pa.array(out_c, pa.int64()),
-             "start_us": pa.array(out_s, pa.int64()),
-             "end_us": pa.array(out_e, pa.int64())}
-        )
+            {"user_id": pa.array(gu, pa.int64()),
+             "session_index": pa.array(sidx, pa.int32()),
+             "n_events": pa.array(n_events, pa.int64()),
+             "start_us": pa.array(start, pa.int64()),
+             "end_us": pa.array(end, pa.int64())})
 
     return (
         events.select_columns(["user_id", "ts"])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(bucket_sessions, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(merge_user, batch_format="pyarrow")
+        .map_batches(prep2, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_summaries, batch_format="pyarrow")
+        .groupby("ugb")
+        .map_groups(merge_users, batch_format="pyarrow")
     )
+
+
+def _multi_user_carry(
+    eid: np.ndarray, is_mark: np.ndarray, seg_new: np.ndarray,
+) -> np.ndarray:
+    """``_carry_latest`` across MANY segments in one sorted array: the id
+    of the last mark at-or-before each position WITHIN its segment, -1
+    before any mark.  Segment resets via a run-start validity check on the
+    global position carry — no per-segment Python."""
+    n = len(eid)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    pos = np.where(is_mark, np.arange(n), -1)
+    carry = np.maximum.accumulate(pos)
+    run_id = np.cumsum(seg_new) - 1
+    run_start = np.flatnonzero(seg_new)[run_id]
+    valid = carry >= run_start
+    return np.where(valid, eid[np.maximum(carry, 0)], -1).astype(np.int64)
 
 
 def asof_join_latest(
@@ -280,98 +340,119 @@ def asof_join_latest(
     """Point-in-time self as-of join: for every event, the id of the user's
     most recent ``mark_type`` event at-or-before it (NULL if none).
 
-    Distributed pattern: partition by user, per-group time-sorted sweep
-    carrying the running latest mark — never a cross join.  Ties on equal
+    Distributed pattern: users hash into a bounded number of groups
+    (4×CPUs — never one Ray group per user, the measured 150k-user
+    dispatch wall) and every user sweeps in ONE vectorized time-sorted
+    carry (``_multi_user_carry``) — never a cross join.  Ties on equal
     timestamps break toward the mark with the larger event_id (latest id).
     Returns (event_id, user_id, mark_event_id nullable).
 
     ``salt_bucket_s`` > 0 is the whale-user path: the sweep partitions by
-    (user, time-bucket); rows resolved inside their bucket ship straight
-    to the output, and only the UNRESOLVED head of each bucket (events
-    before the bucket's first mark) re-groups per user together with tiny
-    per-bucket last-mark summaries, where a prefix-carry fixes them.  The
-    second group's size is bounded by marks' sparsity, not the whale's
-    volume; output is identical to the unsalted path (tested)."""
+    hash(user, time-bucket); rows resolved inside their bucket ship
+    straight to the output, and only the UNRESOLVED head of each bucket
+    (events before the bucket's first mark) re-groups by user hash
+    together with tiny per-bucket last-mark summaries, where the same
+    vectorized carry (summaries sorted after their bucket's rows) fixes
+    them.  The second pass is bounded by marks' sparsity, not the whale's
+    volume; output identical to the unsalted path (tested)."""
+    from .funnel import _bucket_of, _nbuckets
+
+    nb = _nbuckets()
+
     if salt_bucket_s:
-        return _asof_join_salted(events, mark_type, salt_bucket_s)
+        return _asof_join_salted(events, mark_type, salt_bucket_s, nb)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        is_mark = pc.equal(b.column("event_type"), mark_type).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"event_id": b.column("event_id").combine_chunks(),
+             "u": pa.array(uid.astype(np.int64), pa.int64()),
+             "t": pa.array(_epoch_us(b.column("ts")), pa.int64()),
+             "m": pa.array(is_mark.astype(np.int8), pa.int8()),
+             "gb": pa.array(_bucket_of(uid, nb), pa.int64())})
 
     def sweep(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        ts = _epoch_us(group.column("ts"))
-        eid = group.column("event_id").to_numpy()
-        is_mark = pc.equal(
-            group.column("event_type"), mark_type
-        ).to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        eid, is_mark = eid[order], is_mark[order]
-        out = _carry_latest(eid, is_mark)
-        res = pa.Table.from_pydict(
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        m = group.column("m").to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((eid, t, u))
+        u, eid, m = u[order], eid[order], m[order]
+        seg_new = np.concatenate(([True], u[1:] != u[:-1]))
+        out = _multi_user_carry(eid, m, seg_new)
+        return pa.Table.from_pydict(
             {"event_id": pa.array(eid, pa.int64()),
-             "user_id": pa.array([uid] * len(eid), pa.int64()),
-             "mark_event_id": pa.array(out, pa.int64(), mask=out < 0)}
-        )
-        return res
+             "user_id": pa.array(u, pa.int64()),
+             "mark_event_id": pa.array(out, pa.int64(), mask=out < 0)})
 
     return (
         events.select_columns(["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("gb")
         .map_groups(sweep, batch_format="pyarrow")
     )
 
 
 def _asof_join_salted(
-    events: ray.data.Dataset, mark_type: str, salt_bucket_s: int
+    events: ray.data.Dataset, mark_type: str, salt_bucket_s: int, nb: int,
 ) -> ray.data.Dataset:
+    from .funnel import _bucket_of
+
     b_us = salt_bucket_s * US
 
-    def add_bucket(b: pa.Table) -> pa.Table:
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
         ts = _epoch_us(b.column("ts"))
+        tb = ts // b_us
+        is_mark = pc.equal(b.column("event_type"), mark_type).to_numpy(
+            zero_copy_only=False)
         return pa.Table.from_pydict(
             {"event_id": b.column("event_id").combine_chunks(),
-             "user_id": b.column("user_id").combine_chunks(),
-             "ts_us": pa.array(ts, pa.int64()),
-             "bucket": pa.array(ts // b_us, pa.int64()),
-             "event_type": b.column("event_type").combine_chunks()}
-        )
+             "u": pa.array(uid.astype(np.int64), pa.int64()),
+             "t": pa.array(ts, pa.int64()),
+             "tb": pa.array(tb, pa.int64()),
+             "m": pa.array(is_mark.astype(np.int8), pa.int8()),
+             "gb": pa.array(_bucket_of(uid * 1_000_003 + tb, nb), pa.int64())})
 
     def bucket_sweep(group: pa.Table) -> pa.Table:
-        """Rows resolved within the bucket (kind=0, mark ≥ 0), unresolved
-        rows (kind=0, mark=-1), plus ≤1 summary row (kind=1) carrying the
-        bucket's LAST mark for the per-user prefix carry."""
-        uid = group.column("user_id")[0].as_py()
-        bucket = group.column("bucket")[0].as_py()
-        ts = group.column("ts_us").to_numpy()
-        eid = group.column("event_id").to_numpy()
-        is_mark = pc.equal(
-            group.column("event_type"), mark_type
-        ).to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        eid, is_mark = eid[order], is_mark[order]
-        out = _carry_latest(eid, is_mark)
-        latest = int(out[-1]) if len(out) else -1
-        rows = {
-            "kind": [0] * len(eid), "event_id": eid.tolist(),
-            "user_id": [uid] * len(eid), "bucket": [bucket] * len(eid),
-            "mark_event_id": out.tolist(),
-        }
-        if latest >= 0:
-            rows["kind"].append(1)
-            rows["event_id"].append(int(latest))
-            rows["user_id"].append(uid)
-            rows["bucket"].append(bucket)
-            rows["mark_event_id"].append(int(latest))
-        return pa.Table.from_pydict(
-            {"kind": pa.array(rows["kind"], pa.int8()),
-             "event_id": pa.array(rows["event_id"], pa.int64()),
-             "user_id": pa.array(rows["user_id"], pa.int64()),
-             "bucket": pa.array(rows["bucket"], pa.int64()),
-             "mark_event_id": pa.array(rows["mark_event_id"], pa.int64())}
-        )
+        """Per (user, time-bucket) segment, vectorized across the group's
+        segments: resolved rows (kind=0, mark ≥ 0), unresolved rows
+        (kind=0, mark=-1), plus ≤1 summary row per segment (kind=1)
+        carrying its LAST mark for the per-user carry fix."""
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        m = group.column("m").to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((eid, t, tb, u))
+        u, t, tb, eid, m = u[order], t[order], tb[order], eid[order], m[order]
+        seg_new = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])))
+        out = _multi_user_carry(eid, m, seg_new)
+        seg_start = np.flatnonzero(seg_new)
+        seg_end = np.concatenate((seg_start[1:] - 1, [len(u) - 1]))
+        latest = out[seg_end]           # last mark per segment (-1 if none)
+        has = latest >= 0
+        rows = pa.Table.from_pydict(
+            {"kind": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+             "event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array(u, pa.int64()),
+             "bucket": pa.array(tb, pa.int64()),
+             "mark_event_id": pa.array(out, pa.int64())})
+        summ = pa.Table.from_pydict(
+            {"kind": pa.array(np.ones(int(has.sum()), np.int8), pa.int8()),
+             "event_id": pa.array(latest[has], pa.int64()),
+             "user_id": pa.array(u[seg_start][has], pa.int64()),
+             "bucket": pa.array(tb[seg_start][has], pa.int64()),
+             "mark_event_id": pa.array(latest[has], pa.int64())})
+        return pa.concat_tables([rows, summ])
 
     swept = (
         events.select_columns(["event_id", "user_id", "ts", "event_type"])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("gb")
         .map_groups(bucket_sweep, batch_format="pyarrow")
         .materialize()
     )
@@ -381,38 +462,40 @@ def _asof_join_salted(
         return pa.Table.from_pydict(
             {"event_id": b.column("event_id").combine_chunks(),
              "user_id": b.column("user_id").combine_chunks(),
-             "mark_event_id": pa.array(marks, pa.int64(), mask=marks < 0)}
-        )
+             "mark_event_id": pa.array(marks, pa.int64(), mask=marks < 0)})
 
     resolved = swept.filter(
         expr="kind == 0 and mark_event_id >= 0"
     ).map_batches(finalize, batch_format="pyarrow")
 
+    def add_ugb(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("ugb", pa.array(_bucket_of(u, nb), pa.int64()))
+
     def carry_fix(group: pa.Table) -> pa.Table:
-        """Per user, over unresolved rows + summaries only: the latest
-        mark of any EARLIER bucket resolves each unresolved row."""
-        kinds = group.column("kind").to_numpy(zero_copy_only=False)
-        buckets = group.column("bucket").to_numpy(zero_copy_only=False)
-        eids = group.column("event_id").to_numpy(zero_copy_only=False)
-        uid = group.column("user_id")[0].as_py()
-        sum_idx = np.nonzero(kinds == 1)[0]
-        sum_order = np.argsort(buckets[sum_idx], kind="stable")
-        sum_buckets = buckets[sum_idx][sum_order]
-        sum_eids = eids[sum_idx][sum_order]
-        row_idx = np.nonzero(kinds == 0)[0]
-        # last summary from a strictly earlier bucket (vectorized bisect)
-        j = np.searchsorted(sum_buckets, buckets[row_idx], side="left")
-        marks = np.where(
-            j > 0, sum_eids[np.maximum(j - 1, 0)], -1).astype(np.int64)
+        """Unresolved rows + summaries only, vectorized across users: sort
+        (user, bucket, kind) so a bucket's summary lands AFTER its own
+        rows (rows must only see strictly earlier buckets), then the same
+        position-carry resolves every row."""
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        tb = group.column("bucket").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, tb, u))
+        kind, u, tb, eid = kind[order], u[order], tb[order], eid[order]
+        seg_new = np.concatenate(([True], u[1:] != u[:-1]))
+        out = _multi_user_carry(eid, kind == 1, seg_new)
+        is_row = kind == 0
+        marks = out[is_row]
         return pa.Table.from_pydict(
-            {"event_id": pa.array(eids[row_idx].astype(np.int64), pa.int64()),
-             "user_id": pa.array([uid] * len(row_idx), pa.int64()),
-             "mark_event_id": pa.array(marks, pa.int64(), mask=marks < 0)}
-        )
+            {"event_id": pa.array(eid[is_row], pa.int64()),
+             "user_id": pa.array(u[is_row], pa.int64()),
+             "mark_event_id": pa.array(marks, pa.int64(), mask=marks < 0)})
 
     fixed = (
         swept.filter(expr="kind == 1 or mark_event_id < 0")
-        .groupby("user_id")
+        .map_batches(add_ugb, batch_format="pyarrow")
+        .groupby("ugb")
         .map_groups(carry_fix, batch_format="pyarrow")
     )
     return resolved.union(fixed)
@@ -662,123 +745,196 @@ def session_assign(
 ) -> ray.data.Dataset:
     """Per-EVENT session membership: every event labeled with its user's
     gap-session index — the join of the raw stream back onto ``sessionize``
-    without running a join.  Returns (event_id, user_id, session_index).
+    without a join.  Returns (event_id, user_id, session_index).
 
-    Unsalted: one keyed shuffle per user, vectorized break-scan inside the
-    group (``np.diff > gap``; ties impossible — ts are unique per user in
-    µs, and equal-ts events would share a session anyway since diff 0 ≤
-    gap).
+    Scale shape (measured: per-user ``map_groups`` at 150k users never
+    finished a 10M-event probe — Ray's ~10µs/group dispatch × |users|;
+    this shape ran it in seconds): hash users into a BOUNDED number of
+    groups (4×CPUs, the funnel/retention co-shuffle) and resolve every
+    user in one vectorized pass per group — global break scan
+    (``diff > gap`` OR user change), run-rebased cumsum.
 
-    ``salt_bucket_s`` > 0 is the whale path, the assignment twin of
-    ``sessionize``'s salted variant: events partition by (user,
-    time-bucket) and get LOCAL session indexes; per-bucket first/last
-    session summaries (tiny) merge per user on a second pass that yields
-    each bucket's global index OFFSET (how many sessions end in earlier
-    buckets, minus 1 when the bucket's first local session fuses with the
-    previous bucket's last).  The offsets broadcast back via ``ray.put``
-    and a second bucket-keyed pass adds them — the heavy data moves
-    exactly once, summaries are O(user·buckets).  Output identical to the
-    unsalted path (tested)."""
+    ``salt_bucket_s`` > 0 is the whale path: no single group may hold one
+    user's whole history, so pass 1 co-shuffles by hash(user, time-bucket)
+    and emits LOCAL indexes plus one summary row per (user, bucket); pass
+    2 co-shuffles the summaries (tiny) by user and computes each bucket's
+    global index OFFSET vectorized (exclusive session-count cumsum minus
+    fuse corrections, rebased per user run); pass 3 re-shuffles events +
+    offset markers on the pass-1 key and adds the segment-leading offset.
+    Nothing materializes on the driver; the event stream moves twice.
+    Output identical to the unsalted path (tested across fusing bucket
+    boundaries)."""
+    import ray  # noqa: F401  (kept for parity with sibling operators)
+
+    from .funnel import _bucket_of, _nbuckets
+
     gap_us = gap_s * US
-
-    def local_index(ts_sorted: np.ndarray) -> np.ndarray:
-        if len(ts_sorted) == 0:
-            return np.empty(0, dtype=np.int32)
-        brk = np.concatenate(
-            ([0], (np.diff(ts_sorted) > gap_us).astype(np.int32)))
-        return np.cumsum(brk, dtype=np.int32)
+    nb = _nbuckets()
 
     if not salt_bucket_s:
-        def assign(group: pa.Table) -> pa.Table:
-            uid = group.column("user_id")[0].as_py()
-            ts = _epoch_us(group.column("ts"))
-            eid = group.column("event_id").to_numpy(zero_copy_only=False)
-            order = np.lexsort((eid, ts))
-            idx = local_index(ts[order])
+        def prep(b: pa.Table) -> pa.Table:
+            uid = b.column("user_id").to_numpy(zero_copy_only=False)
             return pa.Table.from_pydict(
-                {"event_id": pa.array(eid[order], pa.int64()),
-                 "user_id": pa.array([uid] * len(eid), pa.int64()),
-                 "session_index": pa.array(idx, pa.int32())})
+                {"event_id": b.column("event_id").combine_chunks(),
+                 "u": pa.array(uid.astype(np.int64), pa.int64()),
+                 "t": pa.array(_epoch_us(b.column("ts")), pa.int64()),
+                 "gb": pa.array(_bucket_of(uid, nb), pa.int64())})
+
+        def bucket_scan(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            e = group.column("event_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((e, t, u))
+            u, t, e = u[order], t[order], e[order]
+            new_user = np.concatenate(([True], u[1:] != u[:-1]))
+            brk = new_user | np.concatenate(([False], np.diff(t) > gap_us))
+            sid = np.cumsum(brk) - 1  # global session run id
+            starts = np.flatnonzero(new_user)
+            run_id = np.cumsum(new_user) - 1
+            session_index = (sid - sid[starts][run_id]).astype(np.int32)
+            return pa.Table.from_pydict(
+                {"event_id": pa.array(e, pa.int64()),
+                 "user_id": pa.array(u, pa.int64()),
+                 "session_index": pa.array(session_index, pa.int32())})
 
         return (
             events.select_columns(["event_id", "user_id", "ts"])
-            .groupby("user_id")
-            .map_groups(assign, batch_format="pyarrow")
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("gb")
+            .map_groups(bucket_scan, batch_format="pyarrow")
         )
-
-    import ray
 
     b_us = salt_bucket_s * US
 
-    def add_bucket(b: pa.Table) -> pa.Table:
+    def prep2(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
         ts = _epoch_us(b.column("ts"))
+        tb = ts // b_us
         return pa.Table.from_pydict(
             {"event_id": b.column("event_id").combine_chunks(),
-             "user_id": b.column("user_id").combine_chunks(),
-             "ts_us": pa.array(ts, pa.int64()),
-             "bucket": pa.array(ts // b_us, pa.int64())})
+             "u": pa.array(uid.astype(np.int64), pa.int64()),
+             "t": pa.array(ts, pa.int64()),
+             "tb": pa.array(tb, pa.int64()),
+             "gb": pa.array(_bucket_of(uid * 1_000_003 + tb, nb), pa.int64())})
 
-    prepped = (
+    def _segments(u: np.ndarray, tb: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])))
+
+    def pass1(group: pa.Table) -> pa.Table:
+        """Events with LOCAL indexes (kind=1) + one summary row per
+        (user, time-bucket) segment (kind=0)."""
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, tb, u))
+        u, t, tb, e = u[order], t[order], tb[order], e[order]
+        seg = _segments(u, tb)
+        brk = seg | np.concatenate(([False], np.diff(t) > gap_us))
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(seg)
+        run_id = np.cumsum(seg) - 1
+        local = (sid - sid[starts][run_id]).astype(np.int64)
+        ends = np.concatenate((starts[1:] - 1, [len(u) - 1]))
+        n_sessions = local[ends] + 1
+        ev = pa.Table.from_pydict(
+            {"kind": pa.array(np.ones(len(u), np.int8), pa.int8()),
+             "u": pa.array(u, pa.int64()), "tb": pa.array(tb, pa.int64()),
+             "event_id": pa.array(e, pa.int64()),
+             "v1": pa.array(local, pa.int64()),
+             "v2": pa.array(np.zeros(len(u), np.int64), pa.int64())})
+        sm = pa.Table.from_pydict(
+            {"kind": pa.array(np.zeros(len(starts), np.int8), pa.int8()),
+             "u": pa.array(u[starts], pa.int64()),
+             "tb": pa.array(tb[starts], pa.int64()),
+             "event_id": pa.array(n_sessions, pa.int64()),  # n_sessions
+             "v1": pa.array(t[starts], pa.int64()),         # first_start
+             "v2": pa.array(t[ends], pa.int64())})          # last_end
+        return pa.concat_tables([ev, sm])
+
+    tagged = (
         events.select_columns(["event_id", "user_id", "ts"])
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(prep2, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pass1, batch_format="pyarrow")
         .materialize()
     )
 
-    # pass 1: per-(user, bucket) session summaries — (n_sessions, first/last
-    # session start+end ts) only, never the events
-    def bucket_summary(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        bucket = group.column("bucket")[0].as_py()
-        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
-        idx = local_index(ts)
-        n = int(idx[-1]) + 1 if len(idx) else 0
-        first_end = int(ts[np.searchsorted(idx, 0, side="right") - 1])
-        return pa.Table.from_pydict(
-            {"user_id": pa.array([uid], pa.int64()),
-             "bucket": pa.array([bucket], pa.int64()),
-             "n_sessions": pa.array([n], pa.int64()),
-             "first_start": pa.array([int(ts[0])], pa.int64()),
-             "first_end": pa.array([first_end], pa.int64()),
-             "last_start": pa.array(
-                 [int(ts[np.searchsorted(idx, idx[-1], side="left")])],
-                 pa.int64()),
-             "last_end": pa.array([int(ts[-1])], pa.int64())})
+    def add_user_gb(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        return b.append_column("ugb", pa.array(_bucket_of(u, nb), pa.int64()))
 
-    summaries = (
-        prepped.groupby(["user_id", "bucket"])
-        .map_groups(bucket_summary, batch_format="pyarrow")
-        .take_all()
+    def pass2(group: pa.Table) -> pa.Table:
+        """Summaries → per-(user, bucket) global offsets, vectorized:
+        offs = exclusive cumsum of n_sessions minus fuse corrections,
+        rebased at each user run start."""
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        ns = group.column("event_id").to_numpy(zero_copy_only=False)
+        fs = group.column("v1").to_numpy(zero_copy_only=False)
+        le = group.column("v2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, u))
+        u, tb, ns, fs, le = u[order], tb[order], ns[order], fs[order], le[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        # fuse: this bucket's first session continues the previous
+        # bucket's last (never at a user's first bucket)
+        fuse = np.concatenate(([False], (fs[1:] - le[:-1]) <= gap_us))
+        fuse &= ~new_user
+        excl_n = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        cum_fuse = np.cumsum(fuse.astype(np.int64))
+        raw = excl_n - cum_fuse
+        starts = np.flatnonzero(new_user)
+        run_id = np.cumsum(new_user) - 1
+        offs = raw - raw[starts][run_id]
+        return pa.Table.from_pydict(
+            {"kind": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+             "u": pa.array(u, pa.int64()), "tb": pa.array(tb, pa.int64()),
+             "event_id": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+             "v1": pa.array(offs, pa.int64()),
+             "v2": pa.array(np.zeros(len(u), np.int64), pa.int64())})
+
+    offsets = (
+        tagged.filter(expr="kind == 0")
+        .map_batches(add_user_gb, batch_format="pyarrow")
+        .groupby("ugb")
+        .map_groups(pass2, batch_format="pyarrow")
+        .select_columns(["kind", "u", "tb", "event_id", "v1", "v2"])
     )
-    # per user in bucket order: offset(bucket) = sessions completed before
-    # it, minus 1 if its first session fuses with the previous bucket's last
-    summaries.sort(key=lambda r: (r["user_id"], r["bucket"]))
-    offsets: dict = {}
-    cur_user, total, prev_end = None, 0, -1
-    for r in summaries:
-        if r["user_id"] != cur_user:
-            cur_user, total, prev_end = r["user_id"], 0, -1
-        fuse = prev_end >= 0 and r["first_start"] - prev_end <= gap_us
-        offsets[(r["user_id"], r["bucket"])] = total - int(fuse)
-        total = offsets[(r["user_id"], r["bucket"])] + r["n_sessions"]
-        prev_end = r["last_end"]
-    off_ref = ray.put(offsets)
 
-    # pass 2: same co-shuffle key, local indexes + broadcast offset
-    def bucket_assign(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        bucket = group.column("bucket")[0].as_py()
-        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        idx = local_index(ts[order])
-        off = ray.get(off_ref)[(uid, bucket)]
+    ev_rows = tagged.filter(expr="kind == 1")
+
+    def regb(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        tb = b.column("tb").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "gb2", pa.array(_bucket_of(u * 1_000_003 + tb, nb), pa.int64()))
+
+    def pass3(group: pa.Table) -> pa.Table:
+        """Offset marker leads each (u, tb) segment (kind 0 sorts first);
+        every event row adds its segment's offset to the local index."""
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        v1 = group.column("v1").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, tb, u))
+        kind, u, tb, e, v1 = (kind[order], u[order], tb[order], e[order],
+                              v1[order])
+        seg = _segments(u, tb)
+        starts = np.flatnonzero(seg)
+        run_id = np.cumsum(seg) - 1
+        seg_off = v1[starts][run_id]  # marker row leads its segment
+        is_ev = kind == 1
         return pa.Table.from_pydict(
-            {"event_id": pa.array(eid[order], pa.int64()),
-             "user_id": pa.array([uid] * len(eid), pa.int64()),
+            {"event_id": pa.array(e[is_ev], pa.int64()),
+             "user_id": pa.array(u[is_ev], pa.int64()),
              "session_index": pa.array(
-                 (idx.astype(np.int64) + off).astype(np.int32), pa.int32())})
+                 (v1[is_ev] + seg_off[is_ev]).astype(np.int32), pa.int32())})
 
     return (
-        prepped.groupby(["user_id", "bucket"])
-        .map_groups(bucket_assign, batch_format="pyarrow")
+        ev_rows.union(offsets)
+        .map_batches(regb, batch_format="pyarrow")
+        .groupby("gb2")
+        .map_groups(pass3, batch_format="pyarrow")
     )
