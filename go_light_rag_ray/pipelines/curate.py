@@ -81,10 +81,53 @@ def curate_corpus(
 
     survivors = docs.map_batches(score_and_filter, batch_format="pyarrow")
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(group.column("doc_id"))
-        return group.take(order[:1]).drop_columns(["text_hash"])
+    # exact dedup keep-min over |docs|-cardinality hashes: hash the hash
+    # into a BOUNDED number of groups (4×CPUs) and take every run head in
+    # one vectorized pass per group — never one Ray group per document
+    # (the measured ~10µs/group dispatch wall at 10⁵⁺ groups).  The md5
+    # hex becomes two uint64 halves zero-copy off the Arrow buffer (the
+    # exact 128-bit value — no truncation), so run detection is numeric.
+    import numpy as np
 
-    return survivors.groupby("text_hash").map_groups(
-        keep_min, batch_format="pyarrow"
+    from go_light_rag_ray.stages.funnel import _bucket_of, _nbuckets
+
+    nb = _nbuckets()
+
+    def _md5_halves(col: pa.ChunkedArray) -> tuple:
+        arr = col.combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        m = data[off[0]: off[-1]].reshape(len(arr), 32)
+        v = (m - 48 - (m >= 97) * 39).astype(np.uint64)  # hex nibbles
+
+        def fold(nib):
+            out = np.zeros(len(nib), np.uint64)
+            for j in range(16):
+                out = (out << np.uint64(4)) | nib[:, j]
+            return out
+
+        return fold(v[:, :16]), fold(v[:, 16:])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h1, h2 = _md5_halves(b.column("text_hash"))
+        return (b.append_column("h1", pa.array(h1.view(np.int64), pa.int64()))
+                 .append_column("h2", pa.array(h2.view(np.int64), pa.int64()))
+                 .append_column("gb", pa.array(
+                     _bucket_of(h1.view(np.int64), nb), pa.int64())))
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        s = group.sort_by([("h1", "ascending"), ("h2", "ascending"),
+                           ("doc_id", "ascending")])
+        h1 = s.column("h1").to_numpy(zero_copy_only=False)
+        h2 = s.column("h2").to_numpy(zero_copy_only=False)
+        first = np.concatenate(
+            ([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
+        return s.filter(pa.array(first)).drop_columns(
+            ["text_hash", "h1", "h2", "gb"])
+
+    return (
+        survivors.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(keep_min, batch_format="pyarrow")
     )

@@ -149,25 +149,58 @@ def duplicate_spans(
     gaps-and-islands SQL oracle."""
     hits = duplicate_gram_hits(docs, k=k)
 
-    def merge(g: pa.Table) -> pa.Table:
-        pos = np.sort(g.column("pos").to_numpy(zero_copy_only=False))
-        ends = pos + k - 1
+    # interval union over |docs|-cardinality groups: docs hash into a
+    # BOUNDED number of groups (4×CPUs — never one Ray group per doc, the
+    # measured ~10µs/group dispatch wall) and every doc merges in ONE
+    # vectorized pass: per-doc position offsets lift the intervals onto
+    # disjoint ranges so one global maximum.accumulate does the
+    # gaps-and-islands scan for all docs at once.  Positions must fit
+    # 2^40 tokens/doc — comfortably true for any document.
+    from .funnel import _bucket_of, _nbuckets
+
+    nb = _nbuckets()
+    OFF = np.int64(1) << 40
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b.column("doc_id")
+        if pa.types.is_integer(col.type):
+            h = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # string doc ids: vectorized crc32, no per-row Python
+            from ..hashutil import crc32_vec
+
+            h = crc32_vec(pc.cast(col, pa.string())).astype(np.int64)
+        return b.append_column(
+            "gb", pa.array(_bucket_of(h, nb), pa.int64()))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, d))
+        d, pos = d[order], pos[order]
+        seg_new = np.concatenate(([True], d[1:] != d[:-1]))
+        seg_id = np.cumsum(seg_new) - 1
+        sp = pos + seg_id * OFF
+        ends = sp + k - 1
         cmax = np.maximum.accumulate(ends)
-        new = np.ones(len(pos), dtype=bool)
-        new[1:] = pos[1:] > cmax[:-1] + 1
+        new = np.ones(len(sp), dtype=bool)
+        new[1:] = sp[1:] > cmax[:-1] + 1   # cross-doc gap ≫ 1 ⇒ always new
         starts_idx = np.flatnonzero(new)
         span_start = pos[starts_idx]
-        span_end = np.maximum.reduceat(ends, starts_idx)
-        n = len(starts_idx)
+        span_end = (np.maximum.reduceat(ends, starts_idx)
+                    - seg_id[starts_idx] * OFF)
         return pa.Table.from_pydict({
-            "doc_id": pa.array([g.column("doc_id")[0].as_py()] * n,
+            "doc_id": pa.array(d[starts_idx],
                                g.schema.field("doc_id").type),
             "span_start": pa.array(span_start, pa.int64()),
             "span_end": pa.array(span_end, pa.int64()),
             "span_len": pa.array(span_end - span_start + 1, pa.int64()),
         })
 
-    return hits.groupby("doc_id").map_groups(merge, batch_format="pyarrow")
+    return (
+        hits.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
 
 
 def winnow_fingerprints(

@@ -520,22 +520,29 @@ def range_join_count(
       W crosses at most one bucket boundary, so 2 copies always suffice
       (this is the partitioning assumption: window length must be ≤ the
       bucket width, which holds by construction here since bucket = W);
-    - ONE keyed shuffle on (user, bucket), then a per-group vectorized
-      double bisect (``np.searchsorted`` over the group's sorted mark
-      timestamps) counts each event's in-window marks — O((n+m)·log m)
-      per group, never a cross join, never a whale-sized group (group
-      size is bounded by one user's traffic per W seconds, not their
-      whole history).
+    - the (user, time-bucket) pairs hash into a BOUNDED number of Ray
+      groups (4×CPUs — never one group per pair, the measured ~10µs/group
+      dispatch wall), and one vectorized sweep counts EVERY probe's
+      in-window marks at once: each probe contributes an OPEN point at
+      ``t−W`` (before equal-t marks) and a CLOSE point at ``t`` (after
+      equal-t marks), everything sorts by (segment, t, tag), and the
+      count is the running-mark-prefix difference close − open — the
+      plane-sweep equivalent of the per-group double bisect, with no
+      per-segment Python.
 
     Counts are integers, so the DuckDB oracle (LEFT JOIN ... BETWEEN)
     matches bit-exactly.
     """
+    from .funnel import _bucket_of, _nbuckets
+
     w_us = window_s * US
+    nb = _nbuckets()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ts = _epoch_us(b.column("ts"))
         eid = b.column("event_id").combine_chunks()
         uid = b.column("user_id").combine_chunks()
+        u_np = uid.to_numpy(zero_copy_only=False).astype(np.int64)
         is_mark = pc.equal(b.column("event_type"), mark_type).to_numpy(
             zero_copy_only=False)
         bucket = ts // w_us
@@ -543,12 +550,12 @@ def range_join_count(
             {"event_id": eid, "user_id": uid,
              "ts_us": pa.array(ts, pa.int64()),
              "bucket": pa.array(bucket, pa.int64()),
-             # role: 0 = probe event, 1 = mark available to this bucket
-             "role": pa.array(is_mark.astype(np.int8), pa.int8())}
+             # role: 0 = probe event, 1 = probe that is also a mark
+             "role": pa.array(is_mark.astype(np.int8), pa.int8()),
+             "gb": pa.array(
+                 _bucket_of(u_np * 1_000_003 + bucket, nb), pa.int64())}
         )
-        # marks replicate to the NEXT bucket as mark-only rows (role=1,
-        # not probes there); within their own bucket they are both probe
-        # and mark, encoded role=1 on the original row
+        # marks replicate to the NEXT bucket as mark-only rows (role=2)
         midx = np.nonzero(is_mark)[0]
         if len(midx):
             rep = pa.Table.from_pydict(
@@ -556,34 +563,55 @@ def range_join_count(
                  "user_id": pc.take(uid, pa.array(midx, pa.int64())),
                  "ts_us": pa.array(ts[midx], pa.int64()),
                  "bucket": pa.array(bucket[midx] + 1, pa.int64()),
-                 "role": pa.array(np.full(len(midx), 2, np.int8), pa.int8())}
+                 "role": pa.array(np.full(len(midx), 2, np.int8), pa.int8()),
+                 "gb": pa.array(
+                     _bucket_of(u_np[midx] * 1_000_003 + bucket[midx] + 1,
+                                nb), pa.int64())}
             )
             return pa.concat_tables([base, rep])
         return base
 
     def count_group(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        ts = group.column("ts_us").to_numpy()
-        eid = group.column("event_id").to_numpy()
-        role = group.column("role").to_numpy()
-        bucket = group.column("bucket")[0].as_py()
-        # probes: original rows only (role 0/1) that BELONG to this bucket
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        tb = group.column("bucket").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        role = group.column("role").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, tb, u))
+        u, tb, ts, eid, role = (u[order], tb[order], ts[order], eid[order],
+                                role[order])
+        seg_new = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])))
+        seg = np.cumsum(seg_new) - 1
         probe = role != 2
-        mark_ts = np.sort(ts[role != 0])  # marks: originals + replicas
-        e_ts, e_id = ts[probe], eid[probe]
-        hi = np.searchsorted(mark_ts, e_ts, side="right")
-        lo = np.searchsorted(mark_ts, e_ts - w_us, side="left")
-        n = len(e_ts)
+        p_idx = np.flatnonzero(probe)
+        m_idx = np.flatnonzero(role != 0)
+        np_, nm = len(p_idx), len(m_idx)
+        # plane-sweep points: (seg, t, tag, payload) — tag 0 open (t−W,
+        # before equal-t marks), 1 mark, 2 close (t, after equal-t marks)
+        s_all = np.concatenate((seg[p_idx], seg[m_idx], seg[p_idx]))
+        t_all = np.concatenate((ts[p_idx] - w_us, ts[m_idx], ts[p_idx]))
+        tag = np.concatenate((np.zeros(np_, np.int8),
+                              np.ones(nm, np.int8),
+                              np.full(np_, 2, np.int8)))
+        payload = np.concatenate((np.arange(np_), np.full(nm, -1),
+                                  np.arange(np_)))
+        sweep = np.lexsort((tag, t_all, s_all))
+        tag_s, pay_s = tag[sweep], payload[sweep]
+        prefix = np.cumsum(tag_s == 1)
+        counts = np.zeros(np_, dtype=np.int64)
+        counts[pay_s[tag_s == 2]] = prefix[tag_s == 2]
+        counts[pay_s[tag_s == 0]] -= prefix[tag_s == 0]
         return pa.Table.from_pydict(
-            {"event_id": pa.array(e_id.astype(np.int64), pa.int64()),
-             "user_id": pa.array([uid] * n, pa.int64()),
-             "n_marks": pa.array((hi - lo).astype(np.int64), pa.int64())}
+            {"event_id": pa.array(eid[p_idx].astype(np.int64), pa.int64()),
+             "user_id": pa.array(u[p_idx].astype(np.int64), pa.int64()),
+             "n_marks": pa.array(counts, pa.int64())}
         )
 
     return (
         events.select_columns(["event_id", "user_id", "ts", "event_type"])
         .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
+        .groupby("gb")
         .map_groups(count_group, batch_format="pyarrow")
     )
 
