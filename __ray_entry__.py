@@ -861,6 +861,20 @@ def q_session_events_salted(sf_dir: str) -> ray.data.Dataset:
                           salt_bucket_s=86400)
 
 
+def q_events_trending(sf_dir: str) -> ray.data.Dataset:
+    """Trending property keys per day window with exact previous-window
+    counts (stages/windows.window_trending): vectorized JSON extraction →
+    (window, key) combiner → per-window top-5 (sorted_topk) → join-free
+    previous-window attach (every count row re-keys to the NEXT window as
+    a marker)."""
+    from go_light_rag_ray.stages.windows import window_trending
+
+    return window_trending(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "props"]),
+        window_s=86400, k_top=5)
+
+
 def q_events_funnel(sf_dir: str) -> ray.data.Dataset:
     """First-touch conversion funnel with a 1-day window
     (stages/funnel.funnel_counts): users completing view → click →
@@ -2938,6 +2952,27 @@ FROM hops WHERE window_start_us <= t
 GROUP BY 1
 """
 
+_EVENTS_TRENDING_SQL = r"""
+WITH kv AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+),
+counts AS (SELECT w, k, count(*)::BIGINT AS cnt FROM kv GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w
+                               ORDER BY cnt DESC, k ASC)::INTEGER AS rank
+  FROM counts
+)
+SELECT r.w AS window_start_us, r.rank, r.k, r.cnt,
+       COALESCE(p.cnt, 0)::BIGINT AS prev_cnt,
+       (r.cnt - COALESCE(p.cnt, 0))::BIGINT AS delta
+FROM ranked r
+LEFT JOIN counts p ON p.k = r.k AND p.w = r.w - 86400000000
+WHERE r.rank <= 5
+ORDER BY window_start_us, rank
+"""
+
 _SESSION_EVENTS_SQL = r"""
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS t,
@@ -3798,6 +3833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q_events_retention,
         "session_events": q_session_events,
         "session_events_salted": q_session_events_salted,
+        "events_trending": q_events_trending,
         "ann_radius": q_ann_radius,
         "text_unigram": q_text_unigram,
         "importance_weights": q_importance_weights,
@@ -3930,6 +3966,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "events_retention": _EVENTS_RETENTION_SQL,
         "session_events": _SESSION_EVENTS_SQL,
         "session_events_salted": _SESSION_EVENTS_SQL,
+        "events_trending": _EVENTS_TRENDING_SQL,
         "ann_radius": _ANN_RADIUS_SQL,
         "text_unigram": _TEXT_UNIGRAM_SQL,
         "importance_weights": _IMPORTANCE_WEIGHTS_SQL,

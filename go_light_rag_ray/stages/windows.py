@@ -966,3 +966,97 @@ def session_assign(
         .groupby("gb2")
         .map_groups(pass3, batch_format="pyarrow")
     )
+
+
+def window_trending(
+    events: ray.data.Dataset,
+    window_s: int = 86400,
+    k_top: int = 5,
+    props_key: str = "k",
+) -> ray.data.Dataset:
+    """Trending property keys per window — the dashboarding composite:
+    per ``window_s`` window, the ``k_top`` most frequent values of the
+    ``props_key`` JSON field (count desc, key asc), each with the count
+    it had in the PREVIOUS window (0 if absent) and the integer delta.
+    Returns (window_start_us, rank, k, cnt, prev_cnt, delta).
+
+    Scale shape: vectorized JSON field extraction (one Arrow
+    ``extract_regex`` — props never leave the batch) + batch-local
+    (window, key) count combiner → one groupby at window×key (not event)
+    cardinality → per-window top-k (``sortagg.sorted_topk``) → the
+    previous-window lookup as a JOIN-FREE segment attach: every count row
+    re-keys to (key, window+W) as a marker and ``sorted_attach_first``
+    hands each selected row its marker's count.  All-integer."""
+    import ray.data.aggregate as agg
+
+    from .sortagg import sorted_attach_first, sorted_topk
+
+    w_us = window_s * US
+    pat = '"' + props_key + '": (?P<v>\\d+)'
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b.column("ts"))
+        ext = pc.extract_regex(b.column("props"), pat)
+        kv = pc.cast(pc.struct_field(ext, 0), pa.int64())
+        t = pa.table({
+            "w": pa.array((ts // w_us) * w_us, pa.int64()),
+            "k": kv,
+        }).group_by(["w", "k"]).aggregate([("k", "count")])
+        return pa.table({
+            "w": t.column("w"), "k": t.column("k"),
+            "c": pc.cast(t.column("k_count"), pa.int64()),
+        })
+
+    counts = (
+        events.select_columns(["ts", "props"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["w", "k"])
+        .aggregate(agg.Sum("c", alias_name="cnt"))
+        .materialize()
+    )
+
+    top = sorted_topk(counts, ["w"], order_by=["cnt", "k"], k=k_top,
+                      descending=[True, False], rank_name="rank")
+
+    def row_side(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict(
+            {"k": b.column("k"), "w": b.column("w"),
+             "rank": b.column("rank"),
+             "cnt": b.column("cnt"),
+             "_carrier": pa.nulls(n, pa.int8()).fill_null(1),
+             "mk": pa.nulls(n, pa.int64()).fill_null(0)})
+
+    def marker_side(b: pa.Table) -> pa.Table:
+        n = len(b)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"k": b.column("k"),
+             "w": pa.array(w + w_us, pa.int64()),   # claims the NEXT window
+             "rank": pa.array(np.zeros(n, np.int32), pa.int32()),
+             "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+             "_carrier": pa.nulls(n, pa.int8()).fill_null(0),
+             "mk": pa.array(c + 1, pa.int64())})    # +1: 0 = "no marker"
+
+    att = sorted_attach_first(
+        top.map_batches(row_side, batch_format="pyarrow")
+        .union(counts.map_batches(marker_side, batch_format="pyarrow")),
+        ["k", "w"], value_col="mk", order_col="_carrier",
+        attach_name="prev_mk")
+
+    def finish(b: pa.Table) -> pa.Table:
+        rows = b.filter(pc.equal(b.column("_carrier"), 1))
+        prev = rows.column("prev_mk").to_numpy(zero_copy_only=False)
+        prev = np.where(prev > 0, prev - 1, 0).astype(np.int64)
+        cnt = rows.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"window_start_us": rows.column("w"),
+             "rank": pc.cast(rows.column("rank"), pa.int32()),
+             "k": rows.column("k"),
+             "cnt": pa.array(cnt, pa.int64()),
+             "prev_cnt": pa.array(prev, pa.int64()),
+             "delta": pa.array(cnt - prev, pa.int64())})
+
+    return att.map_batches(finish, batch_format="pyarrow").sort(
+        ["window_start_us", "rank"])

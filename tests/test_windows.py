@@ -310,3 +310,43 @@ def test_session_assign_salted_identical():
     for r in session_assign(ev, gap_s=1800).take_all():
         lab[(r["user_id"], r["session_index"])] += 1
     assert dict(lab) == sess
+
+
+def test_window_trending():
+    from go_light_rag_ray.stages.windows import window_trending
+    import pyarrow as pa
+    import ray.data
+
+    day = 86400
+
+    def ev(eid, t, k):
+        return (eid, t, 1, "view", 0.0, '{"k": %d}' % k)
+
+    rows = [
+        # day 0: k=7 ×3, k=2 ×2, k=9 ×1
+        ev(0, 10, 7), ev(1, 20, 7), ev(2, 30, 7),
+        ev(3, 40, 2), ev(4, 50, 2), ev(5, 60, 9),
+        # day 1: k=2 ×3 (prev 2), k=5 ×2 (prev 0), k=7 ×1 (prev 3)
+        ev(6, day + 10, 2), ev(7, day + 20, 2), ev(8, day + 30, 2),
+        ev(9, day + 40, 5), ev(10, day + 50, 5), ev(11, day + 60, 7),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }))
+    out = window_trending(ds, window_s=day, k_top=2).take_all()
+    base = int(T0.timestamp()) * 1_000_000
+    d_us = day * 1_000_000
+    got = [(r["window_start_us"], r["rank"], r["k"], r["cnt"],
+            r["prev_cnt"], r["delta"]) for r in out]
+    assert got == [
+        (base, 1, 7, 3, 0, 3),
+        (base, 2, 2, 2, 0, 2),
+        (base + d_us, 1, 2, 3, 2, 1),
+        (base + d_us, 2, 5, 2, 0, 2),
+    ]
