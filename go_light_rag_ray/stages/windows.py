@@ -973,6 +973,7 @@ def window_trending(
     window_s: int = 86400,
     k_top: int = 5,
     props_key: str = "k",
+    local_threshold: int = 1 << 20,
 ) -> ray.data.Dataset:
     """Trending property keys per window — the dashboarding composite:
     per ``window_s`` window, the ``k_top`` most frequent values of the
@@ -1014,6 +1015,46 @@ def window_trending(
         .aggregate(agg.Sum("c", alias_name="cnt"))
         .materialize()
     )
+
+    if counts.count() <= local_threshold:
+        # the (window × key) table is tiny after the combiner — the
+        # distributed finish would pay ~4 fixed execution rounds
+        # (top-k segment-reduce + attach sort + final sort) of pure
+        # scheduling; one vectorized task is bit-identical (the same
+        # adaptive switch as the graph operators' local paths).
+        def local_finish(b: pa.Table) -> pa.Table:
+            w = b.column("w").to_numpy(zero_copy_only=False)
+            kk = b.column("k").to_numpy(zero_copy_only=False)
+            c = b.column("cnt").to_numpy(zero_copy_only=False)
+            order = np.lexsort((kk, -c, w))
+            w, kk, c = w[order], kk[order], c[order]
+            new_w = np.concatenate(([True], w[1:] != w[:-1]))
+            starts = np.flatnonzero(new_w)
+            run_id = np.cumsum(new_w) - 1
+            rank = np.arange(len(w)) - starts[run_id] + 1
+            keep = rank <= k_top
+            # previous-window lookup: one sorted composite-key bisect —
+            # (key, window-grid-index) packs into int64 (windows sit on
+            # the W grid, so w//W is small; keys must fit 2^39)
+            grid = w // w_us
+            comp = kk * (np.int64(1) << 24) + grid
+            kidx = np.argsort(comp)
+            comp_s, c_s = comp[kidx], c[kidx]
+            q = kk[keep] * (np.int64(1) << 24) + (grid[keep] - 1)
+            j = np.searchsorted(comp_s, q)
+            j_ok = (j < len(comp_s)) & (comp_s[np.minimum(j, len(comp_s) - 1)] == q)
+            prev = np.where(j_ok, c_s[np.minimum(j, len(comp_s) - 1)], 0)
+            cnt_keep = c[keep]
+            return pa.Table.from_pydict(
+                {"window_start_us": pa.array(w[keep], pa.int64()),
+                 "rank": pa.array(rank[keep].astype(np.int32), pa.int32()),
+                 "k": pa.array(kk[keep], pa.int64()),
+                 "cnt": pa.array(cnt_keep, pa.int64()),
+                 "prev_cnt": pa.array(prev.astype(np.int64), pa.int64()),
+                 "delta": pa.array(cnt_keep - prev, pa.int64())})
+
+        return counts.repartition(1).map_batches(
+            local_finish, batch_format="pyarrow", batch_size=None)
 
     top = sorted_topk(counts, ["w"], order_by=["cnt", "k"], k=k_top,
                       descending=[True, False], rank_name="rank")

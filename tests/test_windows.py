@@ -350,3 +350,34 @@ def test_window_trending():
         (base + d_us, 1, 2, 3, 2, 1),
         (base + d_us, 2, 5, 2, 0, 2),
     ]
+
+
+def test_window_trending_distributed_matches_local():
+    from go_light_rag_ray.stages.windows import window_trending
+    import pyarrow as pa
+    import ray.data
+
+    day = 86400
+    rows = []
+    eid = 0
+    for dday in range(3):
+        for k, reps in [(1, 4 + dday), (2, 3), (9, 1 + 2 * dday)]:
+            for _ in range(reps):
+                rows.append((eid, dday * day + eid % 1000, k)); eid += 1
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": %d}' % r[2] for r in rows], pa.string()),
+    }))
+
+    def key(r):
+        return (r["window_start_us"], r["rank"], r["k"], r["cnt"],
+                r["prev_cnt"], r["delta"])
+    local = sorted(map(key, window_trending(ds, day, k_top=2).take_all()))
+    dist = sorted(map(key, window_trending(
+        ds, day, k_top=2, local_threshold=0).take_all()))
+    assert local == dist and len(local) == 6
