@@ -792,8 +792,6 @@ def session_assign(
     Nothing materializes on the driver; the event stream moves twice.
     Output identical to the unsalted path (tested across fusing bucket
     boundaries)."""
-    import ray  # noqa: F401  (kept for parity with sibling operators)
-
     from .funnel import _bucket_of, _nbuckets
 
     gap_us = gap_s * US
