@@ -998,6 +998,18 @@ def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
                  "l_extendedprice", "l_discount"]))
 
 
+def q_pricing_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE over lineitem — the full 2^d grouping-set lattice
+    from the same ONE fact scan as the rollup (each grouping set
+    re-aggregates the tiny materialized partials, never the facts)."""
+    from go_light_rag_ray.stages.relational import pricing_rollup
+
+    return pricing_rollup(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"]), cube=True)
+
+
 def q_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q3 shape (stages/relational.top_revenue_orders): the full
     relational plan — segment filter → semi-join → date-pruned lineitem
@@ -3114,6 +3126,20 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+_PRICING_CUBE_SQL = r"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice*100 + 0.5)::BIGINT)::BIGINT
+         AS sum_base_cents,
+       sum(floor(l_extendedprice*100 + 0.5)::BIGINT
+           * (100 - floor(l_discount*100 + 0.5)::BIGINT))::BIGINT
+         AS sum_disc_cents_h,
+       count(*)::BIGINT AS n_rows,
+       grouping(l_returnflag, l_linestatus)::BIGINT AS level
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
 _REVENUE_BY_NATION_SQL = r"""
 SELECT n.n_name,
        sum(floor(o.o_totalprice*100 + 0.5)::BIGINT)::BIGINT
@@ -3819,6 +3845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "pricing_rollup": q_pricing_rollup,
+        "pricing_cube": q_pricing_cube,
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3952,6 +3979,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "events_running": _EVENTS_RUNNING_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "pricing_rollup": _PRICING_ROLLUP_SQL,
+        "pricing_cube": _PRICING_CUBE_SQL,
         "events_pivot": _EVENTS_PIVOT_SQL,
         "events_unpivot": _EVENTS_UNPIVOT_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,

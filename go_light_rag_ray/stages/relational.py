@@ -502,7 +502,9 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def pricing_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+def pricing_rollup(
+    lineitem: ray.data.Dataset, cube: bool = False
+) -> ray.data.Dataset:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus) — the OLAP subtotal
     ladder, computed the scale-right way: ONE fact scan produces
     finest-grain per-batch partials (the pricing_summary combiner),
@@ -510,7 +512,11 @@ def pricing_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     each coarser grouping set re-aggregates those partials; the fact table
     is never re-read and never re-shuffled.  ``level`` is the grouping
     bitmask exactly as SQL's GROUPING(): 0 = (flag, status), 1 = (flag),
-    3 = grand total.  Aggregated-out key columns are NULL, as in SQL."""
+    3 = grand total.  Aggregated-out key columns are NULL, as in SQL.
+    ``cube=True`` adds the remaining grouping set of the full CUBE
+    lattice — level 2 = (status) — from the SAME materialized partials
+    (still one fact scan; a d-key cube is 2^d re-aggregations of the
+    tiny partial table, never of the facts)."""
 
     partials = (lineitem.select_columns(
         ["l_returnflag", "l_linestatus", "l_quantity",
@@ -518,8 +524,8 @@ def pricing_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
         .map_batches(_pricing_partial, batch_format="pyarrow")
         .materialize())
     if partials.count() == 0:
-        # SQL's ROLLUP grand total survives an empty table: one level-3
-        # row with NULL sums and count 0
+        # SQL's ROLLUP/CUBE grand total survives an empty table: one
+        # level-3 row with NULL sums and count 0
         return ray.data.from_arrow(pa.table({
             "l_returnflag": pa.nulls(1, pa.string()),
             "l_linestatus": pa.nulls(1, pa.string()),
@@ -561,7 +567,12 @@ def pricing_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     total = (partials.map_batches(const_key, batch_format="pyarrow")
              .groupby("_g").aggregate(*aggs())
              .map_batches(shape(3, False, False), batch_format="pyarrow"))
-    return finest.union(mid).union(total)
+    out = finest.union(mid).union(total)
+    if cube:
+        mid2 = (partials.groupby("l_linestatus").aggregate(*aggs())
+                .map_batches(shape(2, False, True), batch_format="pyarrow"))
+        out = out.union(mid2)
+    return out
 
 
 def revenue_by_nation(

@@ -414,3 +414,31 @@ def test_pricing_rollup_empty_input_grand_total():
     r = rows[0]
     assert r["level"] == 3 and r["n_rows"] == 0
     assert r["sum_qty"] is None and r["l_returnflag"] is None
+
+
+def test_pricing_cube_adds_status_grouping_set():
+    import pyarrow as pa
+    import ray.data
+    from go_light_rag_ray.stages.relational import pricing_rollup
+
+    li = ray.data.from_arrow(pa.table({
+        "l_returnflag": ["A", "A", "R"],
+        "l_linestatus": ["O", "F", "O"],
+        "l_quantity": [1.0, 2.0, 3.0],
+        "l_extendedprice": [10.0, 20.0, 30.0],
+        "l_discount": [0.0, 0.0, 0.0],
+    }))
+    rows = pricing_rollup(li, cube=True).take_all()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert sorted(by_level) == [0, 1, 2, 3]
+    # level 2 = status-only grouping set (flag NULL)
+    lvl2 = {r["l_linestatus"]: r for r in by_level[2]}
+    assert set(lvl2) == {"O", "F"}
+    assert all(r["l_returnflag"] is None for r in by_level[2])
+    assert lvl2["O"]["sum_qty"] == 4 and lvl2["O"]["n_rows"] == 2
+    assert lvl2["F"]["sum_qty"] == 2
+    # rollup subset unchanged
+    assert len(by_level[0]) == 3 and len(by_level[1]) == 2
+    assert by_level[3][0]["n_rows"] == 3
