@@ -29,6 +29,33 @@ DEFAULT_MIN_QUALITY = 0.5
 DEFAULT_LANGS = ("en",)
 
 
+def _md5_halves(col: "pa.ChunkedArray") -> tuple:
+    """md5-hex column → two uint64 halves, zero-copy off the Arrow buffer.
+
+    Offset width follows the array type (large_string ships int64 offsets,
+    e.g. after certain Arrow concatenations/casts — the same dtype switch
+    as bpetrain._pair_partial).
+    """
+    import numpy as np
+
+    arr = col.combine_chunks()
+    off_dt = (np.int64 if pa.types.is_large_string(arr.type)
+              or pa.types.is_large_binary(arr.type) else np.int32)
+    off = np.frombuffer(arr.buffers()[1], off_dt)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    m = data[off[0]: off[-1]].reshape(len(arr), 32)
+    v = (m - 48 - (m >= 97) * 39).astype(np.uint64)  # hex nibbles
+
+    def fold(nib):
+        out = np.zeros(len(nib), np.uint64)
+        for j in range(16):
+            out = (out << np.uint64(4)) | nib[:, j]
+        return out
+
+    return fold(v[:, :16]), fold(v[:, 16:])
+
+
 def curate_corpus(
     docs: ray.data.Dataset,
     min_quality: float = DEFAULT_MIN_QUALITY,
@@ -92,22 +119,6 @@ def curate_corpus(
     from go_light_rag_ray.stages.funnel import _bucket_of, _nbuckets
 
     nb = _nbuckets()
-
-    def _md5_halves(col: pa.ChunkedArray) -> tuple:
-        arr = col.combine_chunks()
-        off = np.frombuffer(arr.buffers()[1], np.int32)[
-            arr.offset: arr.offset + len(arr) + 1]
-        data = np.frombuffer(arr.buffers()[2], np.uint8)
-        m = data[off[0]: off[-1]].reshape(len(arr), 32)
-        v = (m - 48 - (m >= 97) * 39).astype(np.uint64)  # hex nibbles
-
-        def fold(nib):
-            out = np.zeros(len(nib), np.uint64)
-            for j in range(16):
-                out = (out << np.uint64(4)) | nib[:, j]
-            return out
-
-        return fold(v[:, :16]), fold(v[:, 16:])
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h1, h2 = _md5_halves(b.column("text_hash"))

@@ -72,6 +72,10 @@ def funnel_counts(
     (K/|types| of the rows), shuffled ONCE by user bucket, and each bucket
     resolves all its users in K vectorized passes.
     """
+    if len(set(steps)) != len(steps):
+        # pc.index_in maps every occurrence of a repeated type onto its
+        # FIRST step index, which would silently collapse the funnel
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     w_us = within_s * 1_000_000
     step_arr = pa.array(steps, pa.string())
     K = len(steps)

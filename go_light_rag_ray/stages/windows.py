@@ -1031,14 +1031,21 @@ def window_trending(
             run_id = np.cumsum(new_w) - 1
             rank = np.arange(len(w)) - starts[run_id] + 1
             keep = rank <= k_top
-            # previous-window lookup: one sorted composite-key bisect —
-            # (key, window-grid-index) packs into int64 (windows sit on
-            # the W grid, so w//W is small; keys must fit 2^39)
+            # previous-window lookup: one sorted composite-key bisect.
+            # Dense-rank BOTH columns first (unique-inverse), so the
+            # packed composite is bounded by n_rows² regardless of raw
+            # key / epoch magnitude — no 2^24/2^39 overflow window.
             grid = w // w_us
-            comp = kk * (np.int64(1) << 24) + grid
+            ku, k_inv = np.unique(kk, return_inverse=True)
+            gu, g_inv = np.unique(grid, return_inverse=True)
+            G = np.int64(len(gu)) + 1  # rank len(gu) = "absent" sentinel
+            comp = k_inv.astype(np.int64) * G + g_inv
             kidx = np.argsort(comp)
             comp_s, c_s = comp[kidx], c[kidx]
-            q = kk[keep] * (np.int64(1) << 24) + (grid[keep] - 1)
+            qg = grid[keep] - 1
+            gq = np.searchsorted(gu, qg)
+            gq_hit = (gq < len(gu)) & (gu[np.minimum(gq, len(gu) - 1)] == qg)
+            q = k_inv[keep].astype(np.int64) * G + np.where(gq_hit, gq, len(gu))
             j = np.searchsorted(comp_s, q)
             j_ok = (j < len(comp_s)) & (comp_s[np.minimum(j, len(comp_s) - 1)] == q)
             prev = np.where(j_ok, c_s[np.minimum(j, len(comp_s) - 1)], 0)

@@ -32,3 +32,36 @@ def test_curate_dedup_keeps_smallest_id():
     }))
     rows = curate_corpus(docs, min_quality=0.1, langs=("en",)).take_all()
     assert [r["doc_id"] for r in rows] == [3]
+
+
+def test_md5_halves_large_string_offsets():
+    # large_string ships int64 offsets; the fold must read them as such
+    import hashlib
+    import numpy as np
+    import pyarrow as pa
+
+    from go_light_rag_ray.pipelines.curate import _md5_halves
+
+    texts = ["alpha", "beta", "gamma delta", ""]
+    hexes = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    small = pa.chunked_array([pa.array(hexes, pa.string())])
+    large = pa.chunked_array([pa.array(hexes, pa.large_string())])
+    s1, s2 = _md5_halves(small)
+    l1, l2 = _md5_halves(large)
+    assert np.array_equal(s1, l1) and np.array_equal(s2, l2)
+    # and the values really are the hex halves
+    for i, h in enumerate(hexes):
+        assert s1[i] == int(h[:16], 16) and s2[i] == int(h[16:], 16)
+
+
+def test_md5_halves_sliced_offset():
+    import hashlib
+    import pyarrow as pa
+
+    from go_light_rag_ray.pipelines.curate import _md5_halves
+
+    hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in range(6)]
+    arr = pa.array(hexes, pa.large_string()).slice(2, 3)
+    h1, h2 = _md5_halves(pa.chunked_array([arr]))
+    for i, h in enumerate(hexes[2:5]):
+        assert h1[i] == int(h[:16], 16) and h2[i] == int(h[16:], 16)

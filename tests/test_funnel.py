@@ -115,3 +115,18 @@ def test_retention_dedups_within_period():
     ev = _events([(i, i, 7, "view") for i in range(5)])
     cells = retention_cohorts(ev, period_s=day).take_all()
     assert len(cells) == 1 and cells[0]["n_users"] == 1
+
+
+def test_funnel_rejects_repeated_steps():
+    import pytest
+
+    import pyarrow as pa
+    import ray.data
+
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+    }))
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ev, steps=("view", "view", "purchase"))

@@ -381,3 +381,43 @@ def test_window_trending_distributed_matches_local():
     dist = sorted(map(key, window_trending(
         ds, day, k_top=2, local_threshold=0).take_all()))
     assert local == dist and len(local) == 6
+
+
+def test_window_trending_huge_keys_and_fine_grid():
+    # keys >= 2^39 and a 60 s window grid (grid index ~29M > 2^24):
+    # the dense-rank composite must not collide — local == distributed
+    from go_light_rag_ray.stages.windows import window_trending
+    import pyarrow as pa
+    import ray.data
+
+    w = 60
+    big = 1 << 45
+    rows = []
+    eid = 0
+    for widx in range(3):
+        for k, reps in [(big + 1, 3), (big + (1 << 40), 2), (7, 1 + widx)]:
+            for j in range(reps):
+                rows.append((eid, widx * w + j, k)); eid += 1
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": %d}' % r[2] for r in rows], pa.string()),
+    }))
+
+    def key(r):
+        return (r["window_start_us"], r["rank"], r["k"], r["cnt"],
+                r["prev_cnt"], r["delta"])
+    local = sorted(map(key, window_trending(ds, w, k_top=3).take_all()))
+    dist = sorted(map(key, window_trending(
+        ds, w, k_top=3, local_threshold=0).take_all()))
+    assert local == dist
+    # spot-check one prev-window carry on a huge key
+    by = {(r[0], r[2]): r for r in local}
+    base = int(T0.timestamp()) * 1_000_000
+    w_us = w * 1_000_000
+    assert by[(base + w_us, big + 1)][4] == 3      # prev_cnt from window 0
+    assert by[(base + 2 * w_us, 7)][4] == 2        # 7: 1 → 2 → 3
