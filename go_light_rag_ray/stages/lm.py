@@ -42,6 +42,39 @@ __all__ = ["word_freq_model", "unigram_score",
 _SEP = "\x1f"
 
 
+def _materialize_model(
+    counts: ray.data.Dataset, key_col: str, top_vocab: int,
+) -> pa.Table:
+    """counts (post-groupby: globally-distinct keys) → model table.
+
+    ``top_vocab`` > 0 trims INSIDE the dataset: per-block partial top-k
+    (valid only because each key appears in exactly one row after the
+    global groupby) then one bounded merge task — the driver never holds
+    more than ``top_vocab`` rows, so a web-scale bigram vocabulary can't
+    OOM it.  0 = exact mode: the whole vocabulary IS the model (the
+    deliberately small broadcast side)."""
+
+    def blk_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= top_vocab:
+            return b
+        return b.sort_by([("c", "descending"), (key_col, "ascending")]
+                         ).slice(0, top_vocab)
+
+    if top_vocab:
+        counts = (
+            counts.map_batches(blk_topk, batch_format="pyarrow",
+                               batch_size=None)
+            .repartition(1)
+            .map_batches(blk_topk, batch_format="pyarrow", batch_size=None)
+        )
+    rows = counts.take_all()
+    model = pa.table({
+        key_col: pa.array([r[key_col] for r in rows], pa.string()),
+        "c": pa.array([r["c"] for r in rows], pa.int64()),
+    })
+    return model.sort_by(key_col)
+
+
 def _flat_words(batch: pa.Table, text_col: str):
     # ascii (not utf8) split: pc.utf8_split_whitespace misclassified a
     # space under concurrent first use inside Ray workers ("   " →
@@ -81,15 +114,7 @@ def word_freq_model(
         .groupby("word")
         .aggregate(agg.Sum("c", alias_name="c"))
     )
-    rows = counts.take_all()
-    model = pa.table({
-        "word": pa.array([r["word"] for r in rows], pa.string()),
-        "c": pa.array([r["c"] for r in rows], pa.int64()),
-    })
-    if top_vocab and model.num_rows > top_vocab:
-        model = model.sort_by([("c", "descending"), ("word", "ascending")])
-        model = model.slice(0, top_vocab)
-    return model.sort_by("word")
+    return _materialize_model(counts, "word", top_vocab)
 
 
 class UnigramScorer:
@@ -172,15 +197,7 @@ def bigram_freq_model(
         .groupby("bigram")
         .aggregate(agg.Sum("c", alias_name="c"))
     )
-    rows = counts.take_all()
-    model = pa.table({
-        "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
-        "c": pa.array([r["c"] for r in rows], pa.int64()),
-    })
-    if top_vocab and model.num_rows > top_vocab:
-        model = model.sort_by([("c", "descending"), ("bigram", "ascending")])
-        model = model.slice(0, top_vocab)
-    return model.sort_by("bigram")
+    return _materialize_model(counts, "bigram", top_vocab)
 
 
 class BigramScorer:

@@ -251,3 +251,26 @@ def test_ingest_prechunked_content(ray_session):
     assert set(nodes["SPARK"]["source_ids"]) == {"ext-c1", "ext-c2"}
     edges = [r for r in graph if r["kind"] == "edge"]
     assert any(e["src"] == "SPARK" and e["tgt"] == "MERGE" for e in edges)
+
+
+def test_verify_spans_detects_mutation_and_missing():
+    import pyarrow as pa
+
+    docs = _docs(12)
+
+    def drop_and_mutate(b: pa.Table) -> pa.Table:
+        # drop the first row of the batch and blank one doc's span text
+        t = b.slice(1)
+        spans = t.column("spans").to_pylist()
+        if spans and spans[0]:
+            spans[0] = [dict(s, text="CORRUPTED") for s in spans[0]]
+        return t.set_column(
+            t.schema.get_field_index("spans"), "spans",
+            pa.array(spans, t.schema.field("spans").type))
+
+    out = docs.repartition(1).map_batches(
+        drop_and_mutate, batch_format="pyarrow", batch_size=None)
+    res = verify_spans(docs, out)
+    assert not res["ok"]
+    assert res["mismatched"] == 2      # one missing + one mutated
+    assert res["rows"] == 12

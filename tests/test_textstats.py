@@ -235,3 +235,38 @@ def test_inverted_index_df_bounds():
     rows = inverted_index(docs, min_df=1, max_df=2).take_all()
     got = sorted((r["word"], r["df"]) for r in rows)
     assert got == [("y", 2)]  # x has df 3 > max_df
+
+
+def test_top_vocab_trim_is_distributed_and_exact(ray_session):
+    """The top_vocab trim runs inside the dataset (per-block partial top-k
+    + one bounded merge); the result must equal the old driver-side sort
+    across many blocks with boundary ties."""
+    from go_light_rag_ray.stages.lm import bigram_freq_model, word_freq_model
+
+    # 26 words with counts 1..26 plus ties at the cut
+    texts = []
+    for i, w in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        texts.extend([w * 3] * (i + 1))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+    })).repartition(8)                       # force many blocks
+    m = word_freq_model(docs, top_vocab=5)
+    assert m.column("word").to_pylist() == sorted(
+        [w * 3 for w in "vwxyz"])            # counts 22..26
+    assert sorted(m.column("c").to_pylist()) == [22, 23, 24, 25, 26]
+
+    # tie at the boundary breaks lexicographically (word ascending)
+    docs2 = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["aa", "bb", "cc", "dd"],
+    })).repartition(4)
+    m2 = word_freq_model(docs2, top_vocab=2)
+    assert m2.column("word").to_pylist() == ["aa", "bb"]
+
+    bm = bigram_freq_model(ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["x y x y", "x y", "p q"],
+    })).repartition(3), top_vocab=1)
+    assert bm.column("bigram").to_pylist() == ["x\x1fy"]
+    assert bm.column("c").to_pylist() == [3]
