@@ -3777,6 +3777,15 @@ FROM (SELECT entity_id, sum(c) AS s FROM contribs GROUP BY entity_id)
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # The first 50 entries ARE the driver's correctness window:
+        # curated so every operator FAMILY has at least one value-oracled
+        # representative inside it (kg core, graph analytics, dedup incl.
+        # span/semantic/distributed-cluster, packing, export, text
+        # analysis, retrieval fusion, sampling, LM, scrub, BPE, ANN+PQ,
+        # quantize, multimodal, query ctx, span invariant, windows,
+        # sessions, asof, funnel, trending, sketches, relational
+        # join+cube, decontam).  Everything after slot 50 is the family
+        # tail, still verified by tools/check_oracle.py.
         "kg_nodes": q_kg_nodes,
         "kg_nodes_deleted": q_kg_nodes_deleted,
         "kg_nodes_updated": q_kg_nodes_updated,
@@ -3789,100 +3798,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mentions": q_mentions,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
-        "kg_ppr": q_kg_ppr,
         "kg_components": q_kg_components,
-        "kg_hops": q_kg_hops,
-        "kg_sssp": q_kg_sssp,
-        "kg_triangles": q_kg_triangles,
-        "kg_kcore": q_kg_kcore,
-        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
-        "kg_edge_lift": q_kg_edge_lift,
         "entity_name_pairs": q_entity_name_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters_dist": q_dedup_clusters_dist,
         "dedup_spans": q_dedup_spans,
-        "winnow_fp": q_winnow_fp,
         "dedup_semantic": q_dedup_semantic,
         "pack_sequences": q_pack_sequences,
         "shard_manifest": q_shard_manifest,
         "text_postings": q_text_postings,
         "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "hybrid_topk": q_hybrid_topk,
         "corpus_diff": q_corpus_diff,
         "curate": q_curate,
         "split_assign": q_split_assign,
-        "hash_sample": q_hash_sample,
+        "text_unigram": q_text_unigram,
+        "scrub": q_scrub,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "ann_topk": q_ann_topk,
+        "ann_radius": q_ann_radius,
+        "ann_topk_pq": q_ann_topk_pq,
+        "embed_quantize": q_embed_quantize,
+        "media_features": q_media_features,
+        "ctx_local_entities": q_ctx_local_entities,
+        "ctx_local_sources": q_ctx_local_sources,
+        "ctx_fused_entities": q_ctx_fused_entities,
+        "span_check": q_span_check,
+        "window_tumbling": q_window_tumbling,
+        "sessions_salted": q_sessions_salted,
+        "asof_join": q_asof_join,
+        "events_funnel": q_events_funnel,
+        "events_trending": q_events_trending,
+        "events_hll": q_events_hll,
+        "top_revenue_orders": q_top_revenue_orders,
+        "pricing_cube": q_pricing_cube,
+        "decontam_multi": q_decontam_multi,
+        # ---- end of driver window ----
+        "kg_ppr": q_kg_ppr,
+        "kg_hops": q_kg_hops,
+        "kg_sssp": q_kg_sssp,
+        "kg_triangles": q_kg_triangles,
+        "kg_kcore": q_kg_kcore,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_edge_lift": q_kg_edge_lift,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "winnow_fp": q_winnow_fp,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "hash_sample": q_hash_sample,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embed_clusters": q_embed_clusters,
-        "media_features": q_media_features,
-        "ctx_local_entities": q_ctx_local_entities,
         "ctx_local_relationships": q_ctx_local_relationships,
-        "ctx_local_sources": q_ctx_local_sources,
         "ctx_global_edges": q_ctx_global_edges,
         "ctx_global_entities": q_ctx_global_entities,
-        "ctx_fused_entities": q_ctx_fused_entities,
-        "span_check": q_span_check,
         "entity_ann": q_entity_ann,
         "window_distinct": q_window_distinct,
-        "events_hll": q_events_hll,
-        "window_tumbling": q_window_tumbling,
         "window_hopping": q_window_hopping,
         "sessions": q_sessions,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
         "pricing_rollup": q_pricing_rollup,
-        "pricing_cube": q_pricing_cube,
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
         "revenue_by_nation": q_revenue_by_nation,
-        "top_revenue_orders": q_top_revenue_orders,
         "join_order_lineitem": q_join_order_lineitem,
         "join_order_lineitem_salted": q_join_order_lineitem_salted,
         "orders_with_big_line": q_orders_with_big_line,
         "orders_no_big_line": q_orders_no_big_line,
-        "sessions_salted": q_sessions_salted,
         "asof_salted": q_asof_salted,
-        "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "session_events": q_session_events,
         "session_events_salted": q_session_events_salted,
-        "events_trending": q_events_trending,
-        "ann_radius": q_ann_radius,
-        "text_unigram": q_text_unigram,
         "importance_weights": q_importance_weights,
         "quality_buckets": q_quality_buckets,
-        "embed_quantize": q_embed_quantize,
         "embed_pq_codes": q_embed_pq_codes,
-        "ann_topk_pq": q_ann_topk_pq,
         "top_docs_per_lang": q_top_docs_per_lang,
         "langid_confusion": q_langid_confusion,
         "mix_corpora": q_mix_corpora,
         "text_bigram": q_text_bigram,
         "corpus_top_words": q_corpus_top_words,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "words_cms": q_words_cms,
         "text_repetition": q_text_repetition,
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
         "decontam": q_decontam,
-        "decontam_multi": q_decontam_multi,
         "decontam_bloom": q_decontam_bloom,
-        "scrub": q_scrub,
-        "dedup_clusters_dist": q_dedup_clusters_dist,
         "chunks_by_handler": q_chunks_by_handler,
         "chunks_router_default": q_chunks_router_default,
         "chunk_embeddings": q_chunk_embeddings,
