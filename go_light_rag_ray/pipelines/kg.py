@@ -261,6 +261,11 @@ def kg_pipeline_incremental(
     shuffle — snapshot rows re-enter as partials, no per-key lookups.
     For ordered corpus splits this is exactly associative:
     ``incremental(graph(part1), part2) == graph(part1 ∪ part2)``.
+
+    For documents whose ids interleave EXISTING ones use
+    ``insert_documents`` (affected-key rebuild replaying real occ keys)
+    — prior re-entry here sorts before all new occurrences, so only
+    tail appends reproduce the one-shot merge order exactly.
     """
     from ..stages.canonicalize import canonicalize_incremental
 
@@ -333,10 +338,6 @@ def delete_documents(
     def _pairkey(src, tgt):
         return pc.binary_join_element_wise(src, tgt, "\x00")
 
-    deleted = mentions.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=del_arr)),
-        batch_format="pyarrow",
-    ).select_columns(["kind", "name", "src", "tgt"])
     node_set: set[str] = set()
     pair_set: set[str] = set()
 
@@ -349,7 +350,13 @@ def delete_documents(
                 node_set.add(r["tgt"])
                 pair_set.add(f'{r["src"]}\x00{r["tgt"]}')
 
-    _gather(deleted.take_all())     # bounded: the delete batch's mentions
+    if len(del_arr):                # pure inserts skip the retraction scan
+        deleted = mentions.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("doc_id"), value_set=del_arr)),
+            batch_format="pyarrow",
+        ).select_columns(["kind", "name", "src", "tgt"])
+        _gather(deleted.take_all())  # bounded: the delete batch's mentions
     if new_mentions is not None:    # bounded: the update batch's mentions
         _gather(new_mentions.select_columns(
             ["kind", "name", "src", "tgt"]).take_all())
@@ -440,6 +447,36 @@ def update_documents(
         x if isinstance(x, str) else handler.doc_id_format.format(x)
         for x in raw_ids)
     return delete_documents(prior_graph, mentions, doc_ids, handler,
+                            new_mentions=new_mentions)
+
+
+def insert_documents(
+    prior_graph: ray.data.Dataset,
+    mentions: ray.data.Dataset,
+    new_docs: ray.data.Dataset,
+    handler: Handler,
+) -> ray.data.Dataset:
+    """Position-independent incremental INSERT: the affected-key rebuild
+    with an EMPTY delete set.
+
+    ``kg_pipeline_incremental`` (snapshot rows re-enter as partials) is
+    exact only for ordered splits — prior re-entry sorts before ALL new
+    occurrences, so a document inserted mid-corpus would merge its
+    descriptions/keywords in the wrong order vs a full rebuild.  This
+    path instead rebuilds ONLY the keys the new documents touch, from
+    retained + new mentions replaying their REAL occ keys
+    ``(doc_id, order_index, mention_index)``, so it equals the full
+    rebuild over ``corpus ∪ new`` row-for-row at ANY insert position
+    (test_incremental middle-of-corpus case).
+
+    Cost: one pruned scan of the corpus mention stream + canonicalize
+    over the affected slice — prefer ``kg_pipeline_incremental`` for
+    tail appends (no corpus scan); use this when new doc ids interleave
+    existing ones.  ``mentions`` is the corpus mention stream (persisted
+    by staged ingest or recomputed deterministically)."""
+    new_mentions = extract_mentions(
+        chunk_documents(new_docs, handler), handler).materialize()
+    return delete_documents(prior_graph, mentions, [], handler,
                             new_mentions=new_mentions)
 
 

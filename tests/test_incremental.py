@@ -187,3 +187,58 @@ def test_legacy_mixed_with_tally_rows(ray_session):
         ray.data.from_arrow(p2), mixed, HANDLER))
     assert out  # merge runs end-to-end; every node elects a type
     assert all(r["entity_type"] for r in out if r["kind"] == "node")
+
+
+def test_insert_middle_of_corpus_equals_full_rebuild(ray_session):
+    """insert_documents rebuilds only affected keys but replays REAL occ
+    keys, so a mid-corpus insert is row-for-row equal to the full rebuild
+    — the case kg_pipeline_incremental cannot handle (its prior re-entry
+    sorts before all new occurrences)."""
+    from go_light_rag_ray.pipelines.kg import (
+        chunk_documents,
+        extract_mentions,
+        insert_documents,
+    )
+
+    full = generate_documents(60)
+    ids = full.column("doc_id").to_pylist()
+    middle = pa.compute.is_in(
+        full.column("doc_id"), value_set=pa.array(ids[20:30]))
+    hole_tbl = full.filter(pa.compute.invert(middle))
+    new_tbl = full.filter(middle)
+
+    hole = ray.data.from_arrow(hole_tbl)
+    mentions = extract_mentions(
+        chunk_documents(hole, HANDLER), HANDLER).materialize()
+    prior = kg_pipeline(hole, HANDLER).materialize()
+
+    got = _rows(insert_documents(
+        prior, mentions, ray.data.from_arrow(new_tbl), HANDLER))
+    want = _rows(kg_pipeline(ray.data.from_arrow(full), HANDLER))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a == b, (a, b)
+
+
+def test_insert_tail_matches_incremental(ray_session):
+    """On an ordered (tail) split both insert paths agree with the one-shot."""
+    from go_light_rag_ray.pipelines.kg import (
+        chunk_documents,
+        extract_mentions,
+        insert_documents,
+    )
+
+    full = generate_documents(40)
+    p1, p2 = full.slice(0, 30), full.slice(30)
+    d1 = ray.data.from_arrow(p1)
+    mentions = extract_mentions(
+        chunk_documents(d1, HANDLER), HANDLER).materialize()
+    prior = kg_pipeline(d1, HANDLER).materialize()
+
+    via_rebuild = _rows(insert_documents(
+        prior, mentions, ray.data.from_arrow(p2), HANDLER))
+    via_reentry = _rows(kg_pipeline_incremental(
+        ray.data.from_arrow(p2), prior, HANDLER))
+    want = _rows(kg_pipeline(ray.data.from_arrow(full), HANDLER))
+    assert via_rebuild == want
+    assert via_reentry == want
