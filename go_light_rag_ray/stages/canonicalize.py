@@ -81,8 +81,35 @@ GRAPH_SCHEMA = pa.schema(
 
 
 def occ_key(doc_id: str, order_index: int, mention_index: int) -> str:
-    """Lexicographically tuple-ordered occurrence key (NUL-separated)."""
-    return f"{doc_id}\x00{order_index:010d}\x00{mention_index:010d}"
+    """Lexicographically tuple-ordered occurrence key.
+
+    ``doc_id ++ NUL ++ lp(order) ++ lp(mention)`` where ``lp`` is the
+    length-prefixed decimal encoding (one byte = digit count, then the
+    digits): prefix-free and order-preserving — a longer number has a
+    higher first byte, equal lengths compare digit-wise — so concatenated
+    fields compare exactly like the (doc, order, mention) tuple while
+    costing ~3-4 bytes per field instead of a fixed 11-byte zero pad.
+    Occ strings are ~half the canonicalize exchange (measured sf0.1:
+    5.3 of 9.8 MB), so their width is shuffle bandwidth at scale."""
+    o, m = str(order_index), str(mention_index)
+    return f"{doc_id}\x00{chr(len(o))}{o}{chr(len(m))}{m}"
+
+
+# single-byte length prefixes for 1..20-digit decimals (int64 max is 19)
+_LEN_CHARS = pa.array([chr(i) for i in range(1, 21)], pa.string())
+
+
+def _lp_digits(col) -> pa.Array:
+    """Vectorized length-prefixed decimal encoding of non-negative ints."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, np.ndarray):
+        col = pa.array(col)
+    digits = pc.cast(col, pa.string())
+    if isinstance(digits, pa.ChunkedArray):
+        digits = digits.combine_chunks()
+    prefix = _LEN_CHARS.take(pc.subtract(pc.binary_length(digits), 1))
+    return pc.binary_join_element_wise(prefix, digits, "")
 
 
 class _State:
@@ -110,12 +137,12 @@ def _occ_strings(batch: pa.Table) -> pa.Array:
     """Vectorized ``occ_key`` over the whole batch."""
     import pyarrow.compute as pc
 
-    def pad10(col):
-        return pc.ascii_lpad(pc.cast(col, pa.string()), 10, "0")
-
     return pc.binary_join_element_wise(
-        batch.column("doc_id"), pad10(batch.column("order_index")),
-        pad10(batch.column("mention_index")), "\x00",
+        batch.column("doc_id"),
+        pc.binary_join_element_wise(
+            _lp_digits(batch.column("order_index")),
+            _lp_digits(batch.column("mention_index")), ""),
+        "\x00",
     ).combine_chunks()
 
 
@@ -312,11 +339,9 @@ class _IntEnc:
         bo = _bitwidth(int(order.max(initial=0)))
         bm = _bitwidth(int(ment.max(initial=0)))
         self.bp = _bitwidth(max(0, max_pos - 1))
-        # the occ strings pad order/mention to 10 and kw pos to 4 digits;
-        # wider values would break string-order equivalence in ANY kernel
-        if (bd + bo + bm + self.bp > 62 or max_pos > 9_999
-                or order.max(initial=0) > 9_999_999_999
-                or ment.max(initial=0) > 9_999_999_999):
+        # the length-prefixed occ encoding orders correctly at any width;
+        # this guard is only the 62-bit int packing budget
+        if bd + bo + bm + self.bp > 62:
             return
         self.bo, self.bm = bo, bm
         rank = _rank_codes(doc, self.docs_u)
@@ -353,16 +378,14 @@ class _IntEnc:
         rank = occ >> (bo + bm)
         order = (occ >> bm) & ((1 << bo) - 1)
         ment = occ & ((1 << bm) - 1)
-
-        def pad(arr, width):
-            return pc.ascii_lpad(pc.cast(pa.array(arr), pa.string()), width, "0")
-
         base = pc.binary_join_element_wise(
             self.docs_u.take(pa.array(rank, pa.int64())),
-            pad(order, 10), pad(ment, 10), "\x00")
+            pc.binary_join_element_wise(
+                _lp_digits(order), _lp_digits(ment), ""),
+            "\x00")
         if pos is None:
             return base
-        return pc.binary_join_element_wise(base, pad(pos, 4), "\x00")
+        return pc.binary_join_element_wise(base, _lp_digits(pos), "")
 
 
 def _dedup_int(k: np.ndarray, t: np.ndarray, o: np.ndarray) -> pa.Table:
@@ -632,8 +655,7 @@ def _combine_mentions_str(batch: pa.Table, salt_buckets: int = 8,
                 np.cumsum(lens) - lens, lens)
             kocc = pc.binary_join_element_wise(
                 rels.column("_occ").combine_chunks().take(par),
-                pc.ascii_lpad(pc.cast(pa.array(pos), pa.string()), 4, "0"),
-                "\x00",
+                _lp_digits(pos), "",
             )
             kagg = _dedup_entries(
                 pa.table({"src": rels.column("src").combine_chunks().take(par),
