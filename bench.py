@@ -87,13 +87,23 @@ def _pipelines(sf_dir: str) -> dict:
         rep = int(os.environ.get("GRAFT_SCALE_REP", SCALE_REP_DEFAULT))
 
         def replicate(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_pylist()
-            texts = b.column("text").to_pylist()
-            out_i, out_t = [], []
-            for r in range(rep):
-                out_i.extend(f"{i}r{r}" for i in ids)
-                out_t.extend(texts)
-            return pa.table({"doc_id": out_i, "text": out_t})
+            # vectorized: ids via one binary join over a tiled index, texts
+            # via take — this runs INSIDE the timed job, so per-doc Python
+            # here would bill corpus synthesis to the engine
+            import numpy as np
+            import pyarrow.compute as pc
+
+            n = b.num_rows
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), rep))
+            r_suffix = pc.cast(pa.array(
+                np.repeat(np.arange(rep, dtype=np.int64), n)), pa.string())
+            ids = pc.binary_join_element_wise(
+                pc.cast(b.column("doc_id").combine_chunks().take(idx),
+                        pa.string()),
+                pa.array(["r"] * (n * rep), pa.string()), r_suffix, "")
+            return pa.table({
+                "doc_id": ids,
+                "text": b.column("text").combine_chunks().take(idx)})
 
         # Granularity traps, both measured at 32 CPUs:
         # (1) replicated doc blocks are far below the 128 MB block target,

@@ -113,8 +113,18 @@ class Handler:
 def _fused_pool(configured) -> tuple[int, int]:
     from ..pool import auto_pool
 
-    frac = float(os.environ.get("GRAFT_FUSED_POOL_FRAC", "0.9"))
-    return auto_pool(configured, frac, per_node_cap=24)
+    # r3 measured a 24-actor/node bandwidth saturation wall for this
+    # stage; the r4 occ-byte cut (canonicalize._lp_digits) halved the
+    # stage's string traffic and moved the wall past the core count —
+    # re-measured bracket at 12M docs / 32 cpus: 24 actors = 82.5 s
+    # (work 1728), 28 = 80.6 s (1780), 32 = 70.7 s (1720); at 8 cpus
+    # 8 actors = 185.7 s vs 7 = 205.0 s.  Full width now wins at every
+    # point with FLAT work-cpu, so the default is frac 1.0 with a
+    # 32/node cap; autoscaling (hi//2, hi) keeps read tasks scheduled
+    # (the round-1 fixed-pool deadlock rule).
+    frac = float(os.environ.get("GRAFT_FUSED_POOL_FRAC", "1.0"))
+    cap = int(os.environ.get("GRAFT_FUSED_POOL_CAP", "32"))
+    return auto_pool(configured, frac, per_node_cap=cap)
 
 
 def _pool(configured, frac: float) -> tuple[int, int]:
@@ -214,10 +224,21 @@ class FusedExtractCombine:
         self._extract = Extractor(rules=rules, glean_count=glean_count)
         self._salt = salt_buckets
         self._cap = merge_cap
+        # closed-vocabulary rule sets skip the mention-table round trip
+        # entirely (stages/wc_fused.py: extract+combine in the packed-int
+        # domain, strings built only for surviving entries) — partial-row
+        # identical to the generic path, asserted in test_fused
+        self._deep = rules == "word_cooccurrence"
+        self._glean = glean_count > 0
 
     def __call__(self, batch):
-        return combine_mentions(
-            self._extract(self._chunk(batch)), self._salt, self._cap)
+        chunks = self._chunk(batch)
+        if self._deep:
+            from ..stages.wc_fused import word_cooccurrence_partials
+
+            return word_cooccurrence_partials(
+                chunks, self._salt, self._cap, glean=self._glean)
+        return combine_mentions(self._extract(chunks), self._salt, self._cap)
 
 
 def fused_partials(docs: ray.data.Dataset, handler: Handler) -> ray.data.Dataset:

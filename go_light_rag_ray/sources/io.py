@@ -37,26 +37,57 @@ def flat_documents_as_interleaved(batch: pa.Table) -> pa.Table:
     one ``image`` span per full 40 words of text, ref
     ``media://doc-{id}/{k}`` — so multimodal stages have real rows to chew
     on.  Deterministic and SQL-expressible for the oracle.
+
+    Vectorized (this adapter sits inside the timed flagship path): span
+    structs assemble from flat Arrow arrays + offsets — no per-doc Python.
     """
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    out_ids: list[str] = []
-    out_spans: list[list[dict]] = []
-    for raw_id, text in zip(doc_ids, texts):
-        doc_id = f"doc-{raw_id}"
-        text = text or ""
-        spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
-        n_words = len(text.split())
-        for k in range(n_words // 40):
-            spans.append(
-                {"kind": "image", "text": "", "media_ref": f"media://{doc_id}/{k}",
-                 "offset": len(text)}
-            )
-        out_ids.append(doc_id)
-        out_spans.append(spans)
+    import numpy as np
+    import pyarrow.compute as pc
+
     from ..schemas import DOCUMENTS_SCHEMA
 
-    return pa.Table.from_pydict({"doc_id": out_ids, "spans": out_spans},
+    n = batch.num_rows
+    if n == 0:
+        return DOCUMENTS_SCHEMA.empty_table()
+    doc_ids = pc.binary_join_element_wise(
+        pa.array(["doc-"] * n, pa.string()),
+        pc.cast(batch.column("doc_id"), pa.string()), "").combine_chunks()
+    texts = pc.cast(batch.column("text"), pa.string()).combine_chunks()
+    texts = texts.fill_null("")
+    # words per doc → media span count (one image per full 40 words);
+    # \S+ count = non-empty split pieces (ascii_split_whitespace pads
+    # boundary whitespace runs with empty strings)
+    split = pc.ascii_split_whitespace(texts)
+    par_w = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(pc.list_flatten(split), "").to_numpy(
+        zero_copy_only=False)
+    n_words = np.bincount(par_w[nonempty], minlength=n).astype(np.int64)
+    n_media = n_words // 40
+    lens = 1 + n_media
+    offsets = pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32))
+    total = int(lens.sum())
+    # flat span fields: position 0 in each doc = the text span, the rest
+    # are image spans with k = position - 1
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = np.arange(total) - np.repeat(starts, lens)
+    parent = np.repeat(np.arange(n), lens)
+    is_text = pos == 0
+    kind = pa.array(np.where(is_text, "text", "image"), pa.string())
+    text_flat = pc.if_else(pa.array(is_text),
+                           texts.take(pa.array(parent)), "")
+    tlen = pc.binary_length(texts).cast(pa.int32()).to_numpy(
+        zero_copy_only=False)
+    offset_col = pa.array(np.where(is_text, 0, tlen[parent]), pa.int32())
+    media = pc.binary_join_element_wise(
+        pa.array(["media://"] * total, pa.string()),
+        doc_ids.take(pa.array(parent)),
+        pa.array(["/"] * total, pa.string()),
+        pc.cast(pa.array(np.maximum(pos - 1, 0)), pa.string()), "")
+    media_col = pc.if_else(pa.array(is_text), "", media)
+    flat = pc.make_struct(kind, text_flat, media_col, offset_col,
+                          field_names=["kind", "text", "media_ref", "offset"])
+    spans = pa.ListArray.from_arrays(offsets, flat)
+    return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans},
                                 schema=DOCUMENTS_SCHEMA)
 
 

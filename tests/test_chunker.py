@@ -123,3 +123,55 @@ def test_overlap_tail_window_between_stride_and_max():
     assert len(chunk_text(exact, tok, max_tokens=25, overlap_tokens=5)) == 1
     plus = " ".join(["ab"] * 21)
     assert len(chunk_text(plus, tok, max_tokens=25, overlap_tokens=5)) == 2
+
+
+def test_chunker_fast_path_equals_per_doc_kernel():
+    """The vectorized single-window fast path must emit rows identical to
+    the per-doc chunk_text kernel for every content shape — edge cases
+    picked to straddle the fast-path guard."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.chunker import (
+        Chunker,
+        ChunkerConfig,
+        chunk_text,
+        clean_content,
+    )
+    from go_light_rag_ray.tokenizer import get_tokenizer
+
+    texts = [
+        "plain lower words here",
+        "",
+        "   leading and trailing   ",
+        "with\x00nul bytes\x00 inside",
+        "UPPER Case Words",
+        "digits 12345 mixed 9",
+        "punct, here! (and) more?",
+        "unicode héllo wörld",
+        "tab\tseparated\twords",
+        "double  spaces  here",
+        "a " * 2000,            # multi-window
+        "word",
+        "newline\nin text",
+        "ends with space ",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for tokname in ("regex", "whitespace"):
+        cfg = ChunkerConfig(tokenizer=tokname, content_mode="text",
+                            doc_id_format="doc-{:04d}")
+        tok = get_tokenizer(tokname)
+        want = []
+        for raw_id, text in zip(batch.column("doc_id").to_pylist(), texts):
+            doc_id = cfg.doc_id_format.format(raw_id)
+            for piece, ts, oi in chunk_text(
+                    clean_content(text), tok, cfg.max_tokens,
+                    cfg.overlap_tokens):
+                want.append((f"{doc_id}-chunk-{oi}", doc_id, oi, piece, ts))
+        got = Chunker(cfg)(batch)
+        got_rows = list(zip(
+            got.column("chunk_id").to_pylist(),
+            got.column("doc_id").to_pylist(),
+            got.column("order_index").to_pylist(),
+            got.column("content").to_pylist(),
+            got.column("token_size").to_pylist()))
+        assert got_rows == want, tokname
