@@ -86,45 +86,53 @@ def _pipelines(sf_dir: str) -> dict:
 
         rep = int(os.environ.get("GRAFT_SCALE_REP", SCALE_REP_DEFAULT))
 
-        def replicate(b: pa.Table) -> pa.Table:
-            # vectorized: ids via one binary join over a tiled index, texts
-            # via take — this runs INSIDE the timed job, so per-doc Python
-            # here would bill corpus synthesis to the engine
+        def replicate_interleaved(b: pa.Table):
+            # vectorized generator: replicate AND adapt to the spans shape
+            # inside ONE fused task, yielding ~64k-doc span batches — the
+            # corpus crosses the object store once (as spans blocks of the
+            # right granularity) instead of twice around a repartition.
+            # This runs INSIDE the timed job, so per-doc Python here would
+            # bill corpus synthesis to the engine.
             import numpy as np
             import pyarrow.compute as pc
 
             n = b.num_rows
-            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), rep))
-            r_suffix = pc.cast(pa.array(
-                np.repeat(np.arange(rep, dtype=np.int64), n)), pa.string())
-            ids = pc.binary_join_element_wise(
-                pc.cast(b.column("doc_id").combine_chunks().take(idx),
-                        pa.string()),
-                pa.array(["r"] * (n * rep), pa.string()), r_suffix, "")
-            return pa.table({
-                "doc_id": ids,
-                "text": b.column("text").combine_chunks().take(idx)})
+            if n == 0:
+                return
+            per = max(1, 65536 // n)   # replicas per yielded batch
+            ids = pc.cast(b.column("doc_id").combine_chunks(), pa.string())
+            texts = b.column("text").combine_chunks()
+            for r0 in range(0, rep, per):
+                k = min(rep, r0 + per) - r0
+                idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+                suffix = pc.cast(pa.array(np.repeat(
+                    np.arange(r0, r0 + k, dtype=np.int64), n)), pa.string())
+                out = pa.table({
+                    "doc_id": pc.binary_join_element_wise(
+                        ids.take(idx), pa.array(["r"] * (n * k), pa.string()),
+                        suffix, ""),
+                    "text": texts.take(idx)})
+                yield table_io.flat_documents_as_interleaved(out)
 
-        # Granularity traps, both measured at 32 CPUs:
-        # (1) replicated doc blocks are far below the 128 MB block target,
-        #     so the corpus coalesces into ~16 blocks without the seed
-        #     repartition (80-146 s swings from straggler tasks);
-        # (2) operator FUSION bundles the chunker's batch_size against the
-        #     5000-row SEED (each seed row = 200 replicated docs of work),
-        #     so replicate→chunk→extract ran as 19 tasks of 10-42 s
-        #     regardless of the seed block count.  The repartition AFTER
-        #     replication re-bases task granularity on post-replication
-        #     rows: 1024 blocks → ≥1024 chunk/extract tasks (~0.8 s each).
+        # Granularity: the seed repartition(256) gives 256 generator tasks
+        # of ~20 seed rows; each YIELDS ~64k-doc span blocks, so output
+        # granularity is set by the generator itself (the earlier
+        # repartition-after-expansion exchange — a full extra store pass
+        # of the corpus — is gone, and operator fusion can't mis-bundle
+        # because the actor stage re-batches yielded blocks to its own
+        # batch_size).
         docs = (
             table_io.read_documents(
                 f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
             .repartition(256)
-            .map_batches(replicate, batch_format="pyarrow", batch_size=20)
-            .repartition(1024)
-        )
-        docs = docs.map_batches(
-            table_io.flat_documents_as_interleaved, batch_format="pyarrow"
+            # num_cpus=0.9 differs from the default task spec ON PURPOSE:
+            # it blocks operator fusion with the downstream actor stage —
+            # fused, the actor's batch_size would re-bundle against SEED
+            # rows (the CLAUDE.md fusion-granularity trap) and one task
+            # would synthesize the entire corpus.
+            .map_batches(replicate_interleaved, batch_format="pyarrow",
+                         batch_size=20, num_cpus=0.9)
         )
         handler = Handler(tokenizer="regex", rules="word_cooccurrence",
                           content_mode="spans")
@@ -398,7 +406,15 @@ def run_scaling_bracket(sf_dir: str) -> dict:
     scheduler-bound its busy% collapses and the pair overstates.  Work
     flatness is the audit that neither distortion is present; the rule is
     mechanical, so the headline cannot be cherry-picked per run."""
-    pairs_spec = os.environ.get("GRAFT_SCALE_PAIRS", "8:32:2400,4:16:1200")
+    # r4 reps: the deep-fused kernel cut per-doc work ~4×, so every pair
+    # runs the 48M-doc corpus to keep W/lo ≫ the ~15 s fixed floor; the
+    # 2:8 pair joined the bracket because it is now the only one whose
+    # legs do equal per-doc work (measured work-cpu ratio 1.02 vs 1.18
+    # at 4:16 and 1.58 at 8:32 — the box's one memory system inflates
+    # high-parallelism legs with stall cycles a real 4N-node cluster
+    # does not pay).
+    pairs_spec = os.environ.get("GRAFT_SCALE_PAIRS",
+                                "8:32:9600,4:16:9600,2:8:9600")
     pairs = []
     for spec in pairs_spec.split(","):
         lo, hi, rep = (int(x) for x in spec.split(":"))

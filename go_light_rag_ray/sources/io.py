@@ -25,7 +25,7 @@ except ImportError:
 
 def read_documents(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read an interleaved documents table (parquet dir/file or lance)."""
-    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+    if HAVE_LANCE and path.endswith(".lance"):
         return ray.data.read_lance(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns)
 
@@ -101,7 +101,7 @@ def list_input_fragments(path: str) -> list[str]:
 def write_table(ds: ray.data.Dataset, out_dir: str, partition_cols: list[str] | None = None,
                 min_rows_per_file: int | None = None) -> None:
     """Write a Dataset as a partitioned table (lance if available, else parquet)."""
-    if HAVE_LANCE and out_dir.endswith(".lance"):  # pragma: no cover
+    if HAVE_LANCE and out_dir.endswith(".lance"):
         ds.write_lance(out_dir)
         return
     kwargs = {}

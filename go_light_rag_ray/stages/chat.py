@@ -392,3 +392,75 @@ def transcript_chat(
         return base_response
 
     return chat
+
+
+def http_chat(
+    endpoint: str | None = None,
+    model: str | None = None,
+    api_key: str | None = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    timeout_s: float = 60.0,
+    sleep=None,
+) -> ChatFn:
+    """OpenAI-compatible ``/chat/completions`` adapter behind the Chat
+    seam (the reference's llm/openai.go:23-98 / openaicompat.go, stdlib
+    ``urllib`` — no extra dependency).
+
+    The reference's ``[]string`` message convention maps to roles by
+    index parity (even = user, odd = assistant — llm/openai.go:41-49).
+    Transport/HTTP errors retry with exponential backoff, the envelope of
+    the reference's insert-loop retry (insert.go:326-348); response
+    *content* problems (bad JSON from the model) are NOT retried here —
+    the ``Extractor`` retry shell (T6) owns those, exactly as in the
+    reference.
+
+    ``endpoint`` defaults to ``$GRAFT_CHAT_ENDPOINT`` (a base URL such as
+    ``http://localhost:8080/v1``); the adapter is only constructible when
+    one is configured, so hermetic runs never touch the network.
+    ``sleep`` is injectable for tests."""
+    import json
+    import os
+    import time
+    import urllib.error
+    import urllib.request
+
+    endpoint = endpoint or os.environ.get("GRAFT_CHAT_ENDPOINT")
+    if not endpoint:
+        raise ValueError(
+            "http_chat needs an endpoint (arg or $GRAFT_CHAT_ENDPOINT)")
+    model = model or os.environ.get("GRAFT_CHAT_MODEL", "default")
+    api_key = api_key if api_key is not None else os.environ.get(
+        "GRAFT_CHAT_API_KEY")
+    url = endpoint.rstrip("/") + "/chat/completions"
+    do_sleep = sleep if sleep is not None else time.sleep
+
+    def chat(messages: list[str]) -> str:
+        payload = json.dumps({
+            "model": model,
+            "messages": [
+                {"role": "user" if i % 2 == 0 else "assistant", "content": m}
+                for i, m in enumerate(messages)
+            ],
+        }).encode()
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        last_err: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(url, data=payload,
+                                             headers=headers, method="POST")
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    body = json.loads(resp.read().decode("utf-8"))
+                return body["choices"][0]["message"]["content"]
+            except (urllib.error.URLError, OSError, KeyError,
+                    IndexError, json.JSONDecodeError) as exc:
+                last_err = exc
+                if attempt < max_retries:
+                    do_sleep(backoff_s * (2 ** attempt))
+        raise RuntimeError(
+            f"chat endpoint failed after {max_retries + 1} attempts: "
+            f"{last_err}") from last_err
+
+    return chat

@@ -292,3 +292,125 @@ def test_chat_summarizer_in_pipeline():
     assert rows
     overflowed = [r for r in rows if r["descriptions"] == ["seam summary"]]
     assert overflowed, "expected at least one summarized row"
+
+
+# ---------------------------------------------------------------------------
+# http_chat: the real-adapter seam against a local fake OpenAI server
+# ---------------------------------------------------------------------------
+
+def _fake_openai_server(script):
+    """Start a loopback HTTP server; ``script`` is a list of handlers —
+    each request pops the next entry: int → respond that status with empty
+    body; str → 200 with an OpenAI-shaped completion payload.  Returns
+    (base_url, seen_payloads, shutdown_fn)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen.append(json.loads(self.rfile.read(n).decode()))
+            step = script.pop(0) if script else 500
+            if isinstance(step, int):
+                self.send_response(step)
+                self.end_headers()
+                return
+            body = json.dumps({"choices": [{"message": {
+                "role": "assistant", "content": step}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return (f"http://127.0.0.1:{srv.server_port}/v1", seen,
+            srv.shutdown)
+
+
+def test_http_chat_retries_transport_errors_then_succeeds():
+    from go_light_rag_ray.stages.chat import http_chat
+
+    url, seen, stop = _fake_openai_server([500, 500, "hello back"])
+    naps = []
+    try:
+        chat = http_chat(endpoint=url, model="m1", api_key="k",
+                         max_retries=3, backoff_s=0.1,
+                         sleep=naps.append)
+        out = chat(["hi there", "prior reply", "again"])
+    finally:
+        stop()
+    assert out == "hello back"
+    assert naps == [0.1, 0.2]                       # exponential envelope
+    assert len(seen) == 3
+    # []string → role-by-parity mapping (llm/openai.go:41-49)
+    assert [m["role"] for m in seen[-1]["messages"]] == [
+        "user", "assistant", "user"]
+    assert seen[-1]["model"] == "m1"
+
+
+def test_http_chat_exhausts_and_raises():
+    import pytest
+
+    from go_light_rag_ray.stages.chat import http_chat
+
+    url, _seen, stop = _fake_openai_server([500, 500, 500])
+    try:
+        chat = http_chat(endpoint=url, max_retries=2, backoff_s=0,
+                         sleep=lambda s: None)
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            chat(["hi"])
+    finally:
+        stop()
+
+
+def test_http_chat_requires_endpoint(monkeypatch):
+    import pytest
+
+    from go_light_rag_ray.stages.chat import http_chat
+
+    monkeypatch.delenv("GRAFT_CHAT_ENDPOINT", raising=False)
+    with pytest.raises(ValueError, match="endpoint"):
+        http_chat()
+
+
+def test_http_chat_drives_full_glean_loop():
+    """The reference extract → glean → decide loop (insert.go:298-452)
+    through the REAL network adapter against the fake server: base
+    extraction + one glean + a decide-continue 'no'."""
+    from go_light_rag_ray.stages.chat import ChatRules, http_chat
+
+    base = (
+        '{"entities": [{"entity_name": "ACME", "entity_type":'
+        ' "organization", "entity_description": "a company"}],'
+        ' "relationships": []}'
+    )
+    glean = (
+        '{"entities": [{"entity_name": "BOB", "entity_type": "person",'
+        ' "entity_description": "a person"}], "relationships":'
+        ' [{"source_entity": "ACME", "target_entity": "BOB",'
+        ' "relationship_description": "employs",'
+        ' "relationship_keywords": ["employment"],'
+        ' "relationship_strength": 2.0}]}'
+    )
+    url, seen, stop = _fake_openai_server([base, glean, '"no"'])
+    try:
+        rules = ChatRules(http_chat(endpoint=url, backoff_s=0,
+                                    sleep=lambda s: None),
+                          max_glean_count=1)
+        rounds = rules.extract_rounds("d1", "c1", "ACME hired BOB.")
+    finally:
+        stop()
+    ents = [e for ents, _ in rounds for e in ents]
+    rels = [r for _, rels in rounds for r in rels]
+    assert {e[0] for e in ents} == {"ACME", "BOB"}
+    assert rels and rels[0][0] == "ACME" and rels[0][1] == "BOB"
+    assert len(seen) == 3                 # extract, glean, decide
