@@ -297,3 +297,69 @@ def test_bucketed_join_partition_is_lossless(lk, rk, buckets, salt):
         got.extend(tuple(r.values()) for r in
                    lt.join(rt, keys="__k", join_type="inner").to_pylist())
     assert sorted(got) == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abcz 0123XY.,'\t\n\x00é ")),
+        max_size=60),
+    min_size=1, max_size=8))
+def test_chunker_fast_path_fuzz(texts):
+    """Property: the vectorized batched Chunker emits rows identical to
+    the per-doc chunk_text kernel for ARBITRARY content (the fast-path
+    guard must never change output, only speed)."""
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.chunker import (
+        Chunker,
+        ChunkerConfig,
+        chunk_text,
+        clean_content,
+    )
+    from go_light_rag_ray.tokenizer import get_tokenizer
+
+    cfg = ChunkerConfig(tokenizer="regex", content_mode="text",
+                        max_tokens=8, overlap_tokens=2)
+    tok = get_tokenizer("regex")
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    want = []
+    for i, t in enumerate(texts):
+        doc_id = cfg.doc_id_format.format(i)
+        for piece, ts, oi in chunk_text(clean_content(t), tok,
+                                        cfg.max_tokens, cfg.overlap_tokens):
+            want.append((f"{doc_id}-chunk-{oi}", doc_id, oi, piece, ts))
+    got = Chunker(cfg)(batch)
+    got_rows = list(zip(
+        got.column("chunk_id").to_pylist(), got.column("doc_id").to_pylist(),
+        got.column("order_index").to_pylist(),
+        got.column("content").to_pylist(),
+        got.column("token_size").to_pylist()))
+    assert got_rows == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                max_size=40),
+       st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                max_size=40))
+def test_lp_digits_order_preserving(xs, ys):
+    """Property: the length-prefixed decimal encoding is order-preserving
+    and prefix-free — byte order of lp(a)+lp(b) == tuple order (a, b)."""
+    from go_light_rag_ray.stages.canonicalize import _lp_digits
+
+    import numpy as np
+
+    enc_x = _lp_digits(np.array(xs, np.int64)).to_pylist()
+    assert sorted(enc_x) == [e for _, e in sorted(zip(xs, enc_x))]
+    # pairwise concatenation preserves tuple order
+    n = min(len(xs), len(ys))
+    pairs = list(zip(xs[:n], ys[:n]))
+    enc_y = _lp_digits(np.array(ys, np.int64)).to_pylist()
+    joined = [ex + ey for ex, ey in zip(enc_x[:n], enc_y[:n])]
+    order_t = sorted(range(n), key=lambda i: pairs[i])
+    order_s = sorted(range(n), key=lambda i: (joined[i], i))
+    # stable tie handling: compare full sort of (pair) vs (joined)
+    assert [pairs[i] for i in order_t] == sorted(pairs)
+    assert sorted(joined) == [joined[i] for i in
+                              sorted(range(n), key=lambda i: (pairs[i], joined[i]))]

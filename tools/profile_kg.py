@@ -45,13 +45,20 @@ def main() -> int:
         rep = args.rep
 
         def replicate(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_pylist()
-            texts = b.column("text").to_pylist()
-            oi, ot = [], []
-            for r in range(rep):
-                oi.extend(f"{i}r{r}" for i in ids)
-                ot.extend(texts)
-            return pa.table({"doc_id": oi, "text": ot})
+            import numpy as np
+            import pyarrow.compute as pc
+
+            n = b.num_rows
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), rep))
+            suf = pc.cast(pa.array(
+                np.repeat(np.arange(rep, dtype=np.int64), n)), pa.string())
+            ids = pc.binary_join_element_wise(
+                pc.cast(b.column("doc_id").combine_chunks().take(idx),
+                        pa.string()),
+                pa.array(["r"] * (n * rep), pa.string()), suf, "")
+            return pa.table({
+                "doc_id": ids,
+                "text": b.column("text").combine_chunks().take(idx)})
 
         docs = docs.map_batches(replicate, batch_format="pyarrow")
     docs = docs.map_batches(
