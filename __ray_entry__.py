@@ -587,6 +587,40 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return featurize_media(docs, backend="fake")
 
 
+def q_media_decode(sf_dir: str) -> ray.data.Dataset:
+    """REAL image decode end-to-end (stages/mediadec.py): media spans →
+    deterministic P6 PPM payloads synthesized from each ref's md5 →
+    actual PNM parse + pixel feature math in the actor pool.  The oracle
+    recomputes the expected features from md5 arithmetic; the engine
+    gets them by encoding and then DECODING real image bytes."""
+    from go_light_rag_ray.sources.io import flat_documents_as_interleaved
+    from go_light_rag_ray.stages.mediadec import (
+        RawMediaFeaturizer,
+        synthesize_ppm,
+    )
+    from go_light_rag_ray.stages.multimodal import extract_media_spans
+
+    docs = _raw_docs(sf_dir).map_batches(
+        flat_documents_as_interleaved, batch_format="pyarrow"
+    )
+
+    def attach_payload(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "payload",
+            pa.array([synthesize_ppm(r)
+                      for r in b.column("media_ref").to_pylist()],
+                     pa.binary()))
+
+    return (
+        extract_media_spans(docs)
+        .map_batches(attach_payload, batch_format="pyarrow")
+        # small batches: binary payloads × pool concurrency must fit the
+        # worker heap (the multimodal batch-sizing rule)
+        .map_batches(RawMediaFeaturizer, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8))
+    )
+
+
 def q_kg_degrees(sf_dir: str) -> ray.data.Dataset:
     """Per-entity degree over the canonical graph (reference A4,
     neo.go:410-472): every node contributes 0, every edge endpoint 1."""
@@ -2841,6 +2875,38 @@ SELECT did AS doc_id, span_index, 'image' AS kind, ref AS media_ref,
 FROM media
 """
 
+# the media_decode oracle recomputes the features the engine obtains by
+# actually DECODING synthesized P6 bytes (mediadec.synthesize_ppm):
+# constant-channel images make floor channel means == the md5 bytes and
+# the spread == greatest-least — pure integer arithmetic on both sides
+_MEDIA_DECODE_SQL = r"""
+WITH docs AS (
+  SELECT 'doc-' || doc_id::VARCHAR AS did,
+         len(regexp_extract_all(text, '\S+')) // 40 AS n_img
+  FROM documents
+),
+media AS (
+  SELECT did, (k + 1)::INTEGER AS span_index,
+         'media://' || did || '/' || k::VARCHAR AS ref
+  FROM docs, unnest(range(0, n_img)) AS u(k)
+),
+b AS (
+  SELECT did, span_index, ref,
+         ('0x' || substr(md5(ref), 1, 2))::INTEGER AS b0,
+         ('0x' || substr(md5(ref), 3, 2))::INTEGER AS b1,
+         ('0x' || substr(md5(ref), 5, 2))::INTEGER AS b2,
+         ('0x' || substr(md5(ref), 7, 2))::INTEGER AS b3,
+         ('0x' || substr(md5(ref), 9, 2))::INTEGER AS b4
+  FROM media
+)
+SELECT did AS doc_id, span_index, 'image' AS kind, ref AS media_ref,
+       (4 + b0 % 13)::INTEGER AS width,
+       (4 + b1 % 13)::INTEGER AS height,
+       b2::INTEGER AS f0, b3::INTEGER AS f1, b4::INTEGER AS f2,
+       (greatest(b2, b3, b4) - least(b2, b3, b4))::INTEGER AS f3
+FROM b
+"""
+
 # independent SQL derivation of the interleaved span sequence (the
 # flat_documents_as_interleaved rule): one text span at order 0, one image
 # span per full 40 words at order k+1 — fingerprinted exactly like
@@ -3896,6 +3962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks_by_handler": q_chunks_by_handler,
         "chunks_router_default": q_chunks_router_default,
         "chunk_embeddings": q_chunk_embeddings,
+        "media_decode": q_media_decode,
     }
 
 
@@ -3978,6 +4045,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "ann_topk_ivf": _ANN_TOPK_IVF_SQL,
         "embed_clusters": _EMBED_CLUSTERS_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "media_decode": _MEDIA_DECODE_SQL,
         "span_check": _SPAN_CHECK_SQL,
         "window_distinct": _WINDOW_DISTINCT_SQL,
         "events_hll": _EVENTS_HLL_SQL,
