@@ -588,15 +588,18 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
-    """REAL image decode end-to-end (stages/mediadec.py): media spans →
-    deterministic P6 PPM payloads synthesized from each ref's md5 →
-    actual PNM parse + pixel feature math in the actor pool.  The oracle
-    recomputes the expected features from md5 arithmetic; the engine
-    gets them by encoding and then DECODING real image bytes."""
+    """REAL media decode end-to-end (stages/mediadec.py): media spans →
+    deterministic payloads synthesized from each ref's md5 — P6 PPM for
+    even span slots, PCM-16 WAV for odd slots (so BOTH decode paths run
+    driver-green) — then actual PNM/RIFF parsing + integer feature math
+    in the actor pool.  The oracle recomputes the expected features from
+    md5 arithmetic; the engine gets them by encoding and then DECODING
+    real bytes."""
     from go_light_rag_ray.sources.io import flat_documents_as_interleaved
     from go_light_rag_ray.stages.mediadec import (
         RawMediaFeaturizer,
         synthesize_ppm,
+        synthesize_wav,
     )
     from go_light_rag_ray.stages.multimodal import extract_media_spans
 
@@ -605,11 +608,19 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     )
 
     def attach_payload(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "payload",
-            pa.array([synthesize_ppm(r)
-                      for r in b.column("media_ref").to_pylist()],
-                     pa.binary()))
+        refs = b.column("media_ref").to_pylist()
+        slots = b.column("span_index").to_pylist()   # k = span_index - 1
+        payloads, kinds = [], []
+        for r, si in zip(refs, slots):
+            if (si - 1) % 2 == 1:
+                payloads.append(synthesize_wav(r))
+                kinds.append("audio")
+            else:
+                payloads.append(synthesize_ppm(r))
+                kinds.append("image")
+        return (b.set_column(b.schema.get_field_index("kind"), "kind",
+                             pa.array(kinds, pa.string()))
+                 .append_column("payload", pa.array(payloads, pa.binary())))
 
     return (
         extract_media_spans(docs)
@@ -2891,19 +2902,29 @@ media AS (
   FROM docs, unnest(range(0, n_img)) AS u(k)
 ),
 b AS (
-  SELECT did, span_index, ref,
+  SELECT did, span_index, ref, (span_index - 1) % 2 AS par,
          ('0x' || substr(md5(ref), 1, 2))::INTEGER AS b0,
          ('0x' || substr(md5(ref), 3, 2))::INTEGER AS b1,
          ('0x' || substr(md5(ref), 5, 2))::INTEGER AS b2,
          ('0x' || substr(md5(ref), 7, 2))::INTEGER AS b3,
-         ('0x' || substr(md5(ref), 9, 2))::INTEGER AS b4
+         ('0x' || substr(md5(ref), 9, 2))::INTEGER AS b4,
+         ('0x' || substr(md5(ref), 11, 2))::INTEGER AS b5,
+         ('0x' || substr(md5(ref), 13, 2))::INTEGER AS b6
   FROM media
 )
-SELECT did AS doc_id, span_index, 'image' AS kind, ref AS media_ref,
-       (4 + b0 % 13)::INTEGER AS width,
-       (4 + b1 % 13)::INTEGER AS height,
-       b2::INTEGER AS f0, b3::INTEGER AS f1, b4::INTEGER AS f2,
-       (greatest(b2, b3, b4) - least(b2, b3, b4))::INTEGER AS f3
+SELECT did AS doc_id, span_index,
+       CASE WHEN par = 1 THEN 'audio' ELSE 'image' END AS kind,
+       ref AS media_ref,
+       CASE WHEN par = 1 THEN 80
+            ELSE 4 + b0 % 13 END::INTEGER AS width,
+       CASE WHEN par = 1 THEN 16 + b5 % 64
+            ELSE 4 + b1 % 13 END::INTEGER AS height,
+       CASE WHEN par = 1 THEN 1 ELSE b2 END::INTEGER AS f0,
+       CASE WHEN par = 1 THEN b6 ELSE b3 END::INTEGER AS f1,
+       CASE WHEN par = 1 THEN b6 ELSE b4 END::INTEGER AS f2,
+       CASE WHEN par = 1 THEN 0
+            ELSE greatest(b2, b3, b4) - least(b2, b3, b4)
+       END::INTEGER AS f3
 FROM b
 """
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 from .multimodal import MEDIA_FEATURES_SCHEMA
 
 __all__ = ["decode_image", "decode_wav_pcm", "RawMediaFeaturizer",
-           "synthesize_ppm", "image_features"]
+           "synthesize_ppm", "synthesize_wav", "image_features"]
 
 _WS = b" \t\r\n"
 
@@ -141,6 +141,20 @@ def image_features(px: np.ndarray) -> tuple[int, int, int, int]:
     n = px.shape[0] * px.shape[1]
     means = [int(px[:, :, c].sum(dtype=np.int64)) // n for c in range(3)]
     return means[0], means[1], means[2], max(means) - min(means)
+
+
+def synthesize_wav(ref: str) -> bytes:
+    """Deterministic mono PCM-16 WAV from a media ref: 8 kHz,
+    16 + d[5]%64 frames of the constant sample d[6] (md5 bytes) — decoded
+    features are md5 arithmetic a SQL oracle can recompute while the
+    engine round-trips real RIFF/WAVE bytes."""
+    d = hashlib.md5((ref or "").encode()).digest()
+    n = 16 + d[5] % 64
+    samples = np.full(n, d[6], "<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def synthesize_ppm(ref: str) -> bytes:

@@ -126,3 +126,16 @@ def test_raw_featurizer_stage_mixed_and_skip(ray_session):
     with pytest.raises(Exception):
         ds.map_batches(RawMediaFeaturizer, batch_format="pyarrow",
                        concurrency=1).take_all()
+
+
+def test_synthesize_wav_decodes_to_md5_features():
+    import hashlib
+
+    ref = "media://doc-7/1"
+    d = hashlib.md5(ref.encode()).digest()
+    from go_light_rag_ray.stages.mediadec import synthesize_wav
+
+    rate, ch, samples = decode_wav_pcm(synthesize_wav(ref))
+    assert rate == 8000 and ch == 1
+    assert len(samples) == 16 + d[5] % 64
+    assert (samples == d[6]).all()
