@@ -528,6 +528,16 @@ def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_split_leakage_safe(sf_dir: str) -> ray.data.Dataset:
+    """Leakage-safe split: hash the near-dup CLUSTER id, not the doc id,
+    so every member of a duplicate cluster lands in the same split (no
+    train→test contamination through near-duplicates).  Composes the
+    cached cluster table with stages/sampling.split_by_cluster."""
+    from go_light_rag_ray.stages.sampling import split_by_cluster
+
+    return split_by_cluster(_clusters(sf_dir))
+
+
 def q_hash_sample(sf_dir: str) -> ray.data.Dataset:
     from go_light_rag_ray.stages.sampling import hash_sample
 
@@ -2886,6 +2896,11 @@ SELECT did AS doc_id, span_index, 'image' AS kind, ref AS media_ref,
 FROM media
 """
 
+# leakage-safe split oracle: the dedup_clusters derivation with the
+# split_assign md5-range formula applied to cluster_id instead of doc_id
+_SPLIT_LEAKAGE_SAFE_SQL = "SELECT doc_id, cluster_id, CASE WHEN ('0x' || substr(md5('split' || cluster_id::VARCHAR), 1, 8))::BIGINT < 3435973836 THEN 'train' WHEN ('0x' || substr(md5('split' || cluster_id::VARCHAR), 1, 8))::BIGINT < 3865470566 THEN 'val' ELSE 'test' END AS split FROM (" + _DEDUP_CLUSTERS_SQL + ")"
+
+
 # the media_decode oracle recomputes the features the engine obtains by
 # actually DECODING synthesized P6 bytes (mediadec.synthesize_ppm):
 # constant-channel images make floor channel means == the md5 bytes and
@@ -3984,6 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks_router_default": q_chunks_router_default,
         "chunk_embeddings": q_chunk_embeddings,
         "media_decode": q_media_decode,
+        "split_leakage_safe": q_split_leakage_safe,
     }
 
 
@@ -4067,6 +4083,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "embed_clusters": _EMBED_CLUSTERS_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "media_decode": _MEDIA_DECODE_SQL,
+        "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
         "span_check": _SPAN_CHECK_SQL,
         "window_distinct": _WINDOW_DISTINCT_SQL,
         "events_hll": _EVENTS_HLL_SQL,

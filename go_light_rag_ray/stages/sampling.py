@@ -199,3 +199,35 @@ def mix_corpora(
         based.map_batches(priority, batch_format="pyarrow"),
         "_k2", "_one", out_col="mix_order")
     return mixed.drop_columns(["_k2", "_one"])
+
+
+def split_by_cluster(
+    clusters: ray.data.Dataset,
+    cluster_col: str = "cluster_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """Leakage-safe train/val/test split: hash the duplicate-CLUSTER id,
+    not the document id, so every member of a near-duplicate cluster
+    lands in the same split — the standard guard against train→test
+    contamination via near-duplicates (the reason decontamination
+    pipelines dedup before splitting).
+
+    Input is the `(doc_id, cluster_id)` table `dedup.cluster_duplicates`
+    emits (cluster_id = smallest member id; singletons are their own
+    cluster, so unclustered corpora degrade exactly to ``split_assign``).
+    One stateless ``map_batches`` — the cluster table streams, nothing
+    materializes."""
+    t1 = int(train * HASH_SPACE)
+    t2 = int((train + val) * HASH_SPACE)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cids = b.column(cluster_col).to_pylist()
+        splits = []
+        for c in cids:
+            h = _bucket(str(c), salt)
+            splits.append("train" if h < t1 else "val" if h < t2 else "test")
+        return b.append_column("split", pa.array(splits, pa.string()))
+
+    return clusters.map_batches(assign, batch_format="pyarrow")

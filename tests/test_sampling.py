@@ -77,3 +77,22 @@ def test_mix_corpora_rejects_bad_weights(ray_session):
         mix_corpora(_mix_ds([("a", "A")]), {})
     with pytest.raises(ValueError):
         mix_corpora(_mix_ds([("a", "A")]), {"A": 0})
+
+
+def test_split_by_cluster_keeps_duplicates_together(ray_session):
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.sampling import split_assign, split_by_cluster
+
+    # three clusters: {1,2,3} under rep 1, {7,8} under 7, singleton 9
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 7, 8, 9],
+        "cluster_id": [1, 1, 1, 7, 7, 9],
+    }))
+    rows = {r["doc_id"]: r for r in split_by_cluster(clusters).take_all()}
+    assert len({rows[d]["split"] for d in (1, 2, 3)}) == 1   # co-assigned
+    assert len({rows[d]["split"] for d in (7, 8)}) == 1
+    # singleton == plain split_assign on its own id
+    solo = split_assign(ray.data.from_arrow(
+        pa.table({"doc_id": [9]}))).take_all()[0]["split"]
+    assert rows[9]["split"] == solo
