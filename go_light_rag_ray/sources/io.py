@@ -40,6 +40,14 @@ def flat_documents_as_interleaved(batch: pa.Table) -> pa.Table:
 
     Vectorized (this adapter sits inside the timed flagship path): span
     structs assemble from flat Arrow arrays + offsets — no per-doc Python.
+
+    ASCII contract (deliberate, see CLAUDE.md's ``pc.ascii_*`` rule): media
+    span ``offset`` is the text's BYTE length (``pc.binary_length``), and
+    word counts come from ``ascii_split_whitespace`` — both byte-identical
+    to code-point semantics for the ASCII corpus this engine targets, but a
+    non-ASCII input would see byte offsets (not code points) and ASCII-only
+    whitespace splitting.  Matching the oracle's ``\\S+`` requires exactly
+    this pairing.
     """
     import numpy as np
     import pyarrow.compute as pc

@@ -454,6 +454,17 @@ def http_chat(
                 with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                     body = json.loads(resp.read().decode("utf-8"))
                 return body["choices"][0]["message"]["content"]
+            except urllib.error.HTTPError as exc:
+                # 4xx (except 429) means the REQUEST is wrong — bad auth,
+                # bad model name, malformed payload.  Backoff cannot fix
+                # it; fail fast instead of burning max_retries cycles.
+                last_err = exc
+                if exc.code < 500 and exc.code != 429:
+                    raise RuntimeError(
+                        f"chat endpoint rejected the request "
+                        f"(HTTP {exc.code}, not retryable): {exc}") from exc
+                if attempt < max_retries:
+                    do_sleep(backoff_s * (2 ** attempt))
             except (urllib.error.URLError, OSError, KeyError,
                     IndexError, json.JSONDecodeError) as exc:
                 last_err = exc

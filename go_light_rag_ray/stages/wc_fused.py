@@ -221,8 +221,13 @@ def word_cooccurrence_partials(
     nd = len(docs_u)
     bd = _bitwidth(max(1, nd - 1))
     ob = codec.bits
-    # widest pack: ph desc = key(KB) + (ek + verb + doc) + occ
-    if _KEY_BITS + (2 * _KEY_BITS + 1 + bd) + ob > 62 or ob + 1 + bc > 62:
+    # Every _dedup_runs pack below must fit 62 bits (sign-safe int64 sort).
+    # Widest by family: ph desc = KB + (ek + verb + doc) = 3KB + 1 + bd;
+    # edge srcid = ek + chunk = 2KB + bc; kw = ek + 2 + (occ·pos) pos bit.
+    # The ent packs (KB + bd / KB + bc) are strictly narrower.
+    if max(3 * _KEY_BITS + 1 + bd,
+           2 * _KEY_BITS + bc,
+           2 * _KEY_BITS + 3) + ob > 62:
         return None
 
     ent_occ = codec.pack(d_row[ent_par], orders_row[ent_par], ent_mi)

@@ -414,3 +414,83 @@ def test_http_chat_drives_full_glean_loop():
     assert {e[0] for e in ents} == {"ACME", "BOB"}
     assert rels and rels[0][0] == "ACME" and rels[0][1] == "BOB"
     assert len(seen) == 3                 # extract, glean, decide
+
+
+def test_http_chat_fails_fast_on_4xx():
+    """Non-retryable client errors (bad auth, bad model) abort immediately
+    instead of burning max_retries backoff cycles; 429 and 5xx still
+    retry (ADVICE r4)."""
+    import pytest
+
+    from go_light_rag_ray.stages.chat import http_chat
+
+    url, seen, stop = _fake_openai_server([401, 200])
+    naps = []
+    try:
+        chat = http_chat(endpoint=url, max_retries=5, backoff_s=1.0,
+                         sleep=naps.append)
+        with pytest.raises(RuntimeError, match="HTTP 401"):
+            chat(["hi"])
+    finally:
+        stop()
+    assert len(seen) == 1 and naps == []      # no retry, no backoff
+    # 429 DOES retry
+    url, seen, stop = _fake_openai_server([429, "ok then"])
+    try:
+        chat = http_chat(endpoint=url, max_retries=2, backoff_s=0,
+                         sleep=lambda s: None)
+        assert chat(["hi"]) == "ok then"
+    finally:
+        stop()
+    assert len(seen) == 2
+
+
+def test_http_chat_through_extract_mentions_pipeline(ray_session):
+    """VERDICT r4 #7: the full extract → glean → decide loop through the
+    REAL network adapter INSIDE the Ray actor pool — ``extract_mentions``
+    runs ``ChatRules(http_chat(...))`` per chunk against the local fake
+    server, with one transport 500 retried by the in-actor envelope."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.pipelines.kg import (Handler, chunk_documents,
+                                               extract_mentions)
+    from go_light_rag_ray.sources.io import flat_documents_as_interleaved
+    from go_light_rag_ray.stages.chat import ChatRules, http_chat
+
+    base = (
+        '{"entities": [{"entity_name": "ACME", "entity_type":'
+        ' "organization", "entity_description": "a company"}],'
+        ' "relationships": []}'
+    )
+    glean = (
+        '{"entities": [], "relationships":'
+        ' [{"source_entity": "ACME", "target_entity": "BOB",'
+        ' "relationship_description": "employs",'
+        ' "relationship_keywords": ["employment"],'
+        ' "relationship_strength": 2.0}]}'
+    )
+    # 2 docs → 2 chunks, 3 calls each, +1 retried transport 500 up front;
+    # both chunks share identical payloads so arrival order is irrelevant
+    script = [500] + [base, glean, '"no"'] * 2
+    url, seen, stop = _fake_openai_server(script)
+    try:
+        flat = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": ["acme hired bob", "acme fired bob"]})
+        docs = ray.data.from_arrow(flat).map_batches(
+            flat_documents_as_interleaved, batch_format="pyarrow")
+        handler = Handler(
+            rules=ChatRules(http_chat(endpoint=url, backoff_s=0,
+                                      sleep=lambda s: None),
+                            max_glean_count=1),
+            chunker_concurrency=1, extractor_concurrency=1)
+        rows = extract_mentions(
+            chunk_documents(docs, handler), handler).take_all()
+    finally:
+        stop()
+    assert len(seen) == 7                 # 1 retried + (extract/glean/decide)×2
+    names = {r["name"] for r in rows if r["kind"] == "entity"}
+    assert "ACME" in names
+    rels = [r for r in rows if r["kind"] == "relationship"]
+    # glean-round relationship with a placeholder endpoint survived the pool
+    assert any(r["src"] == "ACME" and r["tgt"] == "BOB" for r in rels)
