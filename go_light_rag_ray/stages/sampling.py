@@ -26,28 +26,132 @@ def _bucket(key: str, salt: str) -> int:
     return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
 
 
+def _salted_bytes(keys, salt: str):
+    """Arrow-vectorized ``salt + str(key)`` prep → (offsets, data memoryview).
+
+    Rendering (int → decimal string) and the salt prefix run in Arrow C++;
+    callers hash zero-copy slices of the joined buffer."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    n = len(arr)
+    joined = pc.binary_join_element_wise(
+        pa.scalar(salt, pa.string()), pc.cast(arr, pa.string()), "")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    voff = joined.offset
+    offs = np.frombuffer(joined.buffers()[1], np.int32)[voff:voff + n + 1]
+    return offs, memoryview(joined.buffers()[2])
+
+
+def _bucket_batch(keys, salt: str):
+    """md5 bucket for every key in one pass: uint32 of the first 4 digest
+    bytes == ``int(hexdigest()[:8], 16)`` == the oracle's
+    ``substr(md5(salt || id), 1, 8)``.
+
+    md5 itself cannot vectorize (the oracle contract pins the hash — see
+    CLAUDE.md), so the digest loop stays per row, but stripped to one
+    minimal statement over zero-copy memoryview slices; the f-string /
+    hexdigest / int-parse overhead of the naive loop is gone (~5-7×
+    measured at 10M rows).  For runs that don't need oracle parity,
+    ``hash_fn="fnv1a64"`` below is fully vectorized."""
+    import numpy as np
+
+    offs, mv = _salted_bytes(keys, salt)
+    n = len(offs) - 1
+    if n == 0:
+        return np.empty(0, np.uint32)
+    md5 = hashlib.md5
+    digests = b"".join(
+        md5(mv[offs[j]:offs[j + 1]]).digest()[:4] for j in range(n))
+    return np.frombuffer(digests, ">u4").astype(np.uint32)
+
+
+def _fnv1a64_batch(keys, salt: str):
+    """Vectorized FNV-1a 64 over ``salt + str(key)`` with a splitmix64
+    finalizer, top 32 bits as the bucket — the documented production fast
+    path (``hash_fn="fnv1a64"``): no per-row Python at all (the byte
+    stream processes column-by-column across all rows), but NOT the
+    oracle's md5, so only for runs that don't need SQL-oracle parity.
+
+    The finalizer matters: raw FNV-1a top bits are visibly non-uniform on
+    short sequential keys (a 2000-id split read 0.695 where 0.8 was asked;
+    mixed, it reads 0.80±0.01)."""
+    import numpy as np
+
+    offs, mv = _salted_bytes(keys, salt)
+    n = len(offs) - 1
+    if n == 0:
+        return np.empty(0, np.uint32)
+    data = np.frombuffer(mv, np.uint8)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    starts = offs[:-1].astype(np.int64)
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max(initial=0))):
+            live = lens > j
+            idx = starts[live] + j
+            hv = h[live]
+            hv = (hv ^ data[idx].astype(np.uint64)) * prime
+            h[live] = hv
+        # splitmix64 finalizer (Steele et al., public domain constants)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return (h >> np.uint64(32)).astype(np.uint32)
+
+
+def _md5_hex8_batch(keys, salt: str) -> pa.Array:
+    """First 8 hex chars of md5(salt+key) per row as a StringArray, built
+    without per-row Python strings: one hexlify over the packed digests,
+    fixed-stride offsets."""
+    import binascii
+
+    import numpy as np
+
+    offs, mv = _salted_bytes(keys, salt)
+    n = len(offs) - 1
+    md5 = hashlib.md5
+    digests = b"".join(
+        md5(mv[offs[j]:offs[j + 1]]).digest()[:4] for j in range(n))
+    hx = binascii.hexlify(digests)
+    out_offs = np.arange(0, 8 * (n + 1), 8, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(hx))
+
+
+_BUCKET_FNS = {"md5": _bucket_batch, "fnv1a64": _fnv1a64_batch}
+_SPLIT_LABELS = pa.array(["train", "val", "test"], pa.string())
+
+
 def split_assign(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     train: float = 0.8,
     val: float = 0.1,
     salt: str = "split",
+    hash_fn: str = "md5",
 ) -> ray.data.Dataset:
     """→ input rows + a ``split`` column ∈ {train, val, test}.
 
     Thresholds are integer bucket bounds (train < t1 ≤ val < t2 ≤ test), so
-    assignment is exact and identical in the SQL oracle.
+    assignment is exact and identical in the SQL oracle (``hash_fn="md5"``,
+    the default; ``"fnv1a64"`` is the vectorized production mode without
+    oracle parity).
     """
     t1 = int(train * HASH_SPACE)
     t2 = int((train + val) * HASH_SPACE)
+    bucket = _BUCKET_FNS[hash_fn]
 
     def assign(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        splits = []
-        for i in ids:
-            h = _bucket(str(i), salt)
-            splits.append("train" if h < t1 else "val" if h < t2 else "test")
-        return b.append_column("split", pa.array(splits, pa.string()))
+        h = bucket(b.column(id_col), salt)
+        code = (h >= t1).astype("int32") + (h >= t2)
+        return b.append_column(
+            "split", _SPLIT_LABELS.take(pa.array(code)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
@@ -73,9 +177,8 @@ def stratified_sample(
     from .sortagg import sorted_topk
 
     def add_hash(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        hx = [hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8] for i in ids]
-        return b.append_column("_strat_h", pa.array(hx, pa.string()))
+        return b.append_column(
+            "_strat_h", _md5_hex8_batch(b.column(id_col), salt))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     out = sorted_topk(hashed, keys=[group_col], order_by=["_strat_h", id_col],
@@ -94,8 +197,7 @@ def hash_sample(
     t = int(fraction * HASH_SPACE)
 
     def keep(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        mask = pa.array([_bucket(str(i), salt) < t for i in ids])
+        mask = pa.array(_bucket_batch(b.column(id_col), salt) < t)
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -207,6 +309,7 @@ def split_by_cluster(
     train: float = 0.8,
     val: float = 0.1,
     salt: str = "split",
+    hash_fn: str = "md5",
 ) -> ray.data.Dataset:
     """Leakage-safe train/val/test split: hash the duplicate-CLUSTER id,
     not the document id, so every member of a near-duplicate cluster
@@ -221,13 +324,12 @@ def split_by_cluster(
     materializes."""
     t1 = int(train * HASH_SPACE)
     t2 = int((train + val) * HASH_SPACE)
+    bucket = _BUCKET_FNS[hash_fn]
 
     def assign(b: pa.Table) -> pa.Table:
-        cids = b.column(cluster_col).to_pylist()
-        splits = []
-        for c in cids:
-            h = _bucket(str(c), salt)
-            splits.append("train" if h < t1 else "val" if h < t2 else "test")
-        return b.append_column("split", pa.array(splits, pa.string()))
+        h = bucket(b.column(cluster_col), salt)
+        code = (h >= t1).astype("int32") + (h >= t2)
+        return b.append_column(
+            "split", _SPLIT_LABELS.take(pa.array(code)))
 
     return clusters.map_batches(assign, batch_format="pyarrow")
