@@ -599,15 +599,19 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
 
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """REAL media decode end-to-end (stages/mediadec.py): media spans →
-    deterministic payloads synthesized from each ref's md5 — P6 PPM for
-    even span slots, PCM-16 WAV for odd slots (so BOTH decode paths run
-    driver-green) — then actual PNM/RIFF parsing + integer feature math
-    in the actor pool.  The oracle recomputes the expected features from
-    md5 arithmetic; the engine gets them by encoding and then DECODING
-    real bytes."""
+    deterministic payloads synthesized from each ref's md5, cycling slot
+    k % 4 through the four decode paths — 8-bit P6 PPM, single-chunk
+    PCM-16 WAV, 16-bit P5 PGM (maxval 65535, big-endian samples), and
+    multi-``data``-chunk WAV (streaming-writer layout; the decoder
+    concatenates chunks, so its features equal the single-chunk case) —
+    then actual PNM/RIFF parsing + integer feature math in the actor
+    pool.  The oracle recomputes the expected features from md5
+    arithmetic; the engine gets them by encoding and then DECODING real
+    bytes."""
     from go_light_rag_ray.sources.io import flat_documents_as_interleaved
     from go_light_rag_ray.stages.mediadec import (
         RawMediaFeaturizer,
+        synthesize_pgm16,
         synthesize_ppm,
         synthesize_wav,
     )
@@ -622,9 +626,16 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
         slots = b.column("span_index").to_pylist()   # k = span_index - 1
         payloads, kinds = [], []
         for r, si in zip(refs, slots):
-            if (si - 1) % 2 == 1:
+            par = (si - 1) % 4
+            if par == 1:
                 payloads.append(synthesize_wav(r))
                 kinds.append("audio")
+            elif par == 3:
+                payloads.append(synthesize_wav(r, n_chunks=2))
+                kinds.append("audio")
+            elif par == 2:
+                payloads.append(synthesize_pgm16(r))
+                kinds.append("image")
             else:
                 payloads.append(synthesize_ppm(r))
                 kinds.append("image")
@@ -2917,27 +2928,37 @@ media AS (
   FROM docs, unnest(range(0, n_img)) AS u(k)
 ),
 b AS (
-  SELECT did, span_index, ref, (span_index - 1) % 2 AS par,
+  SELECT did, span_index, ref, (span_index - 1) % 4 AS par,
          ('0x' || substr(md5(ref), 1, 2))::INTEGER AS b0,
          ('0x' || substr(md5(ref), 3, 2))::INTEGER AS b1,
          ('0x' || substr(md5(ref), 5, 2))::INTEGER AS b2,
          ('0x' || substr(md5(ref), 7, 2))::INTEGER AS b3,
          ('0x' || substr(md5(ref), 9, 2))::INTEGER AS b4,
          ('0x' || substr(md5(ref), 11, 2))::INTEGER AS b5,
-         ('0x' || substr(md5(ref), 13, 2))::INTEGER AS b6
+         ('0x' || substr(md5(ref), 13, 2))::INTEGER AS b6,
+         ('0x' || substr(md5(ref), 15, 2))::INTEGER AS b7
   FROM media
 )
+-- slot cycle: par 0 = 8-bit P6 PPM, par 1 = PCM-16 WAV, par 2 = 16-bit
+-- P5 PGM (constant sample b2·256+b7), par 3 = multi-data-chunk WAV
+-- (same sample stream as par 1, so the audio case is shared)
 SELECT did AS doc_id, span_index,
-       CASE WHEN par = 1 THEN 'audio' ELSE 'image' END AS kind,
+       CASE WHEN par % 2 = 1 THEN 'audio' ELSE 'image' END AS kind,
        ref AS media_ref,
-       CASE WHEN par = 1 THEN 80
+       CASE WHEN par % 2 = 1 THEN 80
             ELSE 4 + b0 % 13 END::INTEGER AS width,
-       CASE WHEN par = 1 THEN 16 + b5 % 64
+       CASE WHEN par % 2 = 1 THEN 16 + b5 % 64
             ELSE 4 + b1 % 13 END::INTEGER AS height,
-       CASE WHEN par = 1 THEN 1 ELSE b2 END::INTEGER AS f0,
-       CASE WHEN par = 1 THEN b6 ELSE b3 END::INTEGER AS f1,
-       CASE WHEN par = 1 THEN b6 ELSE b4 END::INTEGER AS f2,
-       CASE WHEN par = 1 THEN 0
+       CASE WHEN par % 2 = 1 THEN 1
+            WHEN par = 2 THEN b2 * 256 + b7
+            ELSE b2 END::INTEGER AS f0,
+       CASE WHEN par % 2 = 1 THEN b6
+            WHEN par = 2 THEN b2 * 256 + b7
+            ELSE b3 END::INTEGER AS f1,
+       CASE WHEN par % 2 = 1 THEN b6
+            WHEN par = 2 THEN b2 * 256 + b7
+            ELSE b4 END::INTEGER AS f2,
+       CASE WHEN par % 2 = 1 OR par = 2 THEN 0
             ELSE greatest(b2, b3, b4) - least(b2, b3, b4)
        END::INTEGER AS f3
 FROM b
@@ -3886,23 +3907,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analysis, retrieval fusion, sampling, LM, scrub, BPE, ANN+PQ,
         # quantize, multimodal, query ctx, span invariant, windows,
         # sessions, asof, funnel, trending, sketches, relational
-        # join+cube, decontam).  Everything after slot 50 is the family
-        # tail, still verified by tools/check_oracle.py.
+        # join+cube+rollup, decontam).  Everything after slot 50 is the
+        # family tail, still verified by tools/check_oracle.py.
+        # r5 rotation (VERDICT r4 #2): seven thrice-driver-green rows
+        # (kg_triples, kg_degrees, dedup_exact, text_tfidf, ann_topk,
+        # media_features, split_assign) moved to the tail so seven
+        # never-driver-verified family mates (ann_topk_lsh/ivf,
+        # media_decode, split_leakage_safe, events_retention,
+        # session_events_salted, pricing_rollup) earn driver rows.
         "kg_nodes": q_kg_nodes,
         "kg_nodes_deleted": q_kg_nodes_deleted,
         "kg_nodes_updated": q_kg_nodes_updated,
         "kg_diff": q_kg_diff,
         "kg_edges": q_kg_edges,
-        "kg_triples": q_kg_triples,
         "kg_merged_nodes": q_kg_merged_nodes,
         "kg_merged_edges": q_kg_merged_edges,
         "chunks": q_chunks,
         "mentions": q_mentions,
-        "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
         "entity_name_pairs": q_entity_name_pairs,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "dedup_spans": q_dedup_spans,
@@ -3911,34 +3935,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": q_shard_manifest,
         "text_postings": q_text_postings,
         "text_stats": q_text_stats,
-        "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "hybrid_topk": q_hybrid_topk,
         "corpus_diff": q_corpus_diff,
         "curate": q_curate,
-        "split_assign": q_split_assign,
+        "split_leakage_safe": q_split_leakage_safe,
         "text_unigram": q_text_unigram,
         "scrub": q_scrub,
         "bpe_pair_counts": q_bpe_pair_counts,
-        "ann_topk": q_ann_topk,
         "ann_radius": q_ann_radius,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
         "embed_quantize": q_embed_quantize,
-        "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "ctx_local_entities": q_ctx_local_entities,
         "ctx_local_sources": q_ctx_local_sources,
         "ctx_fused_entities": q_ctx_fused_entities,
         "span_check": q_span_check,
         "window_tumbling": q_window_tumbling,
         "sessions_salted": q_sessions_salted,
+        "session_events_salted": q_session_events_salted,
         "asof_join": q_asof_join,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "events_trending": q_events_trending,
         "events_hll": q_events_hll,
         "top_revenue_orders": q_top_revenue_orders,
         "pricing_cube": q_pricing_cube,
+        "pricing_rollup": q_pricing_rollup,
         "decontam_multi": q_decontam_multi,
         # ---- end of driver window ----
+        "kg_triples": q_kg_triples,
+        "kg_degrees": q_kg_degrees,
         "kg_ppr": q_kg_ppr,
         "kg_hops": q_kg_hops,
         "kg_sssp": q_kg_sssp,
@@ -3946,19 +3975,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_edge_lift": q_kg_edge_lift,
+        "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "winnow_fp": q_winnow_fp,
+        "text_tfidf": q_text_tfidf,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "hash_sample": q_hash_sample,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
+        "split_assign": q_split_assign,
+        "ann_topk": q_ann_topk,
         "embed_clusters": q_embed_clusters,
+        "media_features": q_media_features,
         "ctx_local_relationships": q_ctx_local_relationships,
         "ctx_global_edges": q_ctx_global_edges,
         "ctx_global_entities": q_ctx_global_entities,
@@ -3969,7 +4001,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "events_running": q_events_running,
         "pricing_summary": q_pricing_summary,
-        "pricing_rollup": q_pricing_rollup,
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3978,9 +4009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_big_line": q_orders_with_big_line,
         "orders_no_big_line": q_orders_no_big_line,
         "asof_salted": q_asof_salted,
-        "events_retention": q_events_retention,
         "session_events": q_session_events,
-        "session_events_salted": q_session_events_salted,
         "importance_weights": q_importance_weights,
         "quality_buckets": q_quality_buckets,
         "embed_pq_codes": q_embed_pq_codes,
@@ -3998,8 +4027,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks_by_handler": q_chunks_by_handler,
         "chunks_router_default": q_chunks_router_default,
         "chunk_embeddings": q_chunk_embeddings,
-        "media_decode": q_media_decode,
-        "split_leakage_safe": q_split_leakage_safe,
     }
 
 
