@@ -34,7 +34,8 @@ import pyarrow as pa
 from .multimodal import MEDIA_FEATURES_SCHEMA
 
 __all__ = ["decode_image", "decode_wav_pcm", "RawMediaFeaturizer",
-           "synthesize_ppm", "synthesize_wav", "image_features"]
+           "synthesize_ppm", "synthesize_pgm16", "synthesize_wav",
+           "image_features"]
 
 _WS = b" \t\r\n"
 
@@ -78,16 +79,24 @@ def decode_image(buf: bytes) -> tuple[int, int, np.ndarray]:
     if len(buf) >= 2 and buf[:2] in (b"P6", b"P5"):
         ch = 3 if buf[:2] == b"P6" else 1
         (w, h, maxval), off = _pnm_tokens(buf, 3)
-        if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
             raise ValueError(f"unsupported PNM geometry {w}x{h}/{maxval}")
-        need = w * h * ch
         data = np.frombuffer(buf, np.uint8, offset=off)
-        if len(data) < need:
-            raise ValueError("truncated PNM raster")
-        px = data[:need].reshape(h, w, ch)
+        if maxval > 255:
+            # 16-bit PNM: 2 bytes per sample, MOST significant first (spec)
+            need = w * h * ch * 2
+            if len(data) < need:
+                raise ValueError("truncated PNM raster")
+            flat = ((data[0:need:2].astype(np.uint16) << 8)
+                    | data[1:need:2]).reshape(h, w, ch)
+        else:
+            need = w * h * ch
+            if len(data) < need:
+                raise ValueError("truncated PNM raster")
+            flat = data[:need].reshape(h, w, ch)
         if ch == 1:
-            px = np.repeat(px, 3, axis=2)
-        return w, h, px
+            flat = np.repeat(flat, 3, axis=2)
+        return w, h, flat
     if len(buf) >= 54 and buf[:2] == b"BM":
         data_off, = struct.unpack_from("<I", buf, 10)
         w, h_signed = struct.unpack_from("<ii", buf, 18)
@@ -115,16 +124,19 @@ def decode_wav_pcm(buf: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("not a RIFF/WAVE file")
     i = 12
     fmt = None
-    data = None
+    data_parts: list[bytes] = []
     while i + 8 <= len(buf):
         cid = buf[i:i + 4]
         size, = struct.unpack_from("<I", buf, i + 4)
         body = buf[i + 8: i + 8 + size]
-        if cid == b"fmt ":
+        if cid == b"fmt " and fmt is None:
             fmt = body
         elif cid == b"data":
-            data = body
+            # streaming writers emit several data chunks — the sample
+            # stream is their in-order concatenation
+            data_parts.append(body)
         i += 8 + size + (size & 1)
+    data = b"".join(data_parts) if data_parts else None
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
@@ -143,18 +155,42 @@ def image_features(px: np.ndarray) -> tuple[int, int, int, int]:
     return means[0], means[1], means[2], max(means) - min(means)
 
 
-def synthesize_wav(ref: str) -> bytes:
+def synthesize_wav(ref: str, n_chunks: int = 1) -> bytes:
     """Deterministic mono PCM-16 WAV from a media ref: 8 kHz,
     16 + d[5]%64 frames of the constant sample d[6] (md5 bytes) — decoded
     features are md5 arithmetic a SQL oracle can recompute while the
-    engine round-trips real RIFF/WAVE bytes."""
+    engine round-trips real RIFF/WAVE bytes.
+
+    ``n_chunks > 1`` splits the SAME sample stream over that many ``data``
+    chunks (the streaming-writer layout): the decoder concatenates them,
+    so features are identical to the single-chunk payload — which keeps
+    the oracle case shared."""
     d = hashlib.md5((ref or "").encode()).digest()
     n = 16 + d[5] % 64
     samples = np.full(n, d[6], "<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(samples)) + samples)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    k = max(1, min(n_chunks, n))
+    step = (len(samples) // 2 // k) * 2 or 2
+    cuts = [*range(0, len(samples), step)][:k] + [len(samples)]
+    for a, bnd in zip(cuts[:-1], cuts[1:]):
+        part = samples[a:bnd]
+        body += b"data" + struct.pack("<I", len(part)) + part
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def synthesize_pgm16(ref: str) -> bytes:
+    """Deterministic 16-bit binary PGM (P5, maxval 65535) from a media
+    ref: dimensions 4+d0%13 × 4+d1%13, constant sample d2·256 + d7 stored
+    big-endian per the PNM spec — decoded features (gray replicated to 3
+    channels: f0=f1=f2=sample, f3=0) are md5 arithmetic for the oracle."""
+    d = hashlib.md5((ref or "").encode()).digest()
+    w, h = 4 + d[0] % 13, 4 + d[1] % 13
+    val = d[2] * 256 + d[7]
+    px = np.full((h, w), val, ">u2")
+    header = b"P5\n# synthesized from " + (ref or "").encode() + b"\n" \
+        + f"{w} {h}\n65535\n".encode()
+    return header + px.tobytes()
 
 
 def synthesize_ppm(ref: str) -> bytes:

@@ -139,3 +139,100 @@ def test_synthesize_wav_decodes_to_md5_features():
     assert rate == 8000 and ch == 1
     assert len(samples) == 16 + d[5] % 64
     assert (samples == d[6]).all()
+
+
+# ---- r5 extensions: 16-bit PNM, multi-data-chunk WAV, corrupt fuzz ----
+
+
+def test_pgm16_roundtrip_big_endian():
+    vals = np.array([[0, 1, 255], [256, 65535, 4660]], np.uint16)
+    buf = b"P5\n3 2\n65535\n" + vals.astype(">u2").tobytes()
+    w, h, got = decode_image(buf)
+    assert (w, h) == (3, 2) and got.dtype == np.uint16
+    assert np.array_equal(got, np.repeat(vals[:, :, None], 3, axis=2))
+
+
+def test_ppm16_color_roundtrip():
+    px = np.arange(2 * 2 * 3, dtype=np.uint16).reshape(2, 2, 3) * 300
+    buf = b"P6\n2 2\n65535\n" + px.astype(">u2").tobytes()
+    w, h, got = decode_image(buf)
+    assert (w, h) == (2, 2) and np.array_equal(got, px)
+
+
+def test_synthesize_pgm16_decodes_to_md5_features():
+    import hashlib
+
+    from go_light_rag_ray.stages.mediadec import synthesize_pgm16
+
+    ref = "media://doc-9/2"
+    d = hashlib.md5(ref.encode()).digest()
+    w, h, px = decode_image(synthesize_pgm16(ref))
+    assert (w, h) == (4 + d[0] % 13, 4 + d[1] % 13)
+    val = d[2] * 256 + d[7]
+    assert image_features(px) == (val, val, val, 0)
+
+
+def test_wav_multichunk_concatenates_in_order():
+    from go_light_rag_ray.stages.mediadec import synthesize_wav
+
+    s = np.array([5, -6, 7, -8, 9], np.int16)
+    # hand-build a two-data-chunk RIFF: [5,-6] + [7,-8,9]
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + s[:2].astype("<i2").tobytes()
+            + b"data" + struct.pack("<I", 6) + s[2:].astype("<i2").tobytes())
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, ch, got = decode_wav_pcm(buf)
+    assert np.array_equal(got, s)
+    # synthesized multi-chunk == single-chunk sample stream
+    for ref in ("media://doc-1/3", "media://doc-2/7", ""):
+        _, _, one = decode_wav_pcm(synthesize_wav(ref))
+        _, _, two = decode_wav_pcm(synthesize_wav(ref, n_chunks=2))
+        _, _, many = decode_wav_pcm(synthesize_wav(ref, n_chunks=9999))
+        assert np.array_equal(one, two) and np.array_equal(one, many)
+
+
+@pytest.mark.parametrize("bad", [
+    b"P5\n3 2\n65535\n" + b"\0" * 11,      # 16-bit raster truncated (needs 12)
+    b"P6\n2 2\n65536\n" + b"\0" * 24,      # maxval out of spec
+    b"P5\n2 2\n",                          # header ends mid-token stream
+    b"P5\n# only a comment",               # comment then EOF
+    b"P6\n2 -2\n255\n" + b"\0" * 12,       # negative height
+    b"P6\nab cd\n255\n" + b"\0" * 12,      # non-numeric tokens
+])
+def test_corrupt_pnm_fuzz(bad):
+    with pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_featurizer_new_formats_strict_and_skip(ray_session):
+    from go_light_rag_ray.stages.mediadec import synthesize_pgm16, synthesize_wav
+
+    rows = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "span_index": pa.array([3, 4, 1, 2], pa.int32()),
+        "kind": pa.array(["image", "audio", "image", "audio"], pa.string()),
+        "media_ref": pa.array(["r1", "r2", "r3", "r4"], pa.string()),
+        "payload": pa.array([
+            synthesize_pgm16("r1"),
+            synthesize_wav("r2", n_chunks=3),
+            b"P5\n2 2\n65535\n\0\0\0",        # truncated 16-bit raster
+            b"RIFF\x04\x00\x00\x00WAVE",      # chunkless RIFF
+        ], pa.binary()),
+    })
+    import hashlib
+
+    ds = ray.data.from_arrow(rows)
+    out = {r["doc_id"]: r for r in ds.map_batches(
+        RawMediaFeaturizer, fn_constructor_kwargs={"on_error": "skip"},
+        batch_format="pyarrow", concurrency=1, batch_size=2).take_all()}
+    assert set(out) == {"a", "b"}
+    d1 = hashlib.md5(b"r1").digest()
+    v = d1[2] * 256 + d1[7]
+    assert (out["a"]["f0"], out["a"]["f3"]) == (v, 0)
+    d2 = hashlib.md5(b"r2").digest()
+    assert out["b"]["height"] == 16 + d2[5] % 64
+    assert (out["b"]["f1"], out["b"]["f2"]) == (d2[6], d2[6])
+    with pytest.raises(Exception):
+        ds.map_batches(RawMediaFeaturizer, batch_format="pyarrow",
+                       concurrency=1).take_all()
