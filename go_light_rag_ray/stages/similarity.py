@@ -31,7 +31,20 @@ ROUND_DP = 6
 
 
 def _as_matrix(vec_chunked: pa.ChunkedArray) -> np.ndarray:
-    return np.asarray(vec_chunked.to_pylist(), dtype=np.float64)
+    """list<float> column → (n, d) float64, zero-copy off the Arrow
+    values buffer when the lists are rectangular and null-free (the
+    embeddings-table invariant); falls back to the Python path otherwise."""
+    arr = (vec_chunked.combine_chunks()
+           if isinstance(vec_chunked, pa.ChunkedArray) else vec_chunked)
+    n = len(arr)
+    if n and arr.null_count == 0 and isinstance(arr, pa.ListArray):
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            return (vals[offs[0]:offs[-1]]
+                    .astype(np.float64).reshape(n, int(widths[0])))
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -93,8 +106,44 @@ def ann_topk(
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b.column(id_col).to_numpy()
+            B = len(ids)
+            if B == 0:
+                return pa.Table.from_pydict(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "cos_sim": pa.array([], pa.float64())})
             unit = _unit(_as_matrix(b.column(vec_col)))
             sims = np.round(unit @ self.qmat.T, ROUND_DP)  # (batch, Q)
+            if ids.min() >= 0 and ids.max() < (1 << 33):
+                # Vectorized exact top-k across ALL queries at once (no
+                # per-query Python — at 1000 broadcast queries the loop
+                # was the wall).  The (sim desc, id asc) tie-break packs
+                # into one int64 key: the rounded sim is an integer in
+                # [-10^DP, 10^DP] (< 2^21), ids fit 33 bits, so
+                # argpartition on the key is tie-safe — CRITICAL for
+                # replicated corpora where whole tie classes straddle the
+                # k boundary.  Emitted candidate SET identical to the
+                # per-query loop; _final_topk re-sorts, so order within
+                # the partial is free.
+                scale = np.int64(10 ** ROUND_DP)
+                sim_i = np.rint(sims * scale).astype(np.int64)
+                key = ((scale - sim_i) << np.int64(33)) | ids[:, None]
+                sent = np.int64(1) << np.int64(62)
+                excl = ids[:, None] == self.qids[None, :]
+                if min_sim is not None:
+                    excl |= sims < min_sim   # radius filter, applied early
+                key = np.where(excl, sent, key)
+                kk = min(k, B)
+                part = np.argpartition(key, kk - 1, axis=0)[:kk]  # (kk, Q)
+                valid = np.take_along_axis(key, part, axis=0) < sent
+                out_q = np.broadcast_to(self.qids, part.shape)[valid]
+                out_n = ids[part[valid]]
+                out_s = np.take_along_axis(sims, part, axis=0)[valid]
+                return pa.Table.from_pydict(
+                    {"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "cos_sim": pa.array(out_s, pa.float64())})
+            # ids outside the packable range: per-query loop
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
                 col = sims[:, qi]

@@ -283,3 +283,43 @@ def test_embed_clusters_trained_covers_all_rows():
     rows2 = embed_clusters(ds, n_centroids=4, kmeans_iters=2).take_all()
     key = lambda rs: sorted((r["vec_id"], r["cluster_id"], r["cos_sim"]) for r in rs)
     assert key(rows) == key(rows2)
+
+
+def test_ann_topk_tie_heavy_replicated_corpus(ray_session):
+    """r5 packed-key partial (vectorized across queries): whole tie
+    classes straddle the k boundary on a replicated corpus — the
+    (sim desc, id asc) tie-break must pick the LOWEST ids, exactly like
+    the per-query reference loop."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 8))
+    rep = 7                                  # 7 exact copies of each vector
+    mat = np.tile(base, (rep, 1))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(len(mat))),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    })).repartition(4)
+    rows = ann_topk(ds, n_queries=2, k=5).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rs] == _brute_topk(mat, qid, 5)
+
+
+def test_as_matrix_rectangular_fast_path_and_ragged_fallback():
+    from go_light_rag_ray.stages.similarity import _as_matrix
+
+    rect = pa.chunked_array([pa.array([[1.0, 2.0], [3.0, 4.0]],
+                                      pa.list_(pa.float32())),
+                             pa.array([[5.0, 6.0]], pa.list_(pa.float32()))])
+    m = _as_matrix(rect)
+    assert m.dtype == np.float64 and m.shape == (3, 2)
+    assert np.allclose(m, [[1, 2], [3, 4], [5, 6]])
+    # sliced input (non-zero offset) must not misread the values buffer
+    sl = rect.combine_chunks().slice(1, 2)
+    assert np.allclose(_as_matrix(pa.chunked_array([sl])), [[3, 4], [5, 6]])
+    # empty column
+    empty = pa.chunked_array([pa.array([], pa.list_(pa.float32()))])
+    assert _as_matrix(empty).shape[0] == 0
