@@ -209,9 +209,19 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     # GRAFT_BENCH_RUNS > 1: repeat the WHOLE sweep and keep each query's
     # minimum.  External storms last minutes and are strictly additive, so
     # per-query min across passes is the quiet-machine estimator (a storm
-    # hits different queries on different passes); used for the BASELINE.md
-    # numbers.  Default 1 keeps the driver's sweep single-pass.
-    passes = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "1")))
+    # hits different queries on different passes).
+    #
+    # Default 2 since r5: the r4→r5 drift investigation showed a
+    # single-pass sweep total carries a ±8% host envelope PLUS order
+    # effects (each family's first query absorbs its warm-up, so
+    # re-curating the registry moves per-query numbers with zero engine
+    # change).  Min-of-2 removes both: pass 2 runs every query warm, and
+    # storms don't repeat on the same query.  Isolated r3-vs-r4 A/B
+    # (four interleaved full sweeps + 36 steal-labeled --single runs)
+    # showed the engine itself unchanged (±0.3 s on every flagged query)
+    # while single-pass totals ranged 128-141 s in one afternoon.
+    passes = max(1, int(os.environ.get(
+        "GRAFT_BENCH_RUNS", "1" if only else "2")))
     timings, rows = {}, {}
     kg_full_runs: list[float] = []
     for _ in range(passes):
