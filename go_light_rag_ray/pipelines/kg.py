@@ -362,25 +362,41 @@ def delete_documents(
     node_set: set[str] = set()
     pair_set: set[str] = set()
 
-    def _gather(rows):
-        for r in rows:
-            if r["kind"] == "entity":
-                node_set.add(r["name"])
-            else:
-                node_set.add(r["src"])
-                node_set.add(r["tgt"])
-                pair_set.add(f'{r["src"]}\x00{r["tgt"]}')
+    def _distinct_keys(b: pa.Table) -> pa.Table:
+        """Mention rows → DISTINCT affected keys, inside the dataset.
+
+        The driver only ever receives unique (type, key) rows per batch —
+        never raw mention rows (a 1% delete at 10M docs is 3.3M mention
+        rows but only vocabulary-many distinct keys; collecting the rows
+        cost ~1.1 GB driver RSS in the r5 probe)."""
+        is_ent = pc.equal(b.column("kind"), "entity")
+        ent = b.filter(is_ent)
+        rel = b.filter(pc.invert(is_ent))
+        src = rel.column("src").combine_chunks()
+        tgt = rel.column("tgt").combine_chunks()
+        nodes = pc.unique(pa.concat_arrays(
+            [ent.column("name").combine_chunks(), src, tgt]))
+        pairs = pc.unique(_pairkey(src, tgt))
+        return pa.table({
+            "t": pa.array(["n"] * len(nodes) + ["p"] * len(pairs),
+                          pa.string()),
+            "k": pa.concat_arrays([nodes, pairs]),
+        })
+
+    def _gather_keys(ds: ray.data.Dataset) -> None:
+        for r in ds.map_batches(
+                _distinct_keys, batch_format="pyarrow").take_all():
+            (node_set if r["t"] == "n" else pair_set).add(r["k"])
 
     if len(del_arr):                # pure inserts skip the retraction scan
-        deleted = mentions.map_batches(
+        _gather_keys(mentions.map_batches(
             lambda b: b.filter(
                 pc.is_in(b.column("doc_id"), value_set=del_arr)),
             batch_format="pyarrow",
-        ).select_columns(["kind", "name", "src", "tgt"])
-        _gather(deleted.take_all())  # bounded: the delete batch's mentions
-    if new_mentions is not None:    # bounded: the update batch's mentions
-        _gather(new_mentions.select_columns(
-            ["kind", "name", "src", "tgt"]).take_all())
+        ).select_columns(["kind", "name", "src", "tgt"]))
+    if new_mentions is not None:    # bounded: the update batch's keys
+        _gather_keys(new_mentions.select_columns(
+            ["kind", "name", "src", "tgt"]))
     if not node_set and not pair_set:
         return prior_graph
     sets_ref = ray.put((pa.array(sorted(node_set), pa.string()),

@@ -181,31 +181,42 @@ def pq_ann_topk(
     codebooks: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_queries: int = 1,
 ) -> ray.data.Dataset:
-    """Asymmetric-distance (ADC) approximate top-k for the query = the
-    first embedding row: the query builds an (S × K) lookup table of
-    SQUARED micro-distances to every centroid once; each corpus vector's
-    approximate distance is then the INTEGER sum of S table entries over
-    its PQ codes — order-independent, bit-exact, and the scan never
-    touches the original vectors (the real IVF-PQ memory story).
-    Returns (rank, vec_id, adist) ascending."""
+    """Asymmetric-distance (ADC) approximate top-k: each query builds an
+    (S × K) lookup table of SQUARED micro-distances to every centroid
+    once; each corpus vector's approximate distance is then the INTEGER
+    sum of S table entries over its PQ codes — order-independent,
+    bit-exact, and the scan never touches the original vectors (the real
+    IVF-PQ memory story).
+
+    ``n_queries=1`` (default) keeps the legacy single-query shape
+    ``(rank, vec_id, adist)`` for query = the first embedding row — the
+    driver-green oracle contract.  ``n_queries > 1`` broadcasts LUTs for
+    ids < n_queries and returns ``(query_id, rank, vec_id, adist)``; the
+    per-batch cost of the extra queries is ONE (Q, B) gather per subspace
+    on top of the shared encode, and the per-batch top-k resolves every
+    query in one lexsort (no per-query Python)."""
     import ray as _ray
 
     if codebooks is None:
         codebooks = pq_seed_codebooks(
             embeddings, n_subspaces, n_centroids, id_col, vec_col)
-    qrows = (embeddings.filter(expr=f"{id_col} < 1")
+    qrows = (embeddings.filter(expr=f"{id_col} < {n_queries}")
              .select_columns([id_col, vec_col]).take_all())
-    q = np.asarray(qrows[0][vec_col], dtype=np.float64)[None, :]
-    lut = _sub_micro_dists(q, codebooks)[0]   # (S, K) micro-euclid
-    lut = lut * lut                           # squared, still int64
-    lut_ref = _ray.put(lut)
+    qrows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    luts = _sub_micro_dists(qmat, codebooks)  # (Q, S, K) micro-euclid
+    luts = luts * luts                        # squared, still int64
+    lut_ref = _ray.put((qids, luts))
     cb_ref = _ray.put(np.ascontiguousarray(codebooks, dtype=np.float64))
     n_sub = codebooks.shape[0]
+    single = n_queries == 1
 
     def scan(b: pa.Table) -> pa.Table:
         cb = _ray.get(cb_ref)
-        lt = _ray.get(lut_ref)
+        qi, lt = _ray.get(lut_ref)
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
         x = np.asarray(
             b.column(vec_col).combine_chunks().to_numpy(
@@ -213,19 +224,57 @@ def pq_ann_topk(
         if x.size == 0:
             x = x.reshape(0, cb.shape[0] * cb.shape[2])
         m = _sub_micro_dists(x, cb)
-        codes = m.argmin(axis=2)
-        adist = np.zeros(len(ids), dtype=np.int64)
+        codes = m.argmin(axis=2)              # (B, S) — shared by queries
+        B, Q = len(ids), len(qi)
+        adist = np.zeros((Q, B), dtype=np.int64)
         for s in range(n_sub):
-            adist += lt[s][codes[:, s]]
-        keep = ids != 0                       # self-exclude the query row
-        out = pa.table({
-            id_col: pa.array(ids[keep], pa.int64()),
-            "adist": pa.array(adist[keep], pa.int64()),
+            adist += lt[:, s, :][:, codes[:, s]]   # (Q, B) gather
+        if single:
+            a0 = adist[0]
+            keep = ids != qi[0]               # self-exclude the query row
+            out = pa.table({
+                id_col: pa.array(ids[keep], pa.int64()),
+                "adist": pa.array(a0[keep], pa.int64()),
+            })
+            return out.sort_by([("adist", "ascending"),
+                                (id_col, "ascending")]).slice(0, k)
+        # all queries at once: one global lexsort of (q, adist, id) —
+        # primary key q makes each query's block contiguous, so the
+        # per-query top-k is a reshape slice; adist magnitudes (~2^49)
+        # rule out the packed-int trick, the lexsort is the tie-safe path
+        sent = np.int64(1) << np.int64(62)
+        adist = np.where(ids[None, :] == qi[:, None], sent, adist)
+        ids_t = np.broadcast_to(ids, (Q, B))
+        order = np.lexsort((ids_t.ravel(),
+                            adist.ravel(),
+                            np.repeat(np.arange(Q), B)))
+        kk = min(k, B)
+        picks = order.reshape(Q, B)[:, :kk]
+        pa_d = np.take_along_axis(adist, picks - (np.arange(Q) * B)[:, None],
+                                  axis=1)
+        valid = pa_d < sent
+        out_q = np.broadcast_to(qi[:, None], (Q, kk))[valid]
+        out_n = ids_t.ravel()[picks][valid]
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_n, pa.int64()),
+            "adist": pa.array(pa_d[valid], pa.int64()),
         })
-        return out.sort_by([("adist", "ascending"),
-                            (id_col, "ascending")]).slice(0, k)
 
-    part = embeddings.map_batches(scan, batch_format="pyarrow")
+    part = embeddings.map_batches(
+        scan, batch_format="pyarrow",
+        **({} if single else {"batch_size": 2048}))
+
+    if not single:
+        def final_rank_q(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("adist", "ascending"),
+                               (id_col, "ascending")]).slice(0, k)
+            return g.select(["query_id", id_col, "adist"]).add_column(
+                1, pa.field("rank", pa.int32()),
+                pa.array(range(1, len(g) + 1), pa.int32()))
+
+        return (part.groupby("query_id")
+                .map_groups(final_rank_q, batch_format="pyarrow"))
 
     def add_key(b: pa.Table) -> pa.Table:
         return b.append_column(

@@ -18,15 +18,56 @@ import ray.data
 
 
 def span_fingerprint_batch(batch: pa.Table) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
-    spans = batch.column("spans").to_pylist()
-    fps = []
-    for row in spans:
-        h = hashlib.sha256()
-        for order, s in enumerate(row):
-            h.update(f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}\x00{order}\x01".encode())
-        fps.append(h.hexdigest())
-    return pa.Table.from_pydict({"doc_id": doc_ids, "span_fp": fps})
+    """Per-row sha256 over the span sequence.
+
+    The fingerprint input assembles in Arrow C++ (flatten the struct list,
+    join each span's fields, re-list and join per row); sha256 itself is
+    one minimal per-row call over zero-copy memoryview slices and the hex
+    column builds from the packed digests without per-row Python strings —
+    the sampling-md5 pattern (r4 VERDICT note #3: the old per-span Python
+    loop read 30.8 s / 10M docs)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "span_fp": pa.array([], pa.string())})
+    spans = batch.column("spans").combine_chunks()
+    flat = spans.flatten()     # struct array of all spans, slice-safe
+    lens = pc.list_value_length(spans).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    order = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    order_tok = pc.binary_join_element_wise(
+        pc.cast(pa.array(order), pa.string()),
+        pa.scalar("\x01", pa.string()), "")
+    part = pc.binary_join_element_wise(
+        pc.cast(flat.field("kind"), pa.string()).fill_null(""),
+        pc.cast(flat.field("text"), pa.string()).fill_null(""),
+        pc.cast(flat.field("media_ref"), pa.string()).fill_null(""),
+        order_tok, "\x00")
+    per_row = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()),
+            part.combine_chunks() if isinstance(part, pa.ChunkedArray)
+            else part),
+        "")
+    per_row = (per_row.combine_chunks()
+               if isinstance(per_row, pa.ChunkedArray) else per_row)
+    voff = per_row.offset
+    b_offs = np.frombuffer(per_row.buffers()[1], np.int32)[voff:voff + n + 1]
+    mv = memoryview(per_row.buffers()[2])
+    sha = hashlib.sha256
+    digests = b"".join(
+        sha(mv[b_offs[j]:b_offs[j + 1]]).digest() for j in range(n))
+    import binascii
+
+    hx = binascii.hexlify(digests)
+    out_offs = np.arange(0, 64 * (n + 1), 64, dtype=np.int32)
+    fps = pa.StringArray.from_buffers(
+        n, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(hx))
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "span_fp": fps})
 
 
 def verify_spans(input_ds: ray.data.Dataset, output_ds: ray.data.Dataset) -> dict:

@@ -274,3 +274,34 @@ def test_verify_spans_detects_mutation_and_missing():
     assert not res["ok"]
     assert res["mismatched"] == 2      # one missing + one mutated
     assert res["rows"] == 12
+
+
+def test_span_fingerprint_batch_matches_per_row_reference():
+    """r5 vectorization: the Arrow-assembled sha256 input must equal the
+    old per-span Python loop byte-for-byte, including sliced batches."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from go_light_rag_ray.sources.io import flat_documents_as_interleaved
+    from go_light_rag_ray.stages.verify import span_fingerprint_batch
+
+    flat = pa.table({"doc_id": pa.array(list(range(40)), pa.int64()),
+                     "text": [" ".join(["w"] * (i % 90)) for i in range(40)]})
+    batch = flat_documents_as_interleaved(flat)
+
+    def ref(b):
+        out = []
+        for row in b.column("spans").to_pylist():
+            h = hashlib.sha256()
+            for order, s in enumerate(row):
+                h.update(f"{s['kind']}\x00{s['text']}\x00"
+                         f"{s['media_ref']}\x00{order}\x01".encode())
+            out.append(h.hexdigest())
+        return out
+
+    assert span_fingerprint_batch(batch).column("span_fp").to_pylist() \
+        == ref(batch)
+    sl = batch.slice(7, 21)
+    assert span_fingerprint_batch(sl).column("span_fp").to_pylist() == ref(sl)
+    assert span_fingerprint_batch(batch.slice(0, 0)).num_rows == 0

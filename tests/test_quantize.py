@@ -112,3 +112,59 @@ def test_pq_codes_layout_invariant(ray_session):
         for r in pq_codes(_emb_ds(mat, parts=5), n_subspaces=2,
                           n_centroids=4).take_all())))
     assert a == b
+
+
+def test_pq_adc_multi_query_matches_single(ray_session):
+    """r5 multi-query ADC: for each query id q, the (rank, vec_id, adist)
+    triples must equal the legacy single-query scan run with that query's
+    LUT — verified by a numpy reference over the same codes."""
+    from go_light_rag_ray.stages.quantize import (_sub_micro_dists,
+                                                  pq_ann_topk,
+                                                  pq_seed_codebooks)
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(10, 8))
+    mat = np.concatenate([base, base[:3] + 1e-4 * rng.normal(size=(3, 8))])
+    ds = _emb([list(map(float, v)) for v in mat]).repartition(3)
+
+    Q, K = 4, 3
+    rows = pq_ann_topk(ds, n_subspaces=4, n_centroids=4, k=K,
+                       n_queries=Q).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(Q))
+
+    cb = pq_seed_codebooks(ds, 4, 4)
+    m = _sub_micro_dists(mat, cb)
+    codes = m.argmin(axis=2)
+    qlut = _sub_micro_dists(mat[:Q], cb)
+    qlut = qlut * qlut
+    ids = np.arange(len(mat))
+    for q in range(Q):
+        adist = np.zeros(len(mat), np.int64)
+        for s in range(4):
+            adist += qlut[q, s][codes[:, s]]
+        mask = ids != q
+        order = np.lexsort((ids[mask], adist[mask]))[:K]
+        want = [(int(ids[mask][o]), int(adist[mask][o])) for o in order]
+        got = sorted(by_q[q], key=lambda r: r["rank"])
+        assert [(r["vec_id"], r["adist"]) for r in got] == want
+        assert [r["rank"] for r in got] == list(range(1, K + 1))
+
+
+def test_pq_adc_single_query_shape_unchanged(ray_session):
+    """The n_queries=1 default must keep the legacy (rank, vec_id, adist)
+    schema and values — the driver-green oracle contract."""
+    from go_light_rag_ray.stages.quantize import pq_ann_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(12, 8))
+    ds = _emb([list(map(float, v)) for v in mat]).repartition(2)
+    rows = pq_ann_topk(ds, n_subspaces=4, n_centroids=4, k=5).take_all()
+    assert len(rows) == 5
+    assert set(rows[0]) == {"rank", "vec_id", "adist"}
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+    adists = [r["adist"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert adists == sorted(adists)
+    assert all(r["vec_id"] != 0 for r in rows)

@@ -81,8 +81,10 @@ def main() -> None:
                                                sign_bits=4))
     timed("ann_topk_ivf", lambda: ann_topk_ivf(emb(), n_queries=Q, k=K,
                                                n_centroids=32))
-    timed("ann_topk_pq", lambda: pq_ann_topk(emb(), n_subspaces=4,
-                                             n_centroids=8, k=K))
+    timed("ann_topk_pq_1q", lambda: pq_ann_topk(emb(), n_subspaces=4,
+                                                n_centroids=8, k=K))
+    timed("ann_topk_pq_multi", lambda: pq_ann_topk(
+        emb(), n_subspaces=4, n_centroids=8, k=K, n_queries=Q))
     print(json.dumps(res))
     ray.shutdown()
 
