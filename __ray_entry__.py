@@ -1321,6 +1321,16 @@ def q_ann_topk_pq(sf_dir: str) -> ray.data.Dataset:
                        n_centroids=8, k=5)
 
 
+def q_ann_topk_pq_multi(sf_dir: str) -> ray.data.Dataset:
+    """Multi-query ADC (quantize.pq_ann_topk n_queries=4): broadcast
+    per-query LUTs share one per-batch encode; each batch resolves every
+    query's tie-safe top-k in one lexsort keyed (query, adist, id)."""
+    from go_light_rag_ray.stages.quantize import pq_ann_topk
+
+    return pq_ann_topk(_raw_embeddings(sf_dir), n_subspaces=4,
+                       n_centroids=8, k=5, n_queries=4)
+
+
 def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     """Per-language top-3 documents by quality score — the per-domain
     selection step of a curation recipe, via the segment-limit operator
@@ -2854,6 +2864,25 @@ SELECT row_number() OVER (ORDER BY adist ASC, vec_id ASC)::INTEGER AS rank,
 FROM adist ORDER BY rank LIMIT 5
 """
 
+# the multi-query ADC twin: one LUT per query id < 4, the same integer
+# micro-distance algebra, rank per query (quantize.pq_ann_topk n_queries>1)
+_ANN_TOPK_PQ_MULTI_SQL = "WITH " + _PQ_CTES + r""",
+lut AS (SELECT vec_id AS qid, s, ci, m * m AS sq FROM dists WHERE vec_id < 4),
+adist AS (
+  SELECT l.qid AS query_id, c.vec_id, sum(l.sq)::BIGINT AS adist
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.ci
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adist, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, vec_id ASC
+  )::INTEGER AS rank
+  FROM adist
+)
+SELECT query_id, rank, vec_id, adist FROM ranked WHERE rank <= 5
+"""
+
 _ANN_TOPK_IVF_SQL = r"""
 WITH cents AS (
   SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
@@ -3940,6 +3969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "curate": q_curate,
         "split_leakage_safe": q_split_leakage_safe,
+        "ann_topk_pq_multi": q_ann_topk_pq_multi,
         "text_unigram": q_text_unigram,
         "scrub": q_scrub,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -4145,6 +4175,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "embed_quantize": _EMBED_QUANTIZE_SQL,
         "embed_pq_codes": _EMBED_PQ_CODES_SQL,
         "ann_topk_pq": _ANN_TOPK_PQ_SQL,
+        "ann_topk_pq_multi": _ANN_TOPK_PQ_MULTI_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "langid_confusion": _LANGID_CONFUSION_SQL,
         "mix_corpora": _MIX_CORPORA_SQL,
