@@ -433,6 +433,19 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     return pack_sequences(_raw_docs(sf_dir), budget=1024)
 
 
+def q_curriculum_pack(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum packing (stages/packing.pack_curriculum): concatenate
+    documents highest-unigram-score first and cut 1024-token windows —
+    the quality-ordered variant of pack_sequences, same one-sort +
+    prefix-sum shape, all-integer window arithmetic."""
+    from go_light_rag_ray.stages.lm import unigram_score
+    from go_light_rag_ray.stages.packing import pack_curriculum
+
+    scored = unigram_score(_raw_docs(sf_dir)).select_columns(
+        ["doc_id", "n_tokens", "mean_token_freq"])
+    return pack_curriculum(scored, "mean_token_freq", budget=1024)
+
+
 def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     """SemDeDup: nearest-centroid clusters scope the pairwise cosine check;
     a vector is duplicate iff a lower-id cluster-mate scores ≥ 0.35."""
@@ -2759,6 +2772,25 @@ SELECT doc_id, n_tokens, "offset",
 FROM s
 """
 
+# curriculum variant: the same window arithmetic over the corpus ordered
+# (mean_token_freq DESC, doc_id ASC) — stages/packing.pack_curriculum
+_CURRICULUM_PACK_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_tokens::BIGINT AS n_tokens, mean_token_freq
+  FROM ({_TEXT_UNIGRAM_SQL})
+),
+s AS (
+  SELECT doc_id, n_tokens, mean_token_freq,
+         (sum(n_tokens) OVER (ORDER BY mean_token_freq DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
+  FROM u
+)
+SELECT doc_id, n_tokens, mean_token_freq, "offset",
+       ("offset" // 1024)::BIGINT AS pack_id,
+       ("offset" % 1024)::BIGINT AS offset_in_pack
+FROM s
+"""
+
 # SemDeDup oracle: cluster assignment (same CTE as embed_clusters), then
 # within-cluster lower-id pairs with rounded cos ≥ 0.35; dup_of = min id
 _DEDUP_SEMANTIC_SQL = r"""
@@ -3970,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": q_curate,
         "split_leakage_safe": q_split_leakage_safe,
         "ann_topk_pq_multi": q_ann_topk_pq_multi,
+        "curriculum_pack": q_curriculum_pack,
         "text_unigram": q_text_unigram,
         "scrub": q_scrub,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -4121,6 +4154,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "winnow_fp": _WINNOW_FP_SQL,
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "curriculum_pack": _CURRICULUM_PACK_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,

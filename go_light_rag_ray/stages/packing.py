@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-__all__ = ["prefix_sum", "pack_sequences", "rank_buckets",
+__all__ = ["prefix_sum", "pack_sequences", "pack_curriculum", "rank_buckets",
            "DEFAULT_PACK_BUDGET"]
 
 DEFAULT_PACK_BUDGET = 1024
@@ -104,6 +104,38 @@ def prefix_sum(
     return s.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
+def _score_id_key(b: pa.Table, score_col: str, id_col: str,
+                  descending: bool, score_scale: int) -> pa.Array:
+    """Unique composite sort key: (integer micro-score, id), padded so
+    string order == (score, id) order — the shape ``prefix_sum``'s
+    block-base matching requires.
+
+    Scores must be 6-dp floor-rounded (every score the engine emits is);
+    the micro-score ``rint(score·scale)`` can reach score·10⁶, so it pads
+    to the full int64 width — a magnitude-sized pad orders wrongly the
+    moment two scores differ in digit count (CLAUDE.md rule).  Numeric
+    ids zero-pad to 19 so they tie-break numerically like the oracle's
+    ORDER BY."""
+    bound = 10 ** 18
+    width = 19
+    s = b.column(score_col).to_numpy(zero_copy_only=False)
+    micro = np.rint(np.asarray(s, dtype=np.float64) * score_scale
+                    ).astype(np.int64)
+    if micro.size and (micro.min() < 0 or micro.max() > bound):
+        raise ValueError(
+            f"{score_col}·{score_scale} must lie in [0, 10^18] "
+            f"(got [{micro.min()}, {micro.max()}])")
+    if descending:
+        micro = bound - micro
+    ids = b.column(id_col)
+    id_str = pc.cast(ids, pa.string())
+    if pa.types.is_integer(ids.type):
+        id_str = pc.ascii_lpad(id_str, 19, "0")
+    return pc.binary_join_element_wise(
+        pc.ascii_lpad(pc.cast(pa.array(micro), pa.string()), width, "0"),
+        id_str, "|")
+
+
 def rank_buckets(
     scored: ray.data.Dataset,
     score_col: str,
@@ -129,33 +161,8 @@ def rank_buckets(
     prefix-sum scan; no driver-side data beyond one summary row per block.
     ``descending`` ranks high scores first (rank by ``-score``).
     """
-    # scores are 6-dp multiples of any magnitude (ratios ~1, count means
-    # ~10³): the integer micro-score can reach score·10⁶, so pad to the
-    # full int64 width — a magnitude-sized pad orders wrongly the moment
-    # two scores differ in digit count
-    bound = 10 ** 18
-    width = 19
-
     def key_rows(b: pa.Table) -> pa.Table:
-        s = b.column(score_col).to_numpy(zero_copy_only=False)
-        micro = np.rint(np.asarray(s, dtype=np.float64) * score_scale
-                        ).astype(np.int64)
-        if micro.size and (micro.min() < 0 or micro.max() > bound):
-            raise ValueError(
-                f"{score_col}·{score_scale} must lie in [0, 10^18] "
-                f"(got [{micro.min()}, {micro.max()}])")
-        if descending:
-            micro = bound - micro
-        ids = b.column(id_col)
-        id_str = pc.cast(ids, pa.string())
-        if pa.types.is_integer(ids.type):
-            # numeric ids tie-break NUMERICALLY in the oracle's ORDER BY —
-            # zero-pad so string order == numeric order (ids must be ≥ 0,
-            # the corpus invariant; int64 max is 19 digits)
-            id_str = pc.ascii_lpad(id_str, 19, "0")
-        key = pc.binary_join_element_wise(
-            pc.ascii_lpad(pc.cast(pa.array(micro), pa.string()), width, "0"),
-            id_str, "|")
+        key = _score_id_key(b, score_col, id_col, descending, score_scale)
         return (b.append_column("_rank_key", key)
                  .append_column("_one", pa.array(
                      np.ones(len(b), dtype=np.int64))))
@@ -199,6 +206,49 @@ def pack_sequences(
         off = b.column("offset").to_numpy(zero_copy_only=False)
         return (
             b.append_column("pack_id", pa.array(off // budget, pa.int64()))
+             .append_column("offset_in_pack",
+                            pa.array(off % budget, pa.int64()))
+        )
+
+    return summed.map_batches(packs, batch_format="pyarrow")
+
+
+def pack_curriculum(
+    scored: ray.data.Dataset,
+    score_col: str,
+    budget: int = DEFAULT_PACK_BUDGET,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    descending: bool = True,
+    score_scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Curriculum (quality-ordered) concat-and-chunk packing: documents
+    are concatenated in ``(score, id)`` order — highest quality first by
+    default — and cut into fixed ``budget``-token windows, the ordering
+    curriculum-learning corpora consume (easy/clean examples first).
+
+    Input rows carry ``(id_col, score_col, tokens_col)`` — e.g.
+    ``lm.unigram_score`` output.  Same distributed shape as
+    ``pack_sequences`` (one global sort + the two-pass prefix-sum scan,
+    one summary row per block to the driver); the only change is the
+    order key, the composite ``(micro-score, id)`` of ``rank_buckets``.
+    All-integer window arithmetic — the SQL window oracle is bit-exact.
+    """
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_ckey", _score_id_key(b, score_col, id_col, descending,
+                                   score_scale))
+
+    summed = prefix_sum(
+        scored.map_batches(key_rows, batch_format="pyarrow"),
+        "_ckey", tokens_col, out_col="offset")
+
+    def packs(b: pa.Table) -> pa.Table:
+        off = b.column("offset").to_numpy(zero_copy_only=False)
+        return (
+            b.drop_columns(["_ckey"])
+             .append_column("pack_id", pa.array(off // budget, pa.int64()))
              .append_column("offset_in_pack",
                             pa.array(off % budget, pa.int64()))
         )

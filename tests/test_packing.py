@@ -90,3 +90,30 @@ def test_rank_buckets_equal_population_many():
     assert list(counts) == [100, 100, 100]
     ranks = sorted(r["doc_rank"] for r in rows)
     assert ranks == list(range(300))
+
+
+def test_pack_curriculum_hand_computed(ray_session):
+    """Highest score packs first; ties break by ascending id; windows cut
+    at the budget boundary over the reordered stream."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.packing import pack_curriculum
+
+    scored = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "n_tokens": pa.array([5, 3, 4, 2], pa.int64()),
+        "score": [0.5, 0.9, 0.9, 0.1],
+    })).repartition(2)
+    rows = {r["doc_id"]: r for r in pack_curriculum(
+        scored, "score", budget=6).take_all()}
+    # order: 2 (0.9, id 2), 3 (0.9, id 3), 1 (0.5), 4 (0.1)
+    assert rows[2]["offset"] == 0 and rows[2]["pack_id"] == 0
+    assert rows[3]["offset"] == 3 and rows[3]["pack_id"] == 0
+    assert rows[1]["offset"] == 7 and rows[1]["pack_id"] == 1
+    assert rows[4]["offset"] == 12 and rows[4]["pack_id"] == 2
+    assert rows[1]["offset_in_pack"] == 1
+    # ascending mode reverses the curriculum
+    rows_asc = {r["doc_id"]: r for r in pack_curriculum(
+        scored, "score", budget=6, descending=False).take_all()}
+    assert rows_asc[4]["offset"] == 0
