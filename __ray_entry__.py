@@ -4001,8 +4001,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "curate": q_curate,
         "split_leakage_safe": q_split_leakage_safe,
-        "ann_topk_pq_multi": q_ann_topk_pq_multi,
-        "curriculum_pack": q_curriculum_pack,
         "text_unigram": q_text_unigram,
         "scrub": q_scrub,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -4090,6 +4088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks_by_handler": q_chunks_by_handler,
         "chunks_router_default": q_chunks_router_default,
         "chunk_embeddings": q_chunk_embeddings,
+        "ann_topk_pq_multi": q_ann_topk_pq_multi,
+        "curriculum_pack": q_curriculum_pack,
     }
 
 

@@ -209,6 +209,16 @@ def pq_ann_topk(
     qmat = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
     luts = _sub_micro_dists(qmat, codebooks)  # (Q, S, K) micro-euclid
     luts = luts * luts                        # squared, still int64
+    # the multi-query path marks self-matches with a 2^62 sentinel; any
+    # REACHABLE adist must stay below it (also rules out int64 overflow
+    # of the S-term sum).  Bound = per-query sum of subspace LUT maxima.
+    if luts.size:
+        max_adist = int(luts.max(axis=2).sum(axis=1).max())
+        if max_adist >= (1 << 62):
+            raise ValueError(
+                f"PQ micro-distances too large for the ADC scan "
+                f"(max possible adist {max_adist} ≥ 2^62) — normalize or "
+                f"rescale the embeddings")
     lut_ref = _ray.put((qids, luts))
     cb_ref = _ray.put(np.ascontiguousarray(codebooks, dtype=np.float64))
     n_sub = codebooks.shape[0]

@@ -26,53 +26,58 @@ def _bucket(key: str, salt: str) -> int:
     return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
 
 
-def _salted_bytes(keys, salt: str):
-    """Arrow-vectorized ``salt + str(key)`` prep → (offsets, data memoryview).
-
-    Rendering (int → decimal string) and the salt prefix run in Arrow C++;
-    callers hash zero-copy slices of the joined buffer."""
-    import numpy as np
+def _salted_arr(keys, salt: str) -> pa.Array:
+    """Arrow-vectorized ``salt + str(key)``: rendering (int → decimal
+    string) and the salt prefix run in Arrow C++."""
     import pyarrow.compute as pc
 
     arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
-    n = len(arr)
     joined = pc.binary_join_element_wise(
         pa.scalar(salt, pa.string()), pc.cast(arr, pa.string()), "")
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
+    return joined
+
+
+def _md5_digests4(keys, salt: str) -> tuple[int, bytes]:
+    """(n, packed first-4-byte md5 digests) for every ``salt + str(key)``.
+
+    md5 itself cannot vectorize (the oracle contract pins the hash — see
+    CLAUDE.md), so the digest loop stays per row, but stripped to one
+    minimal statement over zero-copy memoryview slices of the joined
+    buffer; the f-string / hexdigest / int-parse overhead of the naive
+    loop is gone (~5-7× measured)."""
+    import numpy as np
+
+    joined = _salted_arr(keys, salt)
+    n = len(joined)
+    if n == 0:
+        return 0, b""
     voff = joined.offset
     offs = np.frombuffer(joined.buffers()[1], np.int32)[voff:voff + n + 1]
-    return offs, memoryview(joined.buffers()[2])
+    mv = memoryview(joined.buffers()[2])
+    md5 = hashlib.md5
+    return n, b"".join(
+        md5(mv[offs[j]:offs[j + 1]]).digest()[:4] for j in range(n))
 
 
 def _bucket_batch(keys, salt: str):
     """md5 bucket for every key in one pass: uint32 of the first 4 digest
     bytes == ``int(hexdigest()[:8], 16)`` == the oracle's
-    ``substr(md5(salt || id), 1, 8)``.
-
-    md5 itself cannot vectorize (the oracle contract pins the hash — see
-    CLAUDE.md), so the digest loop stays per row, but stripped to one
-    minimal statement over zero-copy memoryview slices; the f-string /
-    hexdigest / int-parse overhead of the naive loop is gone (~5-7×
-    measured at 10M rows).  For runs that don't need oracle parity,
-    ``hash_fn="fnv1a64"`` below is fully vectorized."""
+    ``substr(md5(salt || id), 1, 8)``.  For runs that don't need oracle
+    parity, ``hash_fn="fnv1a64"`` below is fully vectorized."""
     import numpy as np
 
-    offs, mv = _salted_bytes(keys, salt)
-    n = len(offs) - 1
+    n, digests = _md5_digests4(keys, salt)
     if n == 0:
         return np.empty(0, np.uint32)
-    md5 = hashlib.md5
-    digests = b"".join(
-        md5(mv[offs[j]:offs[j + 1]]).digest()[:4] for j in range(n))
     return np.frombuffer(digests, ">u4").astype(np.uint32)
 
 
 def _fnv1a64_batch(keys, salt: str):
-    """Vectorized FNV-1a 64 over ``salt + str(key)`` with a splitmix64
+    """``hashutil.fnv1a64_vec`` over ``salt + str(key)`` with a splitmix64
     finalizer, top 32 bits as the bucket — the documented production fast
-    path (``hash_fn="fnv1a64"``): no per-row Python at all (the byte
-    stream processes column-by-column across all rows), but NOT the
+    path (``hash_fn="fnv1a64"``): no per-row Python at all, but NOT the
     oracle's md5, so only for runs that don't need SQL-oracle parity.
 
     The finalizer matters: raw FNV-1a top bits are visibly non-uniform on
@@ -80,22 +85,13 @@ def _fnv1a64_batch(keys, salt: str):
     mixed, it reads 0.80±0.01)."""
     import numpy as np
 
-    offs, mv = _salted_bytes(keys, salt)
-    n = len(offs) - 1
-    if n == 0:
+    from ..hashutil import fnv1a64_vec
+
+    joined = _salted_arr(keys, salt)
+    if len(joined) == 0:
         return np.empty(0, np.uint32)
-    data = np.frombuffer(mv, np.uint8)
-    lens = (offs[1:] - offs[:-1]).astype(np.int64)
-    starts = offs[:-1].astype(np.int64)
-    h = np.full(n, 0xCBF29CE484222325, np.uint64)
-    prime = np.uint64(0x100000001B3)
+    h = fnv1a64_vec(joined)
     with np.errstate(over="ignore"):
-        for j in range(int(lens.max(initial=0))):
-            live = lens > j
-            idx = starts[live] + j
-            hv = h[live]
-            hv = (hv ^ data[idx].astype(np.uint64)) * prime
-            h[live] = hv
         # splitmix64 finalizer (Steele et al., public domain constants)
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)
@@ -113,11 +109,7 @@ def _md5_hex8_batch(keys, salt: str) -> pa.Array:
 
     import numpy as np
 
-    offs, mv = _salted_bytes(keys, salt)
-    n = len(offs) - 1
-    md5 = hashlib.md5
-    digests = b"".join(
-        md5(mv[offs[j]:offs[j + 1]]).digest()[:4] for j in range(n))
+    n, digests = _md5_digests4(keys, salt)
     hx = binascii.hexlify(digests)
     out_offs = np.arange(0, 8 * (n + 1), 8, dtype=np.int32)
     return pa.StringArray.from_buffers(

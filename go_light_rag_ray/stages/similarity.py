@@ -37,7 +37,11 @@ def _as_matrix(vec_chunked: pa.ChunkedArray) -> np.ndarray:
     arr = (vec_chunked.combine_chunks()
            if isinstance(vec_chunked, pa.ChunkedArray) else vec_chunked)
     n = len(arr)
-    if n and arr.null_count == 0 and isinstance(arr, pa.ListArray):
+    # arr.null_count covers top-level nulls only; a null ELEMENT inside a
+    # list would to_numpy() as NaN on the fast path where the Python path
+    # raises — check the child buffer too (conservative on slices)
+    if (n and arr.null_count == 0 and isinstance(arr, pa.ListArray)
+            and arr.values.null_count == 0):
         offs = arr.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offs)
         if len(widths) and (widths == widths[0]).all() and widths[0] > 0:

@@ -41,10 +41,14 @@ def span_fingerprint_batch(batch: pa.Table) -> pa.Table:
     order_tok = pc.binary_join_element_wise(
         pc.cast(pa.array(order), pa.string()),
         pa.scalar("\x01", pa.string()), "")
+    # nulls render as a sentinel no real span string can contain, so a
+    # null<->"" (or null<->"None") mutation still flips the fingerprint —
+    # the old per-row loop conflated null with the literal string "None"
+    _NULL = "\x7f\x00null\x00\x7f"
     part = pc.binary_join_element_wise(
-        pc.cast(flat.field("kind"), pa.string()).fill_null(""),
-        pc.cast(flat.field("text"), pa.string()).fill_null(""),
-        pc.cast(flat.field("media_ref"), pa.string()).fill_null(""),
+        pc.cast(flat.field("kind"), pa.string()).fill_null(_NULL),
+        pc.cast(flat.field("text"), pa.string()).fill_null(_NULL),
+        pc.cast(flat.field("media_ref"), pa.string()).fill_null(_NULL),
         order_tok, "\x00")
     per_row = pc.binary_join(
         pa.ListArray.from_arrays(
