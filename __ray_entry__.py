@@ -446,6 +446,15 @@ def q_curriculum_pack(sf_dir: str) -> ray.data.Dataset:
     return pack_curriculum(scored, "mean_token_freq", budget=1024)
 
 
+def q_corpus_summary(sf_dir: str) -> ray.data.Dataset:
+    """One-row corpus data card (stages/textstats.corpus_summary): one
+    partial row per batch to the driver + the vocabulary-sized word
+    shuffle for the distinct count."""
+    from go_light_rag_ray.stages.textstats import corpus_summary
+
+    return corpus_summary(_raw_docs(sf_dir))
+
+
 def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     """SemDeDup: nearest-centroid clusters scope the pairwise cosine check;
     a vector is duplicate iff a lower-id cluster-mate scores ≥ 0.35."""
@@ -2774,6 +2783,31 @@ FROM s
 
 # curriculum variant: the same window arithmetic over the corpus ordered
 # (mean_token_freq DESC, doc_id ASC) — stages/packing.pack_curriculum
+# corpus data card: every aggregate integer-derived; mean uses the
+# engine's floor(x*1e6+0.5) rounding; length() == byte length on ASCII
+_CORPUS_SUMMARY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+),
+w AS (
+  SELECT count(DISTINCT x.w)::BIGINT AS distinct_words
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+        FROM documents) x
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       max(n_tokens)::BIGINT AS max_doc_tokens,
+       floor(sum(n_tokens)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000
+         AS mean_doc_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       (SELECT distinct_words FROM w) AS distinct_words
+FROM t
+"""
+
+
 _CURRICULUM_PACK_SQL = f"""
 WITH u AS (
   SELECT doc_id, n_tokens::BIGINT AS n_tokens, mean_token_freq
@@ -4090,6 +4124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_embeddings": q_chunk_embeddings,
         "ann_topk_pq_multi": q_ann_topk_pq_multi,
         "curriculum_pack": q_curriculum_pack,
+        "corpus_summary": q_corpus_summary,
     }
 
 
@@ -4155,6 +4190,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "curriculum_pack": _CURRICULUM_PACK_SQL,
+        "corpus_summary": _CORPUS_SUMMARY_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,

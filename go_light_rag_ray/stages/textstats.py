@@ -353,3 +353,55 @@ def inverted_index(
     collected = pair_rows.groupby("word").map_groups(
         collect, batch_format="pyarrow")
     return collected.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_summary(docs: ray.data.Dataset,
+                   text_col: str = "text") -> ray.data.Dataset:
+    """One-row corpus data card: ``(n_docs, total_tokens, max_doc_tokens,
+    mean_doc_tokens, total_chars, distinct_words)`` — the summary block a
+    training-data release ships alongside the corpus.
+
+    Distributed shape: one vectorized scan emits ONE partial row per
+    batch (sums + max — the prefix-sum-summary idiom, O(blocks) driver
+    rows at any corpus size); ``distinct_words`` rides the existing
+    vocabulary-sized ``lm.word_freq_model`` shuffle.  ``mean_doc_tokens``
+    is the engine's tie-stable 6-dp ratio (``floor(x·10⁶ + 0.5)/10⁶``);
+    ``total_chars`` is BYTE length (== char length for the ASCII corpus,
+    the documented io.py contract)."""
+    import numpy as np
+
+    from .lm import word_freq_model
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = pc.cast(b.column(text_col), pa.string()).fill_null("")
+        split = pc.ascii_split_whitespace(texts)
+        par = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(pc.list_flatten(split), "").to_numpy(
+            zero_copy_only=False)
+        n_tok = np.bincount(par[nonempty], minlength=len(b)).astype(np.int64)
+        return pa.table({
+            "n_docs": pa.array([len(b)], pa.int64()),
+            "total_tokens": pa.array([int(n_tok.sum())], pa.int64()),
+            "max_doc_tokens": pa.array([int(n_tok.max(initial=0))],
+                                       pa.int64()),
+            "total_chars": pa.array(
+                [int(pc.sum(pc.binary_length(texts)).as_py() or 0)],
+                pa.int64()),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    total_tokens = sum(r["total_tokens"] for r in parts)
+    max_doc = max((r["max_doc_tokens"] for r in parts), default=0)
+    total_chars = sum(r["total_chars"] for r in parts)
+    distinct = word_freq_model(docs).num_rows
+    mean = (np.floor(total_tokens / n_docs * 1e6 + 0.5) / 1e6
+            if n_docs else 0.0)
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_tokens": pa.array([total_tokens], pa.int64()),
+        "max_doc_tokens": pa.array([max_doc], pa.int64()),
+        "mean_doc_tokens": pa.array([float(mean)], pa.float64()),
+        "total_chars": pa.array([total_chars], pa.int64()),
+        "distinct_words": pa.array([distinct], pa.int64()),
+    }))

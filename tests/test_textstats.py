@@ -270,3 +270,22 @@ def test_top_vocab_trim_is_distributed_and_exact(ray_session):
     })).repartition(3), top_vocab=1)
     assert bm.column("bigram").to_pylist() == ["x\x1fy"]
     assert bm.column("c").to_pylist() == [3]
+
+
+def test_corpus_summary_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.textstats import corpus_summary
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", "a  a", ""],
+    })).repartition(2)
+    row = corpus_summary(docs).take_all()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 5          # 3 + 2 + 0
+    assert row["max_doc_tokens"] == 3
+    assert row["total_chars"] == 5 + 4 + 0
+    assert row["distinct_words"] == 3        # a b c
+    assert row["mean_doc_tokens"] == 1.666667
