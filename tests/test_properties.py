@@ -363,3 +363,65 @@ def test_lp_digits_order_preserving(xs, ys):
     assert [pairs[i] for i in order_t] == sorted(pairs)
     assert sorted(joined) == [joined[i] for i in
                               sorted(range(n), key=lambda i: (pairs[i], joined[i]))]
+
+
+# ---- r5 hash / key kernels (pure numpy+arrow, no Ray session) ----------
+
+
+@given(st.lists(st.one_of(st.integers(0, 2**62),
+                          st.text(alphabet=st.characters(
+                              codec="ascii", exclude_categories=("Cc",)),
+                              max_size=24)),
+                max_size=60),
+       st.text(alphabet="abcxyz", max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_bucket_batch_property(keys, salt):
+    """Batched md5 bucket == per-row int(hexdigest()[:8], 16) for mixed
+    int/string keys (cast per column type, so split by type)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.sampling import _bucket_batch, _md5_hex8_batch
+
+    for vals, typ in ((
+        [k for k in keys if isinstance(k, int)], pa.int64()), (
+        [k for k in keys if isinstance(k, str)], pa.string())):
+        arr = pa.array(vals, typ)
+        ref = np.array(
+            [int(hashlib.md5(f"{salt}{v}".encode()).hexdigest()[:8], 16)
+             for v in vals], np.uint32)
+        got = _bucket_batch(arr, salt)
+        assert (got == ref).all()
+        hx = [hashlib.md5(f"{salt}{v}".encode()).hexdigest()[:8]
+              for v in vals]
+        assert _md5_hex8_batch(arr, salt).to_pylist() == hx
+
+
+@given(st.lists(st.tuples(st.floats(0, 999, allow_nan=False,
+                                    allow_infinity=False),
+                          st.integers(0, 10**9)),
+                min_size=1, max_size=50, unique_by=lambda t: t[1]))
+@settings(max_examples=60, deadline=None)
+def test_score_id_key_orders_like_tuple(pairs):
+    """_score_id_key string order must equal (micro-score, id) tuple order
+    in both directions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_light_rag_ray.stages.packing import _score_id_key
+
+    scores = [round(s, 6) for s, _ in pairs]
+    ids = [i for _, i in pairs]
+    b = pa.table({"score": pa.array(scores, pa.float64()),
+                  "doc_id": pa.array(ids, pa.int64())})
+    for desc in (False, True):
+        keys = _score_id_key(b, "score", "doc_id", desc, 1_000_000
+                             ).to_pylist()
+        micro = [int(np.rint(s * 1e6)) for s in scores]
+        want = sorted(range(len(ids)),
+                      key=lambda j: (-micro[j] if desc else micro[j],
+                                     ids[j]))
+        got = sorted(range(len(ids)), key=lambda j: keys[j])
+        assert got == want
