@@ -675,6 +675,23 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_graph_summary(sf_dir: str) -> ray.data.Dataset:
+    """One-row graph data card (stages/graphalg.graph_summary): one
+    partial row per block; dyadic edge weights sum exactly as 2x int."""
+    from go_light_rag_ray.stages.graphalg import graph_summary
+
+    return graph_summary(_graph(sf_dir))
+
+
+def q_events_summary(sf_dir: str) -> ray.data.Dataset:
+    """One-row events data card (stages/windows.events_summary): scalar
+    partials one-row-per-block + ONE tagged-distinct exchange for the two
+    exact distinct counts; values as exact integer cents."""
+    from go_light_rag_ray.stages.windows import events_summary
+
+    return events_summary(_raw_events(sf_dir))
+
+
 def q_kg_degrees(sf_dir: str) -> ray.data.Dataset:
     """Per-entity degree over the canonical graph (reference A4,
     neo.go:410-472): every node contributes 0, every edge endpoint 1."""
@@ -2785,6 +2802,31 @@ FROM s
 # (mean_token_freq DESC, doc_id ASC) — stages/packing.pack_curriculum
 # corpus data card: every aggregate integer-derived; mean uses the
 # engine's floor(x*1e6+0.5) rounding; length() == byte length on ASCII
+# graph data card: subselects over the full nodes/edges derivations;
+# dyadic edge weights (k*0.5) make weight*2 an exact integer
+_GRAPH_SUMMARY_SQL = f"""
+SELECT (SELECT count(*) FROM ({_NODES_SQL}))::BIGINT AS n_nodes,
+       (SELECT count(*) FROM ({_EDGES_SQL}))::BIGINT AS n_edges,
+       (SELECT sum(mention_count) FROM ({_NODES_SQL}))::BIGINT
+         AS node_mentions,
+       (SELECT sum(mention_count) FROM ({_EDGES_SQL}))::BIGINT
+         AS edge_mentions,
+       (SELECT sum((weight * 2)::BIGINT) FROM ({_EDGES_SQL}))::BIGINT
+         AS total_weight_x2
+"""
+
+# events data card: exact distincts, epoch-us bounds, integer-cent sum
+_EVENTS_SUMMARY_SQL = r"""
+SELECT count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS distinct_users,
+       count(DISTINCT event_type)::BIGINT AS distinct_event_types,
+       epoch_us(min(ts))::BIGINT AS min_ts_us,
+       epoch_us(max(ts))::BIGINT AS max_ts_us,
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS total_value_cents
+FROM events
+"""
+
+
 _CORPUS_SUMMARY_SQL = r"""
 WITH t AS (
   SELECT doc_id,
@@ -4125,6 +4167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq_multi": q_ann_topk_pq_multi,
         "curriculum_pack": q_curriculum_pack,
         "corpus_summary": q_corpus_summary,
+        "graph_summary": q_graph_summary,
+        "events_summary": q_events_summary,
     }
 
 
@@ -4191,6 +4235,8 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "curriculum_pack": _CURRICULUM_PACK_SQL,
         "corpus_summary": _CORPUS_SUMMARY_SQL,
+        "graph_summary": _GRAPH_SUMMARY_SQL,
+        "events_summary": _EVENTS_SUMMARY_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,

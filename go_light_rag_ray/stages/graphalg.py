@@ -1307,3 +1307,41 @@ def weighted_sssp(
         prev = cert
 
     return dist
+
+
+def graph_summary(graph: ray.data.Dataset) -> ray.data.Dataset:
+    """One-row graph data card: ``(n_nodes, n_edges, node_mentions,
+    edge_mentions, total_weight_x2)`` over the canonical graph.
+
+    One vectorized scan, ONE partial row per block to the driver (the
+    prefix-sum-summary idiom).  Edge weights are dyadic (sums of 1.0/0.5
+    — canonicalize's adjacency/glean weights), so ``weight · 2`` is an
+    exact int64 and the total is order-independent."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_edge = pc.equal(b.column("kind"), "edge")
+        eb = b.filter(is_edge)
+        nb = b.filter(pc.invert(is_edge))
+        w2 = np.rint(eb.column("weight").to_numpy(
+            zero_copy_only=False) * 2).astype(np.int64) if len(eb) else \
+            np.empty(0, np.int64)
+        def _mc(t):
+            if len(t) == 0:
+                return 0
+            return int(t.column("mention_count").to_numpy(
+                zero_copy_only=False).sum())
+        return pa.table({
+            "n_nodes": pa.array([len(nb)], pa.int64()),
+            "n_edges": pa.array([len(eb)], pa.int64()),
+            "node_mentions": pa.array([_mc(nb)], pa.int64()),
+            "edge_mentions": pa.array([_mc(eb)], pa.int64()),
+            "total_weight_x2": pa.array([int(w2.sum())], pa.int64()),
+        })
+
+    parts = graph.map_batches(partial, batch_format="pyarrow").take_all()
+    agg = {k: sum(r[k] for r in parts) for k in
+           ("n_nodes", "n_edges", "node_mentions", "edge_mentions",
+            "total_weight_x2")}
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array([v], pa.int64()) for k, v in agg.items()}))

@@ -1106,3 +1106,68 @@ def window_trending(
 
     return att.map_batches(finish, batch_format="pyarrow").sort(
         ["window_start_us", "rank"])
+
+
+def events_summary(events: ray.data.Dataset) -> ray.data.Dataset:
+    """One-row events data card: ``(n_events, distinct_users,
+    distinct_event_types, min_ts_us, max_ts_us, total_value_cents)``.
+
+    Scalar aggregates come from one scan with ONE partial row per block;
+    the two exact distinct counts ride a single tagged-distinct exchange
+    (per-batch ``unique`` partials → one groupby → per-block count
+    partials), the window_distinct two-level shape — shuffled volume is
+    the distinct-key count, never the event count.  Values sum as exact
+    integer cents (``floor(v·100 + 0.5)``, the event-oracle rule)."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n_events", "min_ts_us", "max_ts_us",
+                              "total_value_cents")})
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "n_events": pa.array([len(b)], pa.int64()),
+            "min_ts_us": pa.array([int(ts.min())], pa.int64()),
+            "max_ts_us": pa.array([int(ts.max())], pa.int64()),
+            "total_value_cents": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    parts = events.select_columns(["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+
+    def dkeys(b: pa.Table) -> pa.Table:
+        u = pc.unique(pc.drop_null(b.column("user_id"))).cast(pa.string())
+        t = pc.unique(pc.drop_null(b.column("event_type"))).cast(pa.string())
+        return pa.table({
+            "t": pa.array(["u"] * len(u) + ["e"] * len(t), pa.string()),
+            "k": pa.concat_arrays([u, t]),
+        })
+
+    def tag_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("t").aggregate([("t", "count")])
+        return pa.table({"t": g.column("t"),
+                         "c": pc.cast(g.column("t_count"), pa.int64())})
+
+    dist = (events.select_columns(["user_id", "event_type"])
+            .map_batches(dkeys, batch_format="pyarrow")
+            .groupby(["t", "k"]).count()
+            .map_batches(tag_counts, batch_format="pyarrow").take_all())
+    n_users = sum(r["c"] for r in dist if r["t"] == "u")
+    n_types = sum(r["c"] for r in dist if r["t"] == "e")
+    if not parts:
+        parts = [{"n_events": 0, "min_ts_us": 0, "max_ts_us": 0,
+                  "total_value_cents": 0}]
+    return ray.data.from_arrow(pa.table({
+        "n_events": pa.array([sum(r["n_events"] for r in parts)], pa.int64()),
+        "distinct_users": pa.array([n_users], pa.int64()),
+        "distinct_event_types": pa.array([n_types], pa.int64()),
+        "min_ts_us": pa.array([min(r["min_ts_us"] for r in parts)],
+                              pa.int64()),
+        "max_ts_us": pa.array([max(r["max_ts_us"] for r in parts)],
+                              pa.int64()),
+        "total_value_cents": pa.array(
+            [sum(r["total_value_cents"] for r in parts)], pa.int64()),
+    }))

@@ -461,3 +461,23 @@ def test_hop_distance_distributed_paths_match_local(ray_session):
 def test_hop_distance_nonexistent_seed_ignored(ray_session):
     assert _hops(seeds=["ZZZ"], max_depth=3) == {}
     assert _hops(seeds=["ZZZ", "A"], max_depth=1) == {"A": 0, "B": 1}
+
+
+def test_graph_summary_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.graphalg import graph_summary
+
+    g = ray.data.from_arrow(pa.table({
+        "kind": ["node", "node", "edge", "edge"],
+        "entity_id": ["A", "B", "", ""],
+        "src": ["", "", "A", "A"],
+        "tgt": ["", "", "B", "B"],
+        "mention_count": pa.array([3, 2, 4, 1], pa.int64()),
+        "weight": [0.0, 0.0, 2.5, 0.5],
+    })).repartition(2)
+    row = graph_summary(g).take_all()[0]
+    assert row["n_nodes"] == 2 and row["n_edges"] == 2
+    assert row["node_mentions"] == 5 and row["edge_mentions"] == 5
+    assert row["total_weight_x2"] == 6            # (2.5 + 0.5) * 2

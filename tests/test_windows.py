@@ -421,3 +421,27 @@ def test_window_trending_huge_keys_and_fine_grid():
     w_us = w * 1_000_000
     assert by[(base + w_us, big + 1)][4] == 3      # prev_cnt from window 0
     assert by[(base + 2 * w_us, 7)][4] == 2        # 7: 1 → 2 → 3
+
+
+def test_events_summary_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.windows import events_summary
+
+    ev = ray.data.from_arrow(pa.table({
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000, 2_500_000],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 1, None], pa.int64()),
+        "event_type": ["a", "b", "a", "a"],
+        "value": [1.005, 2.0, 0.004, 10.0],
+    })).repartition(2)
+    row = events_summary(ev).take_all()[0]
+    assert row["n_events"] == 4
+    assert row["distinct_users"] == 2            # null excluded
+    assert row["distinct_event_types"] == 2
+    assert (row["min_ts_us"], row["max_ts_us"]) == (1_000_000, 3_000_000)
+    # cents: floor(v*100+0.5) -> 100 + 200 + 0 + 1000 (1.005 is
+    # 1.00499... in float64 — the same op sequence on both sides is the
+    # contract, not decimal-string rounding)
+    assert row["total_value_cents"] == 1300
