@@ -692,6 +692,19 @@ def q_events_summary(sf_dir: str) -> ray.data.Dataset:
     return events_summary(_raw_events(sf_dir))
 
 
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic systematic weighted sampling
+    (stages/sampling.systematic_weighted_sample): 100 picks proportional
+    to token count via the all-integer closed-form target count over one
+    prefix-sum — no RNG, stable under repartitioning, bit-exact oracle."""
+    from go_light_rag_ray.stages.sampling import systematic_weighted_sample
+    from go_light_rag_ray.stages.textstats import token_stats
+
+    counted = token_stats(_raw_docs(sf_dir)).select_columns(
+        ["doc_id", "n_tokens"])
+    return systematic_weighted_sample(counted, "n_tokens", k=100)
+
+
 def q_kg_degrees(sf_dir: str) -> ray.data.Dataset:
     """Per-entity degree over the canonical graph (reference A4,
     neo.go:410-472): every node contributes 0, every edge endpoint 1."""
@@ -2804,6 +2817,33 @@ FROM s
 # engine's floor(x*1e6+0.5) rounding; length() == byte length on ASCII
 # graph data card: subselects over the full nodes/edges derivations;
 # dyadic edge weights (k*0.5) make weight*2 an exact integer
+# systematic weighted sampling: window prefix-sum + the same integer
+# target-count formula c(x) = clamp(((2kx + W-1)//W)//2, 0, k)
+_WEIGHTED_SAMPLE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS o,
+         (sum(n_tokens) OVER ())::BIGINT AS w_total
+  FROM t
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         (least(100, greatest(0, ((200 * (o + n_tokens) + w_total - 1)
+                                  // w_total) // 2))
+          - least(100, greatest(0, ((200 * o + w_total - 1)
+                                    // w_total) // 2)))::BIGINT AS n_picks
+  FROM s
+)
+SELECT doc_id, n_tokens, n_picks FROM p WHERE n_picks >= 1
+"""
+
+
 _GRAPH_SUMMARY_SQL = f"""
 SELECT (SELECT count(*) FROM ({_NODES_SQL}))::BIGINT AS n_nodes,
        (SELECT count(*) FROM ({_EDGES_SQL}))::BIGINT AS n_edges,
@@ -4169,6 +4209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary": q_corpus_summary,
         "graph_summary": q_graph_summary,
         "events_summary": q_events_summary,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4237,6 +4278,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "corpus_summary": _CORPUS_SUMMARY_SQL,
         "graph_summary": _GRAPH_SUMMARY_SQL,
         "events_summary": _EVENTS_SUMMARY_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,

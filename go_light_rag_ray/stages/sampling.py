@@ -325,3 +325,60 @@ def split_by_cluster(
             "split", _SPLIT_LABELS.take(pa.array(code)))
 
     return clusters.map_batches(assign, batch_format="pyarrow")
+
+
+def systematic_weighted_sample(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling: k systematic picks proportional
+    to an integer weight (token counts, quality scores scaled to ints) —
+    the classic systematic/stratified draw over the cumulative weight
+    line, targets at ``t_j = ((2j+1)·W) // (2k)``.
+
+    No randomness, stable under repartitioning, and ALL-INTEGER: a row
+    with exclusive weight offset ``o`` and weight ``w`` is picked
+    ``c(o+w) − c(o)`` times where ``c(x) = clamp(((2kx + W−1)//W)//2,
+    0, k)`` — the closed-form count of targets below x (heavy rows can
+    be picked multiple times, the standard multiplicity).  Exactly
+    replicable as a SQL window sum + the same integer formula.
+
+    Distributed shape: ONE ``prefix_sum`` (global sort + per-block
+    summaries) and a stateless vectorized pass; rows with
+    ``n_picks ≥ 1`` survive.  Raises on negative weights; returns empty
+    when the total weight is zero."""
+    import numpy as np
+
+    from .packing import prefix_sum
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+
+    summed = prefix_sum(ds, id_col, weight_col, out_col="_off",
+                        total_col="_W")
+
+    def pick(b: pa.Table) -> pa.Table:
+        w = b.column(weight_col).to_numpy(zero_copy_only=False)
+        if len(w) and w.min() < 0:
+            raise ValueError("weights must be ≥ 0")
+        off = b.column("_off").to_numpy(zero_copy_only=False)
+        total = b.column("_W").to_numpy(zero_copy_only=False)
+        W = int(total[0]) if len(total) else 0
+        out = b.drop_columns(["_off", "_W"])
+        if W == 0 or len(w) == 0:
+            return out.append_column(
+                "n_picks", pa.array(np.zeros(len(w), np.int64))
+            ).filter(pa.array(np.zeros(len(w), bool)))
+
+        def c(x):
+            return np.minimum(k, np.maximum(
+                0, ((2 * k * x + W - 1) // W) // 2))
+
+        n_picks = (c(off + w) - c(off)).astype(np.int64)
+        keep = n_picks >= 1
+        return out.append_column(
+            "n_picks", pa.array(n_picks)).filter(pa.array(keep))
+
+    return summed.map_batches(pick, batch_format="pyarrow")

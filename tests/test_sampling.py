@@ -167,3 +167,53 @@ def test_split_assign_fast_mode_matches_fractions(ray_session):
     again = split_assign(ds, hash_fn="fnv1a64").take_all()
     assert {r["doc_id"]: r["split"] for r in rows} == \
         {r["doc_id"]: r["split"] for r in again}
+
+
+def test_systematic_weighted_sample_exact(ray_session):
+    """All-integer systematic draw: total picks == k, heavy rows carry
+    multiplicity, zero-weight rows never picked, deterministic across
+    repartitioning."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.sampling import systematic_weighted_sample
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(6)),
+        "w": pa.array([50, 0, 1, 30, 1, 18], pa.int64()),
+    })).repartition(3)
+    rows = systematic_weighted_sample(ds, "w", k=10).take_all()
+    by_id = {r["doc_id"]: r["n_picks"] for r in rows}
+    assert sum(by_id.values()) == 10
+    assert 1 not in by_id                      # zero weight never picked
+    assert by_id[0] == 5                       # 50/100 of the mass → 5 picks
+    assert by_id[3] == 3
+    rows2 = systematic_weighted_sample(
+        ds.repartition(1), "w", k=10).take_all()
+    assert {r["doc_id"]: r["n_picks"] for r in rows2} == by_id
+    # brute-force check of target membership
+    import numpy as np
+    w = np.array([50, 0, 1, 30, 1, 18]); W = w.sum(); k = 10
+    t = np.array([(2*j+1)*W // (2*k) for j in range(k)])
+    off = np.concatenate(([0], np.cumsum(w)))[:-1]
+    brute = {i: int(((t >= o) & (t < o+wi)).sum())
+             for i, (o, wi) in enumerate(zip(off, w)) if wi}
+    assert {i: n for i, n in brute.items() if n} == by_id
+
+
+def test_systematic_weighted_sample_edges(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from go_light_rag_ray.stages.sampling import systematic_weighted_sample
+
+    zero = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "w": pa.array([0, 0], pa.int64())}))
+    assert systematic_weighted_sample(zero, "w", k=5).take_all() == []
+    neg = ray.data.from_arrow(pa.table({
+        "doc_id": [1], "w": pa.array([-1], pa.int64())}))
+    with pytest.raises(Exception):
+        systematic_weighted_sample(neg, "w", k=5).take_all()
+    with pytest.raises(ValueError):
+        systematic_weighted_sample(zero, "w", k=0)
