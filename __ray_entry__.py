@@ -692,6 +692,17 @@ def q_events_summary(sf_dir: str) -> ray.data.Dataset:
     return events_summary(_raw_events(sf_dir))
 
 
+def q_ann_topk_ivfpq(sf_dir: str) -> ray.data.Dataset:
+    """IVF-PQ serving shape (quantize.ann_topk_ivfpq): coarse-cell
+    restriction + integer ADC over PQ codes — the composition of the
+    ann_topk_ivf cell rule and the pq_ann_topk distance algebra, both
+    already oracled, so the combined path is too (nprobe=1)."""
+    from go_light_rag_ray.stages.quantize import ann_topk_ivfpq
+
+    return ann_topk_ivfpq(_raw_embeddings(sf_dir), n_queries=4, k=5,
+                          n_centroids=8, n_subspaces=4, n_pq_centroids=8)
+
+
 def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic systematic weighted sampling
     (stages/sampling.systematic_weighted_sample): 100 picks proportional
@@ -3012,6 +3023,42 @@ SELECT row_number() OVER (ORDER BY adist ASC, vec_id ASC)::INTEGER AS rank,
 FROM adist ORDER BY rank LIMIT 5
 """
 
+# IVF-PQ: the IVF cell CTE (icents/cells) composed with the PQ adist
+# algebra; nprobe=1 — each query scans exactly its own cell
+_ANN_TOPK_IVFPQ_SQL = "WITH " + _PQ_CTES + r""",
+icents AS (
+  SELECT vec_id AS ci, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+cells AS (
+  SELECT e.vec_id,
+         (SELECT c.ci FROM icents c
+          ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                c.cvec::DOUBLE[]), 6) DESC,
+                   c.ci ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+lut AS (SELECT vec_id AS qid, s, ci, m * m AS sq FROM dists WHERE vec_id < 4),
+qcell AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < 4),
+adist AS (
+  SELECT l.qid AS query_id, c.vec_id, sum(l.sq)::BIGINT AS adist
+  FROM codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN qcell q ON ce.cell = q.cell
+  JOIN lut l ON l.qid = q.qid AND c.s = l.s AND c.code = l.ci
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adist, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, vec_id ASC
+  )::INTEGER AS rank
+  FROM adist
+)
+SELECT query_id, rank, vec_id, adist FROM ranked WHERE rank <= 5
+"""
+
+
 # the multi-query ADC twin: one LUT per query id < 4, the same integer
 # micro-distance algebra, rank per query (quantize.pq_ann_topk n_queries>1)
 _ANN_TOPK_PQ_MULTI_SQL = "WITH " + _PQ_CTES + r""",
@@ -4210,6 +4257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summary": q_graph_summary,
         "events_summary": q_events_summary,
         "weighted_sample": q_weighted_sample,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
     }
 
 
@@ -4279,6 +4327,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "graph_summary": _GRAPH_SUMMARY_SQL,
         "events_summary": _EVENTS_SUMMARY_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "ann_topk_ivfpq": _ANN_TOPK_IVFPQ_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,

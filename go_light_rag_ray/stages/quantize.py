@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["quantize_embeddings", "pq_seed_codebooks", "pq_codes",
-           "pq_ann_topk"]
+           "pq_ann_topk", "ann_topk_ivfpq"]
 
 
 def quantize_embeddings(
@@ -300,3 +300,114 @@ def pq_ann_topk(
 
     return (part.map_batches(add_key, batch_format="pyarrow")
             .groupby("_g").map_groups(final_rank, batch_format="pyarrow"))
+
+
+def ann_topk_ivfpq(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 4,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_subspaces: int = 4,
+    n_pq_centroids: int = 8,
+    nprobe: int = 1,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF coarse cells + ADC over PQ codes — the FAISS IVF-PQ serving
+    shape: each query scans only its ``nprobe`` nearest cells, and the
+    scan is the INTEGER sum of LUT entries over PQ codes (never raw
+    vectors).  Cell assignment is the exact ``ann_topk_ivf`` rule
+    (argmax 6-dp cosine, ties → lower centroid id); distances are the
+    exact ``pq_ann_topk`` micro-integer algebra — both already
+    SQL-oracled, so their composition is too.
+
+    Returns ``(query_id, rank 1..k, vec_id, adist)``; per batch the
+    codes/cells compute ONCE (shared by all queries) and the per-query
+    tie-safe top-k is one global lexsort keyed (query, adist, id)."""
+    import ray as _ray
+
+    from .similarity import ROUND_DP, _as_matrix, _unit
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(
+            embeddings, n_subspaces, n_pq_centroids, id_col, vec_col)
+    crows = (embeddings.filter(expr=f"{id_col} < {n_centroids}")
+             .select_columns([id_col, vec_col]).take_all())
+    crows.sort(key=lambda r: r[id_col])
+    cmat = _unit(np.asarray([r[vec_col] for r in crows], dtype=np.float64))
+
+    qrows = (embeddings.filter(expr=f"{id_col} < {n_queries}")
+             .select_columns([id_col, vec_col]).take_all())
+    qrows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    luts = _sub_micro_dists(qmat, codebooks)
+    luts = luts * luts
+    if luts.size:
+        max_adist = int(luts.max(axis=2).sum(axis=1).max())
+        if max_adist >= (1 << 62):
+            raise ValueError(
+                f"PQ micro-distances too large for the ADC scan "
+                f"(max possible adist {max_adist} ≥ 2^62)")
+    # top-nprobe cells per query by (cosine desc, cell asc) — row 0 is
+    # exactly the nprobe=1 cell (the oracle mode)
+    p = min(max(1, nprobe), len(cmat))
+    qsims = np.round(_unit(qmat) @ cmat.T, ROUND_DP)
+    qprobes = np.stack([
+        np.lexsort((np.arange(len(cmat)), -qsims[i]))[:p]
+        for i in range(len(qmat))]) if len(qmat) else \
+        np.empty((0, p), np.int64)
+    bref = _ray.put((qids, luts, qprobes, cmat,
+                     np.ascontiguousarray(codebooks, dtype=np.float64)))
+    n_sub = codebooks.shape[0]
+
+    def scan(b: pa.Table) -> pa.Table:
+        qi, lt, probes, cm, cb = _ray.get(bref)
+        ids = b.column(id_col).to_numpy()
+        B, Q = len(ids), len(qi)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "adist": pa.array([], pa.int64())})
+        if B == 0 or Q == 0:
+            return empty
+        x = _as_matrix(b.column(vec_col))
+        cells = np.argmax(np.round(_unit(x) @ cm.T, ROUND_DP), axis=1)
+        codes = _sub_micro_dists(x, cb).argmin(axis=2)       # (B, S)
+        adist = np.zeros((Q, B), dtype=np.int64)
+        for s in range(n_sub):
+            adist += lt[:, s, :][:, codes[:, s]]
+        sent = np.int64(1) << np.int64(62)
+        in_cell = np.zeros((Q, B), bool)
+        for q in range(Q):                  # Q × isin over nprobe cells
+            in_cell[q] = np.isin(cells, probes[q])
+        excl = (~in_cell) | (ids[None, :] == qi[:, None])
+        adist = np.where(excl, sent, adist)
+        ids_t = np.broadcast_to(ids, (Q, B))
+        order = np.lexsort((ids_t.ravel(), adist.ravel(),
+                            np.repeat(np.arange(Q), B)))
+        kk = min(k, B)
+        picks = order.reshape(Q, B)[:, :kk]
+        local = picks - (np.arange(Q) * B)[:, None]
+        pa_d = np.take_along_axis(adist, local, axis=1)
+        valid = pa_d < sent
+        return pa.table({
+            "query_id": pa.array(
+                np.broadcast_to(qi[:, None], (Q, kk))[valid], pa.int64()),
+            id_col: pa.array(ids_t.ravel()[picks][valid], pa.int64()),
+            "adist": pa.array(pa_d[valid], pa.int64()),
+        })
+
+    part = embeddings.map_batches(scan, batch_format="pyarrow",
+                                  batch_size=2048)
+
+    def final_rank_q(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("adist", "ascending"),
+                           (id_col, "ascending")]).slice(0, k)
+        return g.select(["query_id", id_col, "adist"]).add_column(
+            1, pa.field("rank", pa.int32()),
+            pa.array(range(1, len(g) + 1), pa.int32()))
+
+    return (part.groupby("query_id")
+            .map_groups(final_rank_q, batch_format="pyarrow"))

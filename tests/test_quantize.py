@@ -168,3 +168,64 @@ def test_pq_adc_single_query_shape_unchanged(ray_session):
     adists = [r["adist"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert adists == sorted(adists)
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_ann_topk_ivfpq_matches_reference(ray_session):
+    """IVF-PQ == per-query brute over (own-cell candidates, ADC adist)."""
+    from go_light_rag_ray.stages.quantize import (_sub_micro_dists,
+                                                  ann_topk_ivfpq,
+                                                  pq_seed_codebooks)
+
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(30, 8))
+    ds = _emb([list(map(float, v)) for v in mat]).repartition(3)
+    Q, K, C = 3, 4, 5
+    rows = ann_topk_ivfpq(ds, n_queries=Q, k=K, n_centroids=C,
+                          n_subspaces=4, n_pq_centroids=4).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    m32 = mat.astype(np.float32).astype(np.float64)  # stored as f32
+    unit = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    cmat = unit[:C]
+    cells = np.argmax(np.round(unit @ cmat.T, 6), axis=1)
+    cb = pq_seed_codebooks(ds, 4, 4)
+    codes = _sub_micro_dists(m32, cb).argmin(axis=2)
+    qlut = _sub_micro_dists(m32[:Q], cb)
+    qlut = qlut * qlut
+    ids = np.arange(len(mat))
+    for q in range(Q):
+        adist = np.zeros(len(mat), np.int64)
+        for s in range(4):
+            adist += qlut[q, s][codes[:, s]]
+        mask = (cells == cells[q]) & (ids != q)
+        order = np.lexsort((ids[mask], adist[mask]))[:K]
+        want = [(int(ids[mask][o]), int(adist[mask][o])) for o in order]
+        got = sorted(by_q.get(q, []), key=lambda r: r["rank"])
+        assert [(r["vec_id"], r["adist"]) for r in got] == want
+
+
+def test_ann_topk_ivfpq_nprobe_expands_candidates(ray_session):
+    """nprobe=C scans every cell — the result set must be a superset-or-
+    equal ranking vs nprobe=1 (monotone recall knob)."""
+    from go_light_rag_ray.stages.quantize import ann_topk_ivfpq
+
+    rng = np.random.default_rng(4)
+    mat = rng.normal(size=(24, 8))
+    ds = _emb([list(map(float, v)) for v in mat])
+    one = ann_topk_ivfpq(ds, n_queries=2, k=3, n_centroids=6,
+                         n_subspaces=4, n_pq_centroids=4,
+                         nprobe=1).take_all()
+    full = ann_topk_ivfpq(ds, n_queries=2, k=3, n_centroids=6,
+                          n_subspaces=4, n_pq_centroids=4,
+                          nprobe=6).take_all()
+    # all-cell scan ranks over >= candidates: per query, best adist at
+    # rank 1 under nprobe=6 is <= the nprobe=1 rank-1 adist
+    best = lambda rows, q: min((r["adist"] for r in rows
+                                if r["query_id"] == q and r["rank"] == 1),
+                               default=None)
+    for q in (0, 1):
+        b1, bf = best(one, q), best(full, q)
+        if b1 is not None and bf is not None:
+            assert bf <= b1
