@@ -85,6 +85,10 @@ def main() -> None:
                                                 n_centroids=8, k=K))
     timed("ann_topk_pq_multi", lambda: pq_ann_topk(
         emb(), n_subspaces=4, n_centroids=8, k=K, n_queries=Q))
+    from go_light_rag_ray.stages.quantize import ann_topk_ivfpq
+    timed("ann_topk_ivfpq", lambda: ann_topk_ivfpq(
+        emb(), n_queries=Q, k=K, n_centroids=32, n_subspaces=4,
+        n_pq_centroids=8, nprobe=2))
     print(json.dumps(res))
     ray.shutdown()
 
