@@ -455,6 +455,16 @@ def q_corpus_summary(sf_dir: str) -> ray.data.Dataset:
     return corpus_summary(_raw_docs(sf_dir))
 
 
+def q_pack_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-pack shard-balance report (stages/packing.pack_stats) over the
+    concat-and-chunk assignment: doc count, token fill, straddler count
+    per 1024-token window."""
+    from go_light_rag_ray.stages.packing import pack_sequences, pack_stats
+
+    return pack_stats(pack_sequences(_raw_docs(sf_dir), budget=1024),
+                      budget=1024)
+
+
 def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     """SemDeDup: nearest-centroid clusters scope the pairwise cosine check;
     a vector is duplicate iff a lower-id cluster-mate scores ≥ 0.35."""
@@ -2822,6 +2832,14 @@ SELECT doc_id, n_tokens, "offset",
 FROM s
 """
 
+# per-pack shard-balance report over the pack assignment
+_PACK_STATS_SQL = "SELECT pack_id, count(*)::BIGINT AS n_docs, " \
+    "sum(n_tokens)::BIGINT AS pack_tokens, " \
+    "sum(CASE WHEN offset_in_pack + n_tokens > 1024 THEN 1 ELSE 0 " \
+    "END)::BIGINT AS n_straddle FROM (" + _PACK_SEQUENCES_SQL + \
+    ") GROUP BY pack_id"
+
+
 # curriculum variant: the same window arithmetic over the corpus ordered
 # (mean_token_freq DESC, doc_id ASC) — stages/packing.pack_curriculum
 # corpus data card: every aggregate integer-derived; mean uses the
@@ -4258,6 +4276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_summary": q_events_summary,
         "weighted_sample": q_weighted_sample,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "pack_stats": q_pack_stats,
     }
 
 
@@ -4328,6 +4347,7 @@ SELECT entity_id, status FROM j WHERE status <> 'unchanged'
         "events_summary": _EVENTS_SUMMARY_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "ann_topk_ivfpq": _ANN_TOPK_IVFPQ_SQL,
+        "pack_stats": _PACK_STATS_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "text_postings": _TEXT_POSTINGS_SQL,
         "text_stats": _TEXT_STATS_SQL,

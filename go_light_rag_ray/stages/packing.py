@@ -35,7 +35,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-__all__ = ["prefix_sum", "pack_sequences", "pack_curriculum", "rank_buckets",
+__all__ = ["prefix_sum", "pack_sequences", "pack_curriculum", "pack_stats",
+           "rank_buckets",
            "DEFAULT_PACK_BUDGET"]
 
 DEFAULT_PACK_BUDGET = 1024
@@ -254,3 +255,37 @@ def pack_curriculum(
         )
 
     return summed.map_batches(packs, batch_format="pyarrow")
+
+
+def pack_stats(
+    packed: ray.data.Dataset,
+    budget: int = DEFAULT_PACK_BUDGET,
+) -> ray.data.Dataset:
+    """Per-pack balance report over a ``pack_sequences`` /
+    ``pack_curriculum`` assignment: ``(pack_id, n_docs, pack_tokens,
+    n_straddle)`` — the shard-fill audit a training run checks before
+    consuming windows (straddlers = docs whose tokens cross the pack's
+    right boundary and get split at write time).
+
+    One stateless marking pass + a pack-keyed groupby-sum; pack count is
+    total_tokens // budget, so groups are bounded by corpus size ÷ window
+    size, uniform by construction."""
+    import ray.data.aggregate as agg
+
+    def mark(b: pa.Table) -> pa.Table:
+        off = b.column("offset_in_pack")
+        nt = b.column("n_tokens")
+        straddle = pc.cast(pc.greater(pc.add(off, nt), budget), pa.int64())
+        return pa.table({
+            "pack_id": b.column("pack_id"),
+            "n_tokens": nt,
+            "_straddle": straddle,
+            "_one": pc.cast(pc.greater_equal(nt, 0), pa.int64()),
+        })
+
+    out = (packed.map_batches(mark, batch_format="pyarrow")
+           .groupby("pack_id")
+           .aggregate(agg.Sum("_one", alias_name="n_docs"),
+                      agg.Sum("n_tokens", alias_name="pack_tokens"),
+                      agg.Sum("_straddle", alias_name="n_straddle")))
+    return out

@@ -117,3 +117,23 @@ def test_pack_curriculum_hand_computed(ray_session):
     rows_asc = {r["doc_id"]: r for r in pack_curriculum(
         scored, "score", budget=6, descending=False).take_all()}
     assert rows_asc[4]["offset"] == 0
+
+
+def test_pack_stats_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from go_light_rag_ray.stages.packing import pack_stats
+
+    packed = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "n_tokens": pa.array([5, 3, 4, 2], pa.int64()),
+        "offset": pa.array([0, 5, 8, 12], pa.int64()),
+        "pack_id": pa.array([0, 0, 1, 2], pa.int64()),
+        "offset_in_pack": pa.array([0, 5, 2, 0], pa.int64()),
+    })).repartition(2)
+    rows = {r["pack_id"]: r for r in pack_stats(packed, budget=6).take_all()}
+    assert rows[0]["n_docs"] == 2 and rows[0]["pack_tokens"] == 8
+    assert rows[0]["n_straddle"] == 1        # doc 2: 5 + 3 > 6
+    assert rows[1]["n_docs"] == 1 and rows[1]["n_straddle"] == 0
+    assert rows[2]["pack_tokens"] == 2
